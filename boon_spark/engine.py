@@ -1,0 +1,184 @@
+"""Validation engine — the analogue of boon's ``Schemas::validate``
+(reference ``src/lib.rs:186-195``) lifted from one-value-per-call to
+whole-table, single-projection evaluation.
+
+``Engine(schema).annotate(df)`` adds three columns in ONE ``select`` (no
+shuffle, whole-stage codegen):
+
+* ``valid``            — boolean verdict per row (boon's Ok/Err)
+* ``violations``       — array<struct> of basic-output units
+                         (``src/output.rs:416-445``), capped
+* ``violation_count``  — total violations *before* the cap, so truncation
+                         is never silent (SURVEY.md §7 risk note)
+
+Output formats mirror boon's flag/basic output (``src/output.rs:33-86``).
+Cross-row checks (uniqueness, referential, stats, drift — SURVEY.md §2.6)
+live in ``boon_spark.operators`` and are orchestrated by
+:func:`validate_table`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .plans.builder import VIOL_ARRAY, PlanBuilder, empty_viols
+from .schema import CompiledSchema, Node, compile_schema
+
+
+@dataclass
+class Engine:
+    """Compile once on the driver, validate any number of DataFrames —
+    mirroring boon's compile-then-validate split
+    (``src/compiler.rs:198-212`` / ``src/lib.rs:186-195``)."""
+
+    compiled: CompiledSchema
+    row_id: Optional[str] = None
+    max_violations_per_row: int = 100
+
+    @classmethod
+    def from_schema(cls, schema_doc, *, row_id: Optional[str] = None,
+                    max_violations_per_row: int = 100) -> "Engine":
+        return cls(compile_schema(schema_doc), row_id=row_id,
+                   max_violations_per_row=max_violations_per_row)
+
+    # ------------------------------------------------------------------
+    def check_columns(self, df: DataFrame) -> tuple[Column, Column]:
+        """Build (valid, violations) Columns against ``df``'s schema."""
+        pb = PlanBuilder(df.schema, row_id=self.row_id)
+        valid, viol_arrays = pb.build(
+            self.compiled.root, None, None, pb.root_iloc())
+        if viol_arrays:
+            arr = viol_arrays[0] if len(viol_arrays) == 1 \
+                else F.concat(*viol_arrays)
+            # lazy error materialization (boon bool_result,
+            # src/validator.rs:849-855): only failing rows build detail
+            viols = F.when(~F.coalesce(valid, F.lit(False)),
+                           F.filter(arr, lambda v: v.isNotNull())) \
+                .otherwise(empty_viols())
+        else:
+            viols = empty_viols()
+        return F.coalesce(valid, F.lit(False)), viols
+
+    def annotate(self, df: DataFrame) -> DataFrame:
+        valid, viols = self.check_columns(df)
+        cap = self.max_violations_per_row
+        return df.select(
+            "*",
+            valid.alias("valid"),
+            F.slice(viols, 1, cap).alias("violations"),
+            F.size(viols).alias("violation_count"),
+        )
+
+    def validate(self, df: DataFrame) -> "ValidationResult":
+        return ValidationResult(self.annotate(df), row_id=self.row_id)
+
+
+@dataclass
+class ValidationResult:
+    """Lazy handle over the annotated DataFrame; all methods return
+    DataFrames (no driver-side collection)."""
+
+    annotated: DataFrame
+    row_id: Optional[str] = None
+
+    def violations(self) -> DataFrame:
+        """Basic-output units as rows (boon ``basic_output``,
+        ``src/output.rs:38-86``), exploded only for failing rows —
+        Catalyst prunes the filter before the generate."""
+        return (self.annotated
+                .filter(~F.col("valid"))
+                .select(F.explode("violations").alias("v"))
+                .select(
+                    F.lit(False).alias("valid"),
+                    F.col("v.instance_location"),
+                    F.col("v.keyword_location"),
+                    F.col("v.error")))
+
+    def flag(self, by: Optional[list[str]] = None) -> DataFrame:
+        """Flag output ``{"valid": bool}`` (boon ``src/output.rs:33-35``),
+        optionally per group (e.g. per partition column)."""
+        agg = [
+            # empty group is vacuously valid (coalesce handles min-of-empty)
+            F.coalesce(F.min(F.col("valid").cast("int")).cast("boolean"),
+                       F.lit(True)).alias("valid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum((~F.col("valid")).cast("long")),
+                       F.lit(0)).alias("n_invalid"),
+            F.coalesce(F.sum("violation_count"), F.lit(0)).alias("n_violations"),
+        ]
+        if by:
+            return self.annotated.groupBy(*by).agg(*agg)
+        return self.annotated.agg(*agg)
+
+    def summary(self) -> DataFrame:
+        """Per-keyword failure counts — map-side partial agg, one shuffle."""
+        return (self.annotated
+                .filter(~F.col("valid"))
+                .select(F.explode("violations").alias("v"))
+                .groupBy(F.col("v.keyword_location").alias("keyword_location"))
+                .agg(F.count(F.lit(1)).alias("n_violations")))
+
+
+def validate_table(df: DataFrame, spec, *, row_id: Optional[str] = None,
+                   dims: Optional[dict[str, DataFrame]] = None,
+                   reference_df: Optional[DataFrame] = None) -> dict:
+    """Full-suite orchestrator: row-local projection + cross-row operators
+    (SURVEY.md §2.6).  Returns a dict of lazy DataFrames:
+
+    ``annotated``, ``row_violations``, ``unique_violations``,
+    ``referential_violations``, ``invariant_violations``.
+
+    ``spec`` may carry table-level extensions::
+
+        {"schema": {...json-schema...},
+         "unique": ["doc_id"],
+         "references": [{"column": "source", "dim": "sources",
+                         "dim_column": "source"}],
+         "invariants": [{"name": "n_tok_matches",
+                         "expr": "n_tok = size(tokens)"}]}
+    """
+    from .operators.referential import check_referential
+    from .operators.uniqueness import check_unique
+    from .operators.invariants import check_invariants
+    from .operators.equality import check_equality
+
+    compiled = compile_schema(spec)
+    eng = Engine(compiled, row_id=row_id)
+    res = eng.validate(df)
+    out: dict = {
+        "annotated": res.annotated,
+        "row_violations": res.violations(),
+        "result": res,
+    }
+    uniq = None
+    for cols in compiled.unique:
+        v = check_unique(df, cols, row_id=row_id)
+        uniq = v if uniq is None else uniq.unionByName(v)
+    out["unique_violations"] = uniq
+
+    refv = None
+    for ref in compiled.references:
+        dim = ref.get("dim")
+        if isinstance(dim, str):
+            if not dims or dim not in dims:
+                raise ValueError(f"reference dim {dim!r} not provided")
+            dim = dims[dim]
+        v = check_referential(df, ref["column"], dim,
+                              dim_column=ref.get("dim_column"), row_id=row_id)
+        refv = v if refv is None else refv.unionByName(v)
+    out["referential_violations"] = refv
+
+    if compiled.invariants:
+        out["invariant_violations"] = check_invariants(
+            df, compiled.invariants, row_id=row_id)
+    else:
+        out["invariant_violations"] = None
+
+    if reference_df is not None:
+        out["equality_violations"] = check_equality(
+            df, reference_df, key=row_id or "doc_id")
+    return out

@@ -1,0 +1,573 @@
+"""Lower a compiled constraint schema to Spark Column expressions.
+
+This is the analogue of boon's ``Validator`` recursion
+(reference ``src/validator.rs:95-185``) turned inside-out: instead of a
+row-oriented recursive tree-walk per instance, we emit **one columnar
+projection** — every keyword becomes a boolean Column expression plus a
+(lazily materialized) violation-struct expression; Catalyst fuses the whole
+thing into a single whole-stage-codegen'd stage with zero shuffles.
+
+Violation rows mirror boon's basic-output units
+(``src/output.rs:416-445``): ``(instance_location, keyword_location,
+error)`` with boon's exact message wording (``src/lib.rs:560-698``, see
+``errors.MESSAGES``).  Like boon's lazy error materialization
+(``bool_result``/``vloc``, ``src/validator.rs:849-855,918-925``),
+violation detail is only computed for failing values: each violation struct
+is wrapped in ``F.when(fail, ...)`` so passing rows carry NULLs that are
+filtered out in the final ``F.filter``.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from operator import and_, or_
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import MESSAGES, CompileError
+from ..functions.formats import format_predicate
+from ..schema import Node
+
+VIOL_STRUCT = ("struct<instance_location:string,"
+               "keyword_location:string,error:string>")
+VIOL_ARRAY = f"array<{VIOL_STRUCT}>"
+
+_TRUE = None  # sentinel meaning "statically always valid" — lets us prune
+
+
+def empty_viols() -> Column:
+    return F.array().cast(VIOL_ARRAY)
+
+
+def json_type_of(dt: T.DataType) -> str:
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integer"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "number"
+    if isinstance(dt, (T.StringType, T.CharType, T.VarcharType,
+                       T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "object"
+    if isinstance(dt, T.NullType):
+        return "null"
+    return "other"
+
+
+def _lit_for(v, dt: Optional[T.DataType]) -> Column:
+    """Build a literal comparable to a value of type ``dt``.  Numeric
+    tolerance (boon's 1 == 1.0, ``src/util.rs:348-363``) falls out of
+    Spark's numeric type coercion."""
+    if isinstance(v, list):
+        if not v:
+            return F.array().cast(dt if isinstance(dt, T.ArrayType) else "array<string>")
+        et = dt.elementType if isinstance(dt, T.ArrayType) else None
+        return F.array(*[_lit_for(x, et) for x in v])
+    if isinstance(v, dict):
+        return F.struct(*[_lit_for(x, None).alias(k) for k, x in v.items()])
+    return F.lit(v)
+
+
+class PlanBuilder:
+    """Builds (valid, violations) Column pairs for one compiled schema.
+
+    ``value=None`` denotes the row itself (boon's root instance): property
+    access is ``F.col(name)`` so Catalyst sees plain column references and
+    can push filters/pruning to the scan; nested structs use ``getField``.
+    """
+
+    def __init__(self, df_schema: T.StructType, row_id: Optional[str] = None):
+        self.df_schema = df_schema
+        self.row_id = row_id
+
+    # ---------------------------------------------------------- helpers
+    def root_iloc(self) -> Column:
+        if self.row_id:
+            return F.concat(
+                F.lit("/"),
+                F.coalesce(F.col(self.row_id).cast("string"), F.lit("?")))
+        return F.lit("")
+
+    @staticmethod
+    def _viol(fail: Column, kw_loc: str, iloc: Column, msg: Column) -> Column:
+        """One scalar check → array with a single (nullable) struct."""
+        return F.array(F.when(fail, F.struct(
+            iloc.alias("instance_location"),
+            F.lit(kw_loc).alias("keyword_location"),
+            msg.alias("error"))))
+
+    @staticmethod
+    def _fail(value: Optional[Column], pred: Column) -> Column:
+        """null values pass type-specific keywords (applicability rule,
+        boon src/formats.rs:51-53 and the draft spec)."""
+        if value is None:
+            return F.coalesce(~pred, F.lit(False))
+        return F.coalesce(value.isNotNull() & ~pred, F.lit(False))
+
+    def _field(self, value: Optional[Column], name: str):
+        """Resolve a property of the current object → (expr, dtype) or None
+        if statically absent."""
+        if value is None:
+            if name in self.df_schema.fieldNames():
+                f = self.df_schema[name]
+                return F.col(f"`{name}`"), f.dataType
+            return None
+        # value is a struct or map column with known dtype threaded by caller
+        raise AssertionError("_field on non-root handled inline")
+
+    # ---------------------------------------------------------- main
+    def build(self, node: Node, dtype: Optional[T.DataType],
+              value: Optional[Column], iloc: Column
+              ) -> tuple[Column, list[Column]]:
+        """Returns (valid boolean Column, list of violation-array Columns).
+
+        ``dtype`` is None only for the root row (treated as a JSON object).
+        """
+        if node.boolean is not None:
+            if node.boolean:
+                return F.lit(True), []
+            # false schema fails every *present* value; an absent (NULL)
+            # property is not applied to (absence convention, see engine doc)
+            fail = F.lit(True) if value is None else value.isNotNull()
+            return ~fail, [self._viol(
+                fail, node.loc, iloc, F.lit(MESSAGES["false_schema"]))]
+
+        valids: list[Column] = []
+        viols: list[Column] = []
+
+        def add(pred: Column, kw: str, msg: Column, *, raw_fail: Column = None):
+            fail = raw_fail if raw_fail is not None else self._fail(value, pred)
+            ok = ~fail
+            valids.append(ok)
+            viols.append(self._viol(fail, f"{node.loc}/{kw}", iloc, msg))
+
+        jt = "object" if dtype is None else json_type_of(dtype)
+        sval = None
+        if value is not None and jt == "string":
+            sval = value.cast("string")
+
+        # ---- type (src/validator.rs:117-125) — the one keyword where NULL
+        # can fail: SQL NULL models JSON null.
+        if node.types is not None:
+            want = set(node.types)
+            if jt == "integer":
+                nn_ok = F.lit(bool({"integer", "number"} & want))
+            elif jt == "number":
+                if "number" in want:
+                    nn_ok = F.lit(True)
+                elif "integer" in want:
+                    # integer-ness is semantic, not structural
+                    # (src/util.rs:300-307): zero-fraction numbers match
+                    nn_ok = value == F.floor(value)
+                else:
+                    nn_ok = F.lit(False)
+            else:
+                nn_ok = F.lit(jt in want)
+            if value is None:
+                ok = F.lit("object" in want)
+            else:
+                ok = F.when(value.isNull(), F.lit("null" in want)).otherwise(nn_ok)
+            got = jt if value is not None else "object"
+            msg = F.lit(MESSAGES["type"].format(
+                want=" or ".join(node.types), got=got))
+            if value is not None:
+                msg = F.when(value.isNull(), F.lit(MESSAGES["type"].format(
+                    want=" or ".join(node.types), got="null"))).otherwise(msg)
+            add(None, "type", msg, raw_fail=F.coalesce(~ok, F.lit(True)))
+
+        # ---- const / enum (src/validator.rs:127-139)
+        if node.has_const and value is not None:
+            pred = value.eqNullSafe(_lit_for(node.const, dtype)) if node.const is None \
+                else value == _lit_for(node.const, dtype)
+            add(pred, "const",
+                F.lit(MESSAGES["const"].format(want=_fmt_val(node.const))))
+        if node.enum is not None and value is not None:
+            # NULL passes (absence convention — null rejection is the job
+            # of required/type, see engine module doc)
+            non_null = [e for e in node.enum if e is not None]
+            if non_null:
+                pred = reduce(or_, [value == _lit_for(e, dtype) for e in non_null])
+            else:
+                pred = F.lit(False)
+            key = "enum_one" if len(node.enum) == 1 else "enum"
+            add(pred, "enum", F.lit(MESSAGES[key].format(
+                want=", ".join(_fmt_val(e) for e in node.enum))))
+
+        # ---- format (src/validator.rs:141-146): strings only, others pass
+        if node.format is not None and sval is not None:
+            pred = format_predicate(node.format)(sval)
+            add(pred, "format", F.concat(
+                F.lit('"'), sval, F.lit(f'" is not valid {node.format}')))
+
+        # ---- numbers (src/validator.rs:520-563)
+        if jt in ("integer", "number") and value is not None:
+            gots = value.cast("string")
+            if node.minimum is not None:
+                add(value >= F.lit(node.minimum), "minimum", F.concat(
+                    F.lit(f"must be >={_fmt_num(node.minimum)}, but got "), gots))
+            if node.maximum is not None:
+                add(value <= F.lit(node.maximum), "maximum", F.concat(
+                    F.lit(f"must be <={_fmt_num(node.maximum)}, but got "), gots))
+            if node.exclusive_minimum is not None:
+                add(value > F.lit(node.exclusive_minimum), "exclusiveMinimum",
+                    F.concat(F.lit(
+                        f"must be > {_fmt_num(node.exclusive_minimum)} but got "), gots))
+            if node.exclusive_maximum is not None:
+                add(value < F.lit(node.exclusive_maximum), "exclusiveMaximum",
+                    F.concat(F.lit(
+                        f"must be < {_fmt_num(node.exclusive_maximum)} but got "), gots))
+            if node.multiple_of is not None:
+                m = node.multiple_of
+                if jt == "integer" and float(m).is_integer():
+                    pred = value % F.lit(int(m)) == 0
+                else:
+                    q = value.cast("double") / F.lit(float(m))
+                    pred = q == F.floor(q)
+                add(pred, "multipleOf", F.concat(
+                    gots, F.lit(f" is not multipleOf {_fmt_num(m)}")))
+
+        # ---- strings (src/validator.rs:454-474)
+        if sval is not None:
+            slen = F.length(sval)
+            if node.min_length is not None:
+                add(slen >= node.min_length, "minLength", F.concat(
+                    F.lit(f"length must be >={node.min_length}, but got "),
+                    slen.cast("string")))
+            if node.max_length is not None:
+                add(slen <= node.max_length, "maxLength", F.concat(
+                    F.lit(f"length must be <={node.max_length}, but got "),
+                    slen.cast("string")))
+            if node.pattern is not None:
+                # unanchored, like boon's is_match (src/validator.rs:470-474)
+                add(sval.rlike(node.pattern), "pattern", F.concat(
+                    F.lit('"'), sval,
+                    F.lit(f'" does not match pattern "{node.pattern}"')))
+
+        # ---- arrays (src/validator.rs:337-447)
+        if jt == "array" and value is not None:
+            self._array_checks(node, dtype, value, iloc, valids, viols)
+
+        # ---- objects (src/validator.rs:200-323)
+        if jt == "object":
+            self._object_checks(node, dtype, value, iloc, valids, viols)
+
+        # ---- logic applicators (src/validator.rs:667-744)
+        self._logic_checks(node, dtype, value, iloc, valids, viols)
+
+        if not valids:
+            return F.lit(True), viols
+        return reduce(and_, valids), viols
+
+    # ---------------------------------------------------------- arrays
+    def _array_checks(self, node: Node, dtype: T.ArrayType, value: Column,
+                      iloc: Column, valids: list, viols: list):
+        et = dtype.elementType
+        sz = F.size(value)
+
+        def add(pred, kw, msg):
+            fail = F.coalesce(value.isNotNull() & ~pred, F.lit(False))
+            valids.append(~fail)
+            viols.append(self._viol(fail, f"{node.loc}/{kw}", iloc, msg))
+
+        if node.min_items is not None:
+            add(sz >= node.min_items, "minItems", F.concat(
+                F.lit(f"minimum {node.min_items} items required, but got "),
+                sz.cast("string"), F.lit(" items")))
+        if node.max_items is not None:
+            add(sz <= node.max_items, "maxItems", F.concat(
+                F.lit(f"maximum {node.max_items} items required, but got "),
+                sz.cast("string"), F.lit(" items")))
+        if node.unique_items:
+            # adaptive algo unnecessary: array_distinct is the built-in
+            # analogue of boon's hash path (src/util.rs:390-427)
+            add(F.size(F.array_distinct(value)) == sz, "uniqueItems",
+                F.lit("items are not unique"))
+
+        npfx = len(node.prefix_items or [])
+        for i, sub in enumerate(node.prefix_items or []):
+            elem = F.get(value, i)
+            e_iloc = F.concat(iloc, F.lit(f"/{i}"))
+            e_valid, e_viols = self.build(sub, et, elem, e_iloc)
+            ok = F.when(value.isNull() | (sz <= i), F.lit(True)).otherwise(e_valid)
+            valids.append(F.coalesce(ok, F.lit(False)))
+            for va in e_viols:
+                viols.append(F.when(value.isNotNull() & (sz > i), va)
+                             .otherwise(empty_viols()))
+
+        if node.items is not None and not node.items.is_trivial_true():
+            rest = value if npfx == 0 else F.slice(
+                value, npfx + 1, F.greatest(sz - npfx, F.lit(0)))
+            # valid over all elements — stays JVM-side via forall
+            valid_all = F.forall(rest, lambda x: F.coalesce(
+                self.build(node.items, et, x, iloc)[0], F.lit(False)))
+            fail = F.coalesce(value.isNotNull() & ~valid_all, F.lit(False))
+            valids.append(~fail)
+            # per-element violation detail with the element index in the
+            # instance pointer (boon item! macro, src/validator.rs:13-17)
+            def elem_viols(x, i):
+                e_iloc = F.concat(iloc, F.lit("/"), (i + npfx).cast("string"))
+                _, evs = self.build(node.items, et, x, e_iloc)
+                if not evs:
+                    return empty_viols()
+                return F.concat(*evs) if len(evs) > 1 else evs[0]
+            per_elem = F.flatten(F.transform(rest, elem_viols))
+            viols.append(F.when(fail, per_elem).otherwise(empty_viols()))
+
+        if node.contains is not None:
+            pred_valid = lambda x: F.coalesce(  # noqa: E731
+                self.build(node.contains, et, x, iloc)[0], F.lit(False))
+            cnt = F.size(F.filter(value, pred_valid))
+            lo = 1 if node.min_contains is None else node.min_contains
+            ok = cnt >= lo
+            msg = F.lit(MESSAGES["contains"]) if node.min_contains is None else \
+                F.concat(F.lit(f"minimum {lo} items required to match "
+                               f"contains schema, but found "), cnt.cast("string"))
+            add(ok, "contains" if node.min_contains is None else "minContains", msg)
+            if node.max_contains is not None:
+                add(cnt <= node.max_contains, "maxContains", F.concat(
+                    F.lit(f"maximum {node.max_contains} items required to match "
+                          f"contains schema, but found "), cnt.cast("string")))
+
+    # ---------------------------------------------------------- objects
+    def _object_checks(self, node: Node, dtype, value: Optional[Column],
+                       iloc: Column, valids: list, viols: list):
+        is_row = value is None
+        is_map = isinstance(dtype, T.MapType)
+        if is_map:
+            if node.pattern_properties or node.additional_properties is not None:
+                raise CompileError(
+                    f"{node.loc}: patternProperties/additionalProperties "
+                    f"on map columns not supported")
+            self._map_checks(node, dtype, value, iloc, valids, viols)
+            return
+
+        fields: dict[str, T.DataType] = {}
+        if is_row:
+            fields = {f.name: f.dataType for f in self.df_schema.fields}
+        elif isinstance(dtype, T.StructType):
+            fields = {f.name: f.dataType for f in dtype.fields}
+
+        def get(name: str) -> Column:
+            return F.col(f"`{name}`") if is_row else value.getField(name)
+
+        def guard(col: Column) -> Column:
+            """object-level keywords pass when the struct itself is NULL"""
+            if is_row:
+                return col
+            return F.when(value.isNull(), F.lit(True)).otherwise(col)
+
+        def guard_viols(va: Column) -> Column:
+            if is_row:
+                return va
+            return F.when(value.isNotNull(), va).otherwise(empty_viols())
+
+        # required (src/validator.rs:214-219): SQL NULL models absence
+        if node.required:
+            missing_static = [r for r in node.required if r not in fields]
+            for r in node.required:
+                if r in fields:
+                    ok = guard(get(r).isNotNull())
+                    fail = F.coalesce(~ok, F.lit(True))
+                    valids.append(~fail)
+                    viols.append(self._viol(
+                        fail, f"{node.loc}/required", iloc,
+                        F.lit(MESSAGES["required"].format(want=f"'{r}'"))))
+            if missing_static:
+                fail = F.lit(True) if is_row else value.isNotNull()
+                valids.append(~fail)
+                viols.append(self._viol(
+                    fail, f"{node.loc}/required", iloc,
+                    F.lit(MESSAGES["required"].format(
+                        want=", ".join(f"'{m}'" for m in missing_static)))))
+
+        matched: set[str] = set()
+        if node.properties:
+            for name, sub in node.properties.items():
+                matched.add(name)
+                if name not in fields or sub.is_trivial_true():
+                    continue  # absent property passes (applicability)
+                c_iloc = F.concat(iloc, F.lit(f"/{name}"))
+                v, vs = self.build(sub, fields[name], get(name), c_iloc)
+                valids.append(F.coalesce(guard(v), F.lit(False)))
+                viols.extend(guard_viols(x) for x in vs)
+        if node.pattern_properties:
+            for pat, sub in node.pattern_properties.items():
+                rx = re.compile(pat)
+                for name, ft in fields.items():
+                    if rx.search(name):
+                        matched.add(name)
+                        if sub.is_trivial_true():
+                            continue
+                        c_iloc = F.concat(iloc, F.lit(f"/{name}"))
+                        v, vs = self.build(sub, ft, get(name), c_iloc)
+                        valids.append(F.coalesce(guard(v), F.lit(False)))
+                        viols.extend(guard_viols(x) for x in vs)
+        if node.additional_properties is not None:
+            extra = [n for n in fields if n not in matched]
+            if node.additional_properties is False:
+                # closed schema: extra columns fail on every row where the
+                # extra property is present (non-null)
+                for n in extra:
+                    present = get(n).isNotNull()
+                    fail = F.coalesce(
+                        present if is_row else value.isNotNull() & present,
+                        F.lit(False))
+                    valids.append(~fail)
+                    viols.append(self._viol(
+                        fail, f"{node.loc}/additionalProperties", iloc,
+                        F.lit(f"additionalProperties '{n}' not allowed")))
+            elif isinstance(node.additional_properties, Node):
+                sub = node.additional_properties
+                if not sub.is_trivial_true():
+                    for n in extra:
+                        c_iloc = F.concat(iloc, F.lit(f"/{n}"))
+                        v, vs = self.build(sub, fields[n], get(n), c_iloc)
+                        valids.append(F.coalesce(guard(v), F.lit(False)))
+                        viols.extend(guard_viols(x) for x in vs)
+
+        if node.dependent_required:
+            for prop, deps in node.dependent_required.items():
+                if prop not in fields:
+                    continue
+                present = get(prop).isNotNull()
+                deps_ok = reduce(and_, [
+                    get(d).isNotNull() if d in fields else F.lit(False)
+                    for d in deps])
+                ok = guard(F.when(present, deps_ok).otherwise(F.lit(True)))
+                fail = F.coalesce(~ok, F.lit(False))
+                valids.append(~fail)
+                viols.append(self._viol(
+                    fail, f"{node.loc}/dependentRequired", iloc,
+                    F.lit(MESSAGES["dependent_required"].format(
+                        want=", ".join(f"'{d}'" for d in deps),
+                        prop=f"'{prop}'"))))
+
+        if node.min_properties is not None or node.max_properties is not None:
+            cnt = reduce(lambda a, b: a + b,
+                         [get(n).isNotNull().cast("int") for n in fields]) \
+                if fields else F.lit(0)
+            if node.min_properties is not None:
+                ok = guard(cnt >= node.min_properties)
+                fail = F.coalesce(~ok, F.lit(False))
+                valids.append(~fail)
+                viols.append(self._viol(
+                    fail, f"{node.loc}/minProperties", iloc, F.concat(
+                        F.lit(f"minimum {node.min_properties} properties "
+                              f"required, but got "),
+                        cnt.cast("string"), F.lit(" properties"))))
+            if node.max_properties is not None:
+                ok = guard(cnt <= node.max_properties)
+                fail = F.coalesce(~ok, F.lit(False))
+                valids.append(~fail)
+                viols.append(self._viol(
+                    fail, f"{node.loc}/maxProperties", iloc, F.concat(
+                        F.lit(f"maximum {node.max_properties} properties "
+                              f"required, but got "),
+                        cnt.cast("string"), F.lit(" properties"))))
+
+    def _map_checks(self, node: Node, dtype: T.MapType, value: Column,
+                    iloc: Column, valids: list, viols: list):
+        vt = dtype.valueType
+
+        def guard(col):
+            return F.when(value.isNull(), F.lit(True)).otherwise(col)
+
+        if node.required:
+            for r in node.required:
+                ok = guard(F.map_contains_key(value, F.lit(r)))
+                fail = F.coalesce(~ok, F.lit(False))
+                valids.append(~fail)
+                viols.append(self._viol(
+                    fail, f"{node.loc}/required", iloc,
+                    F.lit(MESSAGES["required"].format(want=f"'{r}'"))))
+        if node.properties:
+            for name, sub in node.properties.items():
+                if sub.is_trivial_true():
+                    continue
+                c_iloc = F.concat(iloc, F.lit(f"/{name}"))
+                v, vs = self.build(sub, vt, value.getItem(name), c_iloc)
+                valids.append(F.coalesce(guard(v), F.lit(False)))
+                viols.extend(F.when(value.isNotNull(), x)
+                             .otherwise(empty_viols()) for x in vs)
+        for bound, kw, word in ((node.min_properties, "minProperties", ">="),
+                                (node.max_properties, "maxProperties", "<=")):
+            if bound is None:
+                continue
+            cnt = F.size(value)
+            ok = guard(cnt >= bound if word == ">=" else cnt <= bound)
+            fail = F.coalesce(~ok, F.lit(False))
+            valids.append(~fail)
+            viols.append(self._viol(
+                fail, f"{node.loc}/{kw}", iloc,
+                F.lit(f"{'minimum' if word == '>=' else 'maximum'} {bound} "
+                      f"properties required")))
+
+    # ---------------------------------------------------------- logic
+    def _logic_checks(self, node: Node, dtype, value, iloc: Column,
+                      valids: list, viols: list):
+        def sub_valid(sub: Node) -> Column:
+            return F.coalesce(self.build(sub, dtype, value, iloc)[0], F.lit(False))
+
+        if node.all_of:
+            for sub in node.all_of:
+                v, vs = self.build(sub, dtype, value, iloc)
+                valids.append(F.coalesce(v, F.lit(False)))
+                viols.extend(vs)
+        if node.any_of:
+            ok = reduce(or_, [sub_valid(s) for s in node.any_of])
+            fail = ~ok
+            valids.append(ok)
+            viols.append(self._viol(fail, f"{node.loc}/anyOf", iloc,
+                                    F.lit(MESSAGES["any_of"])))
+        if node.one_of:
+            cnt = reduce(lambda a, b: a + b,
+                         [sub_valid(s).cast("int") for s in node.one_of])
+            ok = cnt == 1
+            valids.append(ok)
+            msg = F.when(cnt == 0, F.lit(MESSAGES["one_of_none"])) \
+                .otherwise(F.lit(MESSAGES["one_of_many"]))
+            viols.append(self._viol(~ok, f"{node.loc}/oneOf", iloc, msg))
+        if node.not_ is not None:
+            ok = ~sub_valid(node.not_)
+            valids.append(ok)
+            viols.append(self._viol(~ok, f"{node.loc}/not", iloc,
+                                    F.lit(MESSAGES["not"])))
+        if node.if_ is not None and (node.then is not None or node.else_ is not None):
+            cond = sub_valid(node.if_)
+            then_v, then_vs = (self.build(node.then, dtype, value, iloc)
+                               if node.then is not None else (F.lit(True), []))
+            else_v, else_vs = (self.build(node.else_, dtype, value, iloc)
+                               if node.else_ is not None else (F.lit(True), []))
+            valids.append(F.when(cond, F.coalesce(then_v, F.lit(False)))
+                          .otherwise(F.coalesce(else_v, F.lit(False))))
+            t_arr = (F.concat(*then_vs) if len(then_vs) > 1
+                     else (then_vs[0] if then_vs else empty_viols()))
+            e_arr = (F.concat(*else_vs) if len(else_vs) > 1
+                     else (else_vs[0] if else_vs else empty_viols()))
+            viols.append(F.when(cond, t_arr).otherwise(e_arr))
+
+
+def _fmt_num(x) -> str:
+    if isinstance(x, float) and x.is_integer():
+        return str(int(x))
+    return str(x)
+
+
+def _fmt_val(v) -> str:
+    if isinstance(v, str):
+        return f"'{v}'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
+    if isinstance(v, (int, float)):
+        return _fmt_num(v)
+    return str(v)

@@ -1,0 +1,346 @@
+"""Driver-side constraint-schema compiler.
+
+Mirrors the *role* of boon's ``Compiler::compile`` (reference
+``src/compiler.rs:198-317``): parse a JSON-Schema-style constraint document
+once on the driver, validate it against a meta-spec (boon meta-validates
+schemas against the draft metaschema, ``src/roots.rs:86-94``), resolve
+``$ref``s with cycle detection (``src/compiler.rs:751-821``), pre-compile
+regexes and pre-type enum/const values (``src/compiler.rs:374-396,436-445``).
+
+The output is a :class:`Node` tree — the analogue of boon's flat
+``Vec<Schema>`` IR (``src/lib.rs:198-268``) — that ``plans/builder.py``
+lowers to Spark Column expressions.  Nothing here touches Spark: this module
+is pure Python and unit-testable without a session.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from .errors import CompileError, UnsupportedKeyword
+
+# JSON types, exactly the reference's 7 (src/lib.rs:310-350).
+JSON_TYPES = {"null", "boolean", "number", "integer", "string", "array", "object"}
+
+# Keywords we compile.  Anything else present in a schema is ignored
+# (annotation-only keywords) unless listed in UNSUPPORTED, which fails
+# compile loudly (mirrors CompileError::UnsupportedVocabulary,
+# src/compiler.rs:808-809).
+SUPPORTED = {
+    "type", "const", "enum", "format",
+    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf",
+    "minLength", "maxLength", "pattern",
+    "minItems", "maxItems", "uniqueItems", "items", "prefixItems",
+    "additionalItems", "contains", "minContains", "maxContains",
+    "required", "properties", "patternProperties", "additionalProperties",
+    "dependentRequired", "dependencies", "propertyNames",
+    "minProperties", "maxProperties",
+    "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+    "$ref", "$defs", "definitions",
+    # annotation-only — accepted, ignored:
+    "title", "description", "default", "examples", "$schema", "$id",
+    "$comment", "deprecated", "readOnly", "writeOnly",
+}
+
+UNSUPPORTED = {
+    # dynamic-scope resolution is meaningless over fixed-width rows
+    # (src/validator.rs:579-652) — fail at compile, never silently ignore.
+    "$recursiveRef", "$recursiveAnchor", "$dynamicRef", "$dynamicAnchor",
+    "unevaluatedProperties", "unevaluatedItems",
+}
+
+
+@dataclass
+class Node:
+    """One compiled subschema — the analogue of boon's ``Schema`` struct
+    (src/lib.rs:198-268), with keyword args pre-parsed."""
+
+    loc: str = ""                      # keyword location, e.g. "/properties/n_tok"
+    boolean: Optional[bool] = None     # `true` / `false` schema
+
+    types: Optional[list[str]] = None
+    const: Any = None
+    has_const: bool = False
+    enum: Optional[list[Any]] = None
+    format: Optional[str] = None
+
+    minimum: Optional[float] = None
+    maximum: Optional[float] = None
+    exclusive_minimum: Optional[float] = None
+    exclusive_maximum: Optional[float] = None
+    multiple_of: Optional[float] = None
+
+    min_length: Optional[int] = None
+    max_length: Optional[int] = None
+    pattern: Optional[str] = None      # validated ECMA-compatible regex source
+
+    min_items: Optional[int] = None
+    max_items: Optional[int] = None
+    unique_items: bool = False
+    items: Optional["Node"] = None             # uniform element schema
+    prefix_items: Optional[list["Node"]] = None
+    contains: Optional["Node"] = None
+    min_contains: Optional[int] = None
+    max_contains: Optional[int] = None
+
+    required: Optional[list[str]] = None
+    properties: Optional[dict[str, "Node"]] = None
+    pattern_properties: Optional[dict[str, "Node"]] = None
+    additional_properties: Any = None  # None | bool | Node
+    dependent_required: Optional[dict[str, list[str]]] = None
+    min_properties: Optional[int] = None
+    max_properties: Optional[int] = None
+
+    all_of: Optional[list["Node"]] = None
+    any_of: Optional[list["Node"]] = None
+    one_of: Optional[list["Node"]] = None
+    not_: Optional["Node"] = None
+    if_: Optional["Node"] = None
+    then: Optional["Node"] = None
+    else_: Optional["Node"] = None
+
+    def is_trivial_true(self) -> bool:
+        return self.boolean is True
+
+
+@dataclass
+class CompiledSchema:
+    """Root of a compiled constraint document plus table-level extensions."""
+
+    root: Node
+    source: dict = field(default_factory=dict)
+    # table-level (cross-row) extensions — boon has no cross-row checks;
+    # these are the Spark-native additions of SURVEY.md §2.6:
+    unique: list[list[str]] = field(default_factory=list)
+    references: list[dict] = field(default_factory=list)
+    invariants: list[dict] = field(default_factory=list)
+
+
+def _num(v: Any, kw: str, loc: str) -> float:
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise CompileError(f"{loc}/{kw}: expected number, got {type(v).__name__}")
+    return v
+
+
+def _nonneg_int(v: Any, kw: str, loc: str) -> int:
+    if isinstance(v, bool) or not isinstance(v, int) or v < 0:
+        raise CompileError(f"{loc}/{kw}: expected non-negative integer, got {v!r}")
+    return v
+
+
+def _check_regex(pat: str, loc: str) -> str:
+    """Validate pattern compiles.  boon translates ECMA→Rust regex
+    (src/ecma.rs:8-153); Java regex (Spark ``rlike``) shares the common
+    subset we accept — Python ``re`` is a good structural validity proxy,
+    and we reject constructs with known Python/Java divergence."""
+    try:
+        re.compile(pat)
+    except re.error as e:
+        raise CompileError(f"{loc}/pattern: invalid regex {pat!r}: {e}") from e
+    if "(?P<" in pat:
+        raise CompileError(f"{loc}/pattern: named groups not portable to Java regex")
+    return pat
+
+
+class Compiler:
+    """Worklist-free recursive compiler (our schemas are trees after $ref
+    inlining; boon needs a FIFO queue, src/compiler.rs:937-985, because it
+    supports cyclic refs — we forbid cycles over fixed-width rows)."""
+
+    def __init__(self, doc: dict):
+        self.doc = doc
+        self._ref_stack: list[str] = []
+        self._ref_cache: dict[str, Node] = {}
+
+    def compile(self) -> Node:
+        return self.compile_value(self.doc, "")
+
+    # -- $ref resolution (compile-time inlining; cycle → CompileError,
+    #    mirroring boon's RefCycle, src/validator.rs:999-1011) --
+    def _resolve_pointer(self, ref: str) -> Any:
+        if not ref.startswith("#"):
+            raise CompileError(f"$ref {ref!r}: only local '#/...' refs supported")
+        frag = ref[1:]
+        val: Any = self.doc
+        if frag in ("", "/"):
+            return val
+        for raw in frag.lstrip("/").split("/"):
+            tok = raw.replace("~1", "/").replace("~0", "~")
+            if isinstance(val, dict) and tok in val:
+                val = val[tok]
+            elif isinstance(val, list) and tok.isdigit() and int(tok) < len(val):
+                val = val[int(tok)]
+            else:
+                raise CompileError(f"$ref {ref!r}: cannot resolve token {tok!r}")
+        return val
+
+    def compile_value(self, v: Any, loc: str) -> Node:
+        if isinstance(v, bool):
+            return Node(loc=loc, boolean=v)
+        if not isinstance(v, dict):
+            raise CompileError(f"{loc}: schema must be boolean or object")
+        for kw in v:
+            if kw in UNSUPPORTED:
+                raise UnsupportedKeyword(
+                    f"{loc}/{kw}: unsupported over fixed-width rows "
+                    f"(see SURVEY.md §2.1); remove or restructure the schema")
+
+        if "$ref" in v:
+            ref = v["$ref"]
+            if ref in self._ref_stack:
+                raise CompileError(
+                    f"{loc}/$ref: reference cycle through {ref!r} "
+                    f"(stack: {' -> '.join(self._ref_stack)})")
+            if ref in self._ref_cache:
+                node = self._ref_cache[ref]
+            else:
+                self._ref_stack.append(ref)
+                try:
+                    node = self.compile_value(self._resolve_pointer(ref), loc + "/$ref")
+                finally:
+                    self._ref_stack.pop()
+                self._ref_cache[ref] = node
+            siblings = {k: s for k, s in v.items() if k != "$ref"}
+            if not siblings:
+                return node
+            # draft 2019+ semantics: $ref + siblings = allOf(ref, siblings)
+            sib = self.compile_value(siblings, loc)
+            return Node(loc=loc, all_of=[node, sib])
+
+        n = Node(loc=loc)
+
+        if "type" in v:
+            t = v["type"]
+            ts = [t] if isinstance(t, str) else list(t)
+            bad = [x for x in ts if x not in JSON_TYPES]
+            if bad:
+                raise CompileError(f"{loc}/type: unknown type(s) {bad}")
+            n.types = ts
+        if "const" in v:
+            n.const, n.has_const = v["const"], True
+        if "enum" in v:
+            if not isinstance(v["enum"], list) or not v["enum"]:
+                raise CompileError(f"{loc}/enum: must be a non-empty array")
+            n.enum = v["enum"]
+        if "format" in v:
+            n.format = v["format"]
+
+        for kw, attr in (("minimum", "minimum"), ("maximum", "maximum"),
+                         ("exclusiveMinimum", "exclusive_minimum"),
+                         ("exclusiveMaximum", "exclusive_maximum")):
+            if kw in v:
+                setattr(n, attr, _num(v[kw], kw, loc))
+        if "multipleOf" in v:
+            m = _num(v["multipleOf"], "multipleOf", loc)
+            if m <= 0:
+                raise CompileError(f"{loc}/multipleOf: must be > 0")
+            n.multiple_of = m
+
+        if "minLength" in v:
+            n.min_length = _nonneg_int(v["minLength"], "minLength", loc)
+        if "maxLength" in v:
+            n.max_length = _nonneg_int(v["maxLength"], "maxLength", loc)
+        if "pattern" in v:
+            n.pattern = _check_regex(v["pattern"], loc)
+
+        if "minItems" in v:
+            n.min_items = _nonneg_int(v["minItems"], "minItems", loc)
+        if "maxItems" in v:
+            n.max_items = _nonneg_int(v["maxItems"], "maxItems", loc)
+        n.unique_items = bool(v.get("uniqueItems", False))
+
+        items = v.get("items")
+        prefix = v.get("prefixItems")
+        if isinstance(items, list):  # draft<=2019 tuple form
+            prefix = items
+            items = v.get("additionalItems")
+        if prefix is not None:
+            n.prefix_items = [
+                self.compile_value(s, f"{loc}/prefixItems/{i}")
+                for i, s in enumerate(prefix)]
+        if items is not None:
+            n.items = self.compile_value(items, loc + "/items")
+        if "contains" in v:
+            n.contains = self.compile_value(v["contains"], loc + "/contains")
+            if "minContains" in v:
+                n.min_contains = _nonneg_int(v["minContains"], "minContains", loc)
+            if "maxContains" in v:
+                n.max_contains = _nonneg_int(v["maxContains"], "maxContains", loc)
+
+        if "required" in v:
+            n.required = list(v["required"])
+        if "properties" in v:
+            n.properties = {
+                k: self.compile_value(s, f"{loc}/properties/{k}")
+                for k, s in v["properties"].items()}
+        if "patternProperties" in v:
+            n.pattern_properties = {
+                _check_regex(k, loc): self.compile_value(
+                    s, f"{loc}/patternProperties/{k}")
+                for k, s in v["patternProperties"].items()}
+        if "additionalProperties" in v:
+            ap = v["additionalProperties"]
+            n.additional_properties = (
+                ap if isinstance(ap, bool)
+                else self.compile_value(ap, loc + "/additionalProperties"))
+        dep_req = dict(v.get("dependentRequired", {}))
+        for prop, dep in v.get("dependencies", {}).items():  # draft<=7 form
+            if isinstance(dep, list):
+                dep_req[prop] = dep
+            else:
+                raise UnsupportedKeyword(
+                    f"{loc}/dependencies/{prop}: schema-form dependencies "
+                    f"unsupported; use dependentRequired or if/then")
+        if dep_req:
+            n.dependent_required = {k: list(vv) for k, vv in dep_req.items()}
+        if "minProperties" in v:
+            n.min_properties = _nonneg_int(v["minProperties"], "minProperties", loc)
+        if "maxProperties" in v:
+            n.max_properties = _nonneg_int(v["maxProperties"], "maxProperties", loc)
+
+        for kw, attr in (("allOf", "all_of"), ("anyOf", "any_of"), ("oneOf", "one_of")):
+            if kw in v:
+                subs = v[kw]
+                if not isinstance(subs, list) or not subs:
+                    raise CompileError(f"{loc}/{kw}: must be a non-empty array")
+                setattr(n, attr, [
+                    self.compile_value(s, f"{loc}/{kw}/{i}")
+                    for i, s in enumerate(subs)])
+        if "not" in v:
+            n.not_ = self.compile_value(v["not"], loc + "/not")
+        if "if" in v:
+            n.if_ = self.compile_value(v["if"], loc + "/if")
+            if "then" in v:
+                n.then = self.compile_value(v["then"], loc + "/then")
+            if "else" in v:
+                n.else_ = self.compile_value(v["else"], loc + "/else")
+
+        return n
+
+
+def compile_schema(doc: Any) -> CompiledSchema:
+    """Compile a constraint document.  Accepts either a bare JSON-Schema
+    dict or a table-spec dict ``{"schema": {...}, "unique": [...],
+    "references": [...], "invariants": [...]}`` carrying the cross-row
+    extensions of SURVEY.md §2.6."""
+    if isinstance(doc, dict) and "schema" in doc and not (
+            set(doc) & (SUPPORTED - {"$schema", "$id"})):
+        schema_doc = doc["schema"]
+        extra = doc
+    else:
+        schema_doc = doc
+        extra = {}
+    root = Compiler(schema_doc if not isinstance(schema_doc, bool) else schema_doc).compile() \
+        if isinstance(schema_doc, (dict, bool)) else None
+    if root is None:
+        raise CompileError("schema must be a dict or boolean")
+    unique = [[c] if isinstance(c, str) else list(c) for c in extra.get("unique", [])]
+    return CompiledSchema(
+        root=root,
+        source=doc if isinstance(doc, dict) else {},
+        unique=unique,
+        references=list(extra.get("references", [])),
+        invariants=list(extra.get("invariants", [])),
+    )

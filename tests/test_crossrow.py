@@ -1,0 +1,126 @@
+"""Cross-row operator tests (SURVEY.md §2.6) against small deterministic
+tables with known answers (FIXTURES.md §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from boon_spark.operators.drift import drift_check
+from boon_spark.operators.equality import check_equality
+from boon_spark.operators.referential import check_referential
+from boon_spark.operators.stats import column_stats
+from boon_spark.operators.uniqueness import check_unique
+
+
+def test_uniqueness_reports_each_dup_key(spark):
+    # 100 rows, 3 engineered duplicate pairs (FIXTURES.md §4)
+    rows = [(f"id-{i:03d}", i) for i in range(100)]
+    for i in (7, 42, 99):
+        rows[i] = (rows[i - 1][0], i)  # duplicate previous id
+    df = spark.createDataFrame(rows, "doc_id string, x int")
+    v = check_unique(df, ["doc_id"], row_id="doc_id").collect()
+    assert len(v) == 3
+    assert all(r.dup_count == 2 for r in v)
+    assert {r.instance_location for r in v} == \
+        {"/id-006", "/id-041", "/id-098"}
+
+
+def test_uniqueness_composite_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2)], "k string, n int")
+    v = check_unique(df, ["k", "n"]).collect()
+    assert len(v) == 1 and v[0].dup_count == 2
+
+
+def test_referential_anti_join(spark):
+    fact = spark.createDataFrame(
+        [("d1", "web"), ("d2", "unknown-src"), ("d3", "unknown-src")],
+        "doc_id string, source string")
+    dim = spark.createDataFrame([("web",), ("books",)], "source string")
+    v = check_referential(fact, "source", dim, row_id="doc_id").collect()
+    assert len(v) == 2
+    assert {r.instance_location for r in v} == {"/d2/source", "/d3/source"}
+    # plan check: the dimension side must be broadcast (no shuffle of fact)
+    plan = check_referential(fact, "source", dim)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_stats_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (4.0,)], "x double")
+    r = column_stats(df, ["x"], exact_distinct=True).collect()[0]
+    assert r.n_rows == 4
+    assert r.x_min == 1.0 and r.x_max == 4.0
+    assert abs(r.x_null_rate - 0.25) < 1e-12
+    assert r.x_distinct == 3
+
+
+def test_stats_hll_within_tolerance(spark):
+    df = spark.range(10000).select(F.col("id").alias("x"))
+    r = column_stats(df, ["x"], rsd=0.05).collect()[0]
+    assert abs(r.x_distinct - 10000) / 10000 < 0.15
+
+
+def test_drift_same_distribution_low_psi(spark):
+    a = spark.range(5000).select((F.pmod(F.xxhash64("id"), F.lit(100)))
+                                 .cast("double").alias("v"))
+    b = spark.range(5000).select((F.pmod(F.xxhash64(F.col("id") + 999999),
+                                         F.lit(100)))
+                                 .cast("double").alias("v"))
+    r = drift_check(a, b, "v", lo=0, hi=100, buckets=20).collect()[0]
+    assert r.valid and r.psi < 0.05 and r.ks_stat < 0.05
+
+
+def test_drift_shifted_distribution_detected(spark):
+    a = spark.range(5000).select((F.pmod(F.xxhash64("id"), F.lit(100)))
+                                 .cast("double").alias("v"))
+    b = a.select((F.col("v") + 50).alias("v"))  # hard shift
+    r = drift_check(a, b, "v", lo=0, hi=100, buckets=20,
+                    psi_threshold=0.2).collect()[0]
+    assert not r.valid and r.psi > 0.2
+
+
+def test_drift_salted_matches_unsalted(spark):
+    a = spark.range(2000).select((F.pmod(F.xxhash64("id"), F.lit(10)))
+                                 .cast("double").alias("v"))
+    b = spark.range(2000).select((F.pmod(F.xxhash64(F.col("id") + 7),
+                                         F.lit(10))).cast("double").alias("v"))
+    plain = drift_check(a, b, "v", lo=0, hi=10, buckets=10).collect()[0]
+    salted = drift_check(a, b, "v", lo=0, hi=10, buckets=10,
+                         salt_buckets=8).collect()[0]
+    assert abs(plain.psi - salted.psi) < 1e-9
+    assert abs(plain.ks_stat - salted.ks_stat) < 1e-9
+
+
+def test_equality_invariant(spark):
+    cur = spark.createDataFrame(
+        [("d1", [1, 2]), ("d2", [3, 4]), ("d3", [9, 9])],
+        "doc_id string, tokens array<int>")
+    ref = spark.createDataFrame(
+        [("d1", [1, 2]), ("d2", [3, 5]), ("d3", None)],
+        "doc_id string, tokens array<int>")
+    v = check_equality(cur, ref, key="doc_id").collect()
+    locs = {r.instance_location for r in v}
+    assert locs == {"/d2/tokens", "/d3/tokens"}
+
+
+def test_validate_table_end_to_end(spark):
+    from boon_spark import validate_table
+    from boon_spark.sources.tables import (sequences_spec, sources_dim,
+                                           synthetic_sequences)
+    df = synthetic_sequences(spark, 5000, partitions=4)
+    out = validate_table(df, sequences_spec(), row_id="doc_id",
+                         dims={"sources": sources_dim(spark)})
+    counts = dict(out["annotated"].groupBy("valid").count().collect()
+                  and [(r.valid, r["count"]) for r in
+                       out["annotated"].groupBy("valid").count().collect()])
+    assert counts.get(False, 0) > 0 and counts.get(True, 0) > 4000
+    assert out["referential_violations"].count() > 0
+    assert out["invariant_violations"].count() > 0
+    # determinism: same seed → same verdict counts
+    df2 = synthetic_sequences(spark, 5000, partitions=8)
+    out2 = validate_table(df2, sequences_spec(), row_id="doc_id",
+                          dims={"sources": sources_dim(spark)})
+    c1 = out["annotated"].filter("valid").count()
+    c2 = out2["annotated"].filter("valid").count()
+    assert c1 == c2
