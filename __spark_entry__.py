@@ -1,38 +1,431 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation (full constraint suite over
+the documents table at sf0.001) and returns the violation rows.
+``queries()`` exposes one entry per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the correctness gate.
+
+Column-name/type parity notes: every computed column is aliased identically
+on both sides; Spark ``size``/``count`` results are cast to bigint to match
+DuckDB; float-valued columns are avoided or rounded in compared outputs.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boon_spark import Engine
+from boon_spark.operators.referential import check_referential
+from boon_spark.operators.stats import column_stats
+from boon_spark.operators.uniqueness import check_unique
+
+VLOC = ["instance_location", "keyword_location"]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _violations(df, schema, row_id):
+    eng = Engine.from_schema(schema, row_id=row_id)
+    return (eng.validate(df).violations().select(*VLOC))
+
+
+# --------------------------------------------------------------------------
+# row-local keyword checks (engine-driven)
+# --------------------------------------------------------------------------
+
+def q_range_nchars(spark, sf_dir):
+    """minimum/maximum (SURVEY §2.5) on documents.n_chars."""
+    return _violations(
+        _docs(spark, sf_dir),
+        {"properties": {"n_chars": {"minimum": 100, "maximum": 400}}},
+        "doc_id")
+
+
+def q_enum_lang(spark, sf_dir):
+    """enum (SURVEY §2.1) on documents.lang."""
+    return _violations(
+        _docs(spark, sf_dir),
+        {"properties": {"lang": {"enum": ["en", "de", "fr"]}}},
+        "doc_id")
+
+
+def q_pattern_source(spark, sf_dir):
+    """pattern (SURVEY §2.4) on documents.source."""
+    return _violations(
+        _docs(spark, sf_dir),
+        {"properties": {"source": {"pattern": "^src[0-9]$"}}},
+        "doc_id")
+
+
+def q_length_text(spark, sf_dir):
+    """minLength/maxLength (SURVEY §2.4) on documents.text."""
+    return _violations(
+        _docs(spark, sf_dir),
+        {"properties": {"text": {"minLength": 60, "maxLength": 500}}},
+        "doc_id")
+
+
+def q_multipleof_psize(spark, sf_dir):
+    """multipleOf (SURVEY §2.5) on part.p_size."""
+    return _violations(
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        {"properties": {"p_size": {"multipleOf": 5}}},
+        "p_partkey")
+
+
+def q_items_bounds_embedding(spark, sf_dir):
+    """items element-bounds (SURVEY §2.3): per-row verdict over
+    embeddings.embedding ∈ [-0.5, 0.45]."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng = Engine.from_schema(
+        {"properties": {"embedding": {
+            "items": {"minimum": -0.5, "maximum": 0.45}}}},
+        row_id="vec_id")
+    return eng.annotate(df).select("vec_id", "valid")
+
+
+def q_contains_embedding(spark, sf_dir):
+    """contains/minContains (SURVEY §2.3): row has ≥1 element > 0.4."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng = Engine.from_schema(
+        {"properties": {"embedding": {
+            "contains": {"exclusiveMinimum": 0.4}, "minContains": 1}}},
+        row_id="vec_id")
+    return eng.annotate(df).select("vec_id", "valid")
+
+
+def q_logic_ifthen(spark, sf_dir):
+    """if/then/else + anyOf (SURVEY §2.1) over the documents row object."""
+    df = _docs(spark, sf_dir)
+    eng = Engine.from_schema({
+        "if": {"properties": {"lang": {"const": "en"}}},
+        "then": {"properties": {"n_chars": {"maximum": 400}}},
+        "else": {"properties": {"n_chars": {"maximum": 300}}},
+    }, row_id="doc_id")
+    return eng.annotate(df).select("doc_id", "valid")
+
+
+def q_flag_documents(spark, sf_dir):
+    """flag output (boon src/output.rs:33-35): whole-table verdict for a
+    3-keyword suite."""
+    eng = Engine.from_schema({"properties": {
+        "n_chars": {"minimum": 100, "maximum": 400},
+        "lang": {"enum": ["en", "de", "fr"]},
+        "source": {"pattern": "^src[0-9]$"},
+    }}, row_id="doc_id")
+    return eng.validate(_docs(spark, sf_dir)).flag()
+
+
+def q_summary_documents(spark, sf_dir):
+    """per-keyword failure counts (basic-output aggregation)."""
+    eng = Engine.from_schema({"properties": {
+        "n_chars": {"minimum": 100, "maximum": 400},
+        "lang": {"enum": ["en", "de", "fr"]},
+    }}, row_id="doc_id")
+    return eng.validate(_docs(spark, sf_dir)).summary()
+
+
+# --------------------------------------------------------------------------
+# cross-row operators (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+def q_unique_custkey(spark, sf_dir):
+    """table-level uniqueItems: duplicated o_custkey values."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (check_unique(orders, ["o_custkey"], row_id="o_custkey")
+            .select("instance_location", "keyword_location", "dup_count"))
+
+
+def q_referential_custkey(spark, sf_dir):
+    """referential broadcast anti-join: orders whose customer is outside a
+    restricted dimension (c_custkey % 7 <> 0)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .filter(F.col("c_custkey") % 7 != 0)
+    return (check_referential(orders, "o_custkey", cust,
+                              dim_column="c_custkey", row_id="o_orderkey")
+            .select("instance_location", "keyword_location"))
+
+
+def q_stats_by_source(spark, sf_dir):
+    """per-group column stats (min/max/null-rate/distinct)."""
+    return column_stats(_docs(spark, sf_dir), ["n_chars"], by=["source"],
+                        exact_distinct=True) \
+        .select("source", F.col("n_rows").cast("bigint").alias("n_rows"),
+                "n_chars_min", "n_chars_max",
+                "n_chars_null_rate",
+                F.col("n_chars_distinct").cast("bigint")
+                .alias("n_chars_distinct"))
+
+
+def q_invariant_nchars(spark, sf_dir):
+    """row invariant n_chars == length(text) — verdict counts."""
+    df = _docs(spark, sf_dir)
+    ok = (F.col("n_chars") == F.length("text"))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~ok).cast("bigint")).cast("bigint").alias("n_bad"))
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline ops (prompt mandate: dedup/similarity/text)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """exact dedup groups by content fingerprint bucket (source, lang):
+    group count + canonical (min) doc_id to keep."""
+    return (_docs(spark, sf_dir)
+            .groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+def q_fingerprint(spark, sf_dir):
+    """document fingerprint: md5 of normalized text."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+
+
+def q_token_count(spark, sf_dir):
+    """whitespace token counting."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+        .alias("n_tokens"))
+
+
+def q_quality_counts(spark, sf_dir):
+    """quality-scoring raw counts: punctuation, stopwords, uppercase."""
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_count(t, F.lit(r"[.!?]")).cast("bigint").alias("n_punct"),
+        F.regexp_count(t, F.lit(r"\b(the|and|of|to|a)\b")).cast("bigint")
+        .alias("n_stopwords"),
+        F.regexp_count(t, F.lit(r"[A-Z]")).cast("bigint").alias("n_upper"))
+
+
+def q_embedding_topk(spark, sf_dir):
+    """brute-force cosine top-k: 3 nearest neighbors for vec_id < 5.
+
+    Scale path: the query set is broadcast; the corpus side streams —
+    no shuffle of the big table until the per-partition top-k, then a
+    tiny global top-k (window over ≤ k·P rows)."""
+    from boon_spark.operators.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (cosine_topk(emb, queries, k=3, id_col="vec_id",
+                        vec_col="embedding")
+            .select("query_id", "neighbor_id", F.col("rank").cast("bigint")
+                    .alias("rank")))
+
+
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "range_nchars": q_range_nchars,
+    "enum_lang": q_enum_lang,
+    "pattern_source": q_pattern_source,
+    "length_text": q_length_text,
+    "multipleof_psize": q_multipleof_psize,
+    "items_bounds_embedding": q_items_bounds_embedding,
+    "contains_embedding": q_contains_embedding,
+    "logic_ifthen": q_logic_ifthen,
+    "flag_documents": q_flag_documents,
+    "summary_documents": q_summary_documents,
+    "unique_custkey": q_unique_custkey,
+    "referential_custkey": q_referential_custkey,
+    "stats_by_source": q_stats_by_source,
+    "invariant_nchars": q_invariant_nchars,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint": q_fingerprint,
+    "token_count": q_token_count,
+    "quality_counts": q_quality_counts,
+    "embedding_topk": q_embedding_topk,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full constraint suite over sf0.001 documents → violations."""
+    sf_dir = "/root/testdata/sf0.001"
+    df = _docs(spark, sf_dir)
+    eng = Engine.from_schema({
+        "type": "object",
+        "required": ["doc_id", "text", "source"],
+        "properties": {
+            "n_chars": {"type": "integer", "minimum": 0, "maximum": 400},
+            "lang": {"enum": ["en", "de", "fr", "es", "zh"]},
+            "source": {"type": "string", "pattern": "^src[0-9]+$"},
+            "text": {"minLength": 10},
+        },
+    }, row_id="doc_id")
+    return eng.validate(df).violations()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "range_nchars": """
+            SELECT '/' || CAST(doc_id AS VARCHAR) || '/n_chars' AS instance_location,
+                   '/properties/n_chars/minimum' AS keyword_location
+            FROM documents WHERE n_chars < 100
+            UNION ALL
+            SELECT '/' || CAST(doc_id AS VARCHAR) || '/n_chars',
+                   '/properties/n_chars/maximum'
+            FROM documents WHERE n_chars > 400
+        """,
+        "enum_lang": """
+            SELECT '/' || CAST(doc_id AS VARCHAR) || '/lang' AS instance_location,
+                   '/properties/lang/enum' AS keyword_location
+            FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+        """,
+        "pattern_source": """
+            SELECT '/' || CAST(doc_id AS VARCHAR) || '/source' AS instance_location,
+                   '/properties/source/pattern' AS keyword_location
+            FROM documents
+            WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
+        """,
+        "length_text": """
+            SELECT '/' || CAST(doc_id AS VARCHAR) || '/text' AS instance_location,
+                   '/properties/text/minLength' AS keyword_location
+            FROM documents WHERE length(text) < 60
+            UNION ALL
+            SELECT '/' || CAST(doc_id AS VARCHAR) || '/text',
+                   '/properties/text/maxLength'
+            FROM documents WHERE length(text) > 500
+        """,
+        "multipleof_psize": """
+            SELECT '/' || CAST(p_partkey AS VARCHAR) || '/p_size' AS instance_location,
+                   '/properties/p_size/multipleOf' AS keyword_location
+            FROM part WHERE p_size IS NOT NULL AND p_size % 5 <> 0
+        """,
+        "items_bounds_embedding": """
+            SELECT vec_id,
+                   coalesce(list_aggregate(
+                       list_transform(embedding,
+                                      x -> x >= -0.5 AND x <= 0.45),
+                       'bool_and'), TRUE) AS valid
+            FROM embeddings
+        """,
+        "contains_embedding": """
+            SELECT vec_id,
+                   len(list_filter(embedding, x -> x > 0.4)) >= 1 AS valid
+            FROM embeddings
+        """,
+        "logic_ifthen": """
+            SELECT doc_id,
+                   CASE WHEN lang = 'en'
+                        THEN (n_chars IS NULL OR n_chars <= 400)
+                        ELSE (n_chars IS NULL OR n_chars <= 300) END AS valid
+            FROM documents
+        """,
+        "flag_documents": """
+            WITH checks AS (
+              SELECT (n_chars IS NOT NULL AND n_chars < 100) AS f_min,
+                     (n_chars IS NOT NULL AND n_chars > 400) AS f_max,
+                     (lang IS NOT NULL AND lang NOT IN ('en','de','fr')) AS f_enum,
+                     (source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')) AS f_pat
+              FROM documents)
+            SELECT NOT bool_or(f_min OR f_max OR f_enum OR f_pat) AS valid,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN f_min OR f_max OR f_enum OR f_pat
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+                   CAST(sum(CAST(f_min AS INT) + CAST(f_max AS INT)
+                            + CAST(f_enum AS INT) + CAST(f_pat AS INT))
+                        AS BIGINT) AS n_violations
+            FROM checks
+        """,
+        "summary_documents": """
+            WITH v AS (
+              SELECT '/properties/n_chars/minimum' AS keyword_location
+              FROM documents WHERE n_chars < 100
+              UNION ALL
+              SELECT '/properties/n_chars/maximum' FROM documents WHERE n_chars > 400
+              UNION ALL
+              SELECT '/properties/lang/enum' FROM documents
+              WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr'))
+            SELECT keyword_location, CAST(count(*) AS BIGINT) AS n_violations
+            FROM v GROUP BY keyword_location
+        """,
+        "unique_custkey": """
+            SELECT '/' || CAST(o_custkey AS VARCHAR) AS instance_location,
+                   '/x-unique/o_custkey' AS keyword_location,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "referential_custkey": """
+            SELECT '/' || CAST(o_orderkey AS VARCHAR) || '/o_custkey' AS instance_location,
+                   '/x-references/o_custkey' AS keyword_location
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey % 7 <> 0 AND c.c_custkey = o.o_custkey)
+        """,
+        "stats_by_source": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(n_chars) AS n_chars_min,
+                   max(n_chars) AS n_chars_max,
+                   avg(CASE WHEN n_chars IS NULL THEN 1.0 ELSE 0.0 END)
+                     AS n_chars_null_rate,
+                   CAST(count(DISTINCT n_chars) AS BIGINT) AS n_chars_distinct
+            FROM documents GROUP BY source
+        """,
+        "invariant_nchars": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN n_chars <> length(text)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY source, lang HAVING count(*) > 1
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                     AS n_tokens
+            FROM documents
+        """,
+        "quality_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(text, '\\b(the|and|of|to|a)\\b'))
+                        AS BIGINT) AS n_stopwords,
+                   CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper
+            FROM documents
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, e.embedding) AS cos
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+    }
