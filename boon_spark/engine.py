@@ -64,14 +64,40 @@ class Engine:
         return F.coalesce(valid, F.lit(False)), viols
 
     def annotate(self, df: DataFrame) -> DataFrame:
-        valid, viols = self.check_columns(df)
+        """Three staged projections, each referencing the previous:
+
+        1. ``valid`` — the hot path.  With range-only element schemas it
+           contains no higher-order functions, so it stays inside
+           whole-stage codegen.
+        2. ``_viols`` — violation detail, guarded by ``~valid`` (a cheap
+           column reference, so the expensive struct building runs only
+           for failing rows).
+        3. ``violations``/``violation_count`` — slice + size of ``_viols``.
+
+        The stages reference prior aliases more than once, so Catalyst's
+        CollapseProject keeps them separate and nothing expensive is
+        evaluated twice (the single-select formulation duplicated the
+        whole validity expression three times, uncollapsible because
+        lambda variables defeat subexpression elimination).
+        """
+        pb = PlanBuilder(df.schema, row_id=self.row_id)
+        valid, viol_arrays = pb.build(
+            self.compiled.root, None, None, pb.root_iloc())
         cap = self.max_violations_per_row
-        return df.select(
-            "*",
-            valid.alias("valid"),
-            F.slice(viols, 1, cap).alias("violations"),
-            F.size(viols).alias("violation_count"),
-        )
+        step1 = df.select("*", F.coalesce(valid, F.lit(False)).alias("valid"))
+        if viol_arrays:
+            arr = viol_arrays[0] if len(viol_arrays) == 1 \
+                else F.concat(*viol_arrays)
+            viols = F.when(~F.col("valid"),
+                           F.filter(arr, lambda v: v.isNotNull())) \
+                .otherwise(empty_viols())
+        else:
+            viols = empty_viols()
+        step2 = step1.select("*", viols.alias("_viols"))
+        return step2.select(
+            *df.columns, "valid",
+            F.slice("_viols", 1, cap).alias("violations"),
+            F.size("_viols").alias("violation_count"))
 
     def validate(self, df: DataFrame) -> "ValidationResult":
         return ValidationResult(self.annotate(df), row_id=self.row_id)

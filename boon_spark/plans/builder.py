@@ -305,9 +305,18 @@ class PlanBuilder:
         if node.items is not None and not node.items.is_trivial_true():
             rest = value if npfx == 0 else F.slice(
                 value, npfx + 1, F.greatest(sz - npfx, F.lit(0)))
-            # valid over all elements — stays JVM-side via forall
-            valid_all = F.forall(rest, lambda x: F.coalesce(
-                self.build(node.items, et, x, iloc)[0], F.lit(False)))
+            # fast path: range-only element subschemas compile to
+            # array_min/array_max — ordinary expressions that keep the
+            # whole validity projection inside whole-stage codegen
+            # (higher-order-function lambdas fall out of codegen and are
+            # interpreted per element, ~10x slower at scale)
+            fast = _range_only_valid(node.items, et, rest)
+            if fast is not None:
+                valid_all = fast
+            else:
+                # general path — stays JVM-side via forall
+                valid_all = F.forall(rest, lambda x: F.coalesce(
+                    self.build(node.items, et, x, iloc)[0], F.lit(False)))
             fail = F.coalesce(value.isNotNull() & ~valid_all, F.lit(False))
             valids.append(~fail)
             # per-element violation detail with the element index in the
@@ -553,6 +562,62 @@ class PlanBuilder:
             e_arr = (F.concat(*else_vs) if len(else_vs) > 1
                      else (else_vs[0] if else_vs else empty_viols()))
             viols.append(F.when(cond, t_arr).otherwise(e_arr))
+
+
+def _range_only_valid(items: Node, et: T.DataType,
+                      arr: Column) -> Optional[Column]:
+    """If the element subschema is only numeric range checks (+ an integer/
+    number type assertion on an integer-typed column), compile the
+    all-elements check to array_min/array_max comparisons instead of a
+    forall lambda.  Equivalent because range predicates are monotone:
+    every element in [lo, hi] ⇔ min ≥ lo and max ≤ hi.  NULL elements are
+    handled separately (array_min/max skip NULLs)."""
+    if items.boolean is not None or items.properties or items.required \
+            or items.pattern or items.format or items.enum or items.has_const \
+            or items.all_of or items.any_of or items.one_of or items.not_ \
+            or items.if_ is not None or items.items is not None \
+            or items.prefix_items or items.contains is not None \
+            or items.multiple_of is not None or items.unique_items \
+            or items.min_length is not None or items.max_length is not None \
+            or items.pattern_properties or items.dependent_required \
+            or items.min_properties is not None \
+            or items.max_properties is not None \
+            or items.additional_properties is not None:
+        return None
+    if json_type_of(et) != "integer":
+        # fast path only for integer element columns: "integer" type checks
+        # on float elements need per-element floor()
+        if items.types is not None:
+            return None
+        if json_type_of(et) != "number":
+            return None
+    checks = []
+    if items.types is not None:
+        if not ({"integer", "number"} & set(items.types)):
+            return None
+        if "null" not in items.types:
+            # a NULL element must fail the type check, but array_min/max
+            # skip NULLs.  NOTE: array_compact would be the obvious probe,
+            # but it rewrites to a higher-order filter() and knocks the
+            # whole projection out of whole-stage codegen.  sort_array
+            # stays codegen'd and puts NULLs first in ascending order, so
+            # a NULL head ⇔ some element is NULL.
+            checks.append((F.size(arr) == 0) |
+                          F.get(F.sort_array(arr), 0).isNotNull())
+    if items.minimum is not None:
+        checks.append(F.array_min(arr) >= F.lit(items.minimum))
+    if items.exclusive_minimum is not None:
+        checks.append(F.array_min(arr) > F.lit(items.exclusive_minimum))
+    if items.maximum is not None:
+        checks.append(F.array_max(arr) <= F.lit(items.maximum))
+    if items.exclusive_maximum is not None:
+        checks.append(F.array_max(arr) < F.lit(items.exclusive_maximum))
+    if not checks:
+        return F.lit(True)
+    # NULL combined result ⇔ empty array or all-NULL elements, both of
+    # which pass range keywords (applicability) → coalesce to True.
+    # (false AND NULL = false in SQL, so a real failure is never masked.)
+    return F.coalesce(reduce(and_, checks), F.lit(True))
 
 
 def _fmt_num(x) -> str:
