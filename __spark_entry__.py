@@ -215,6 +215,59 @@ def q_quality_counts(spark, sf_dir):
         F.regexp_count(t, F.lit(r"[A-Z]")).cast("bigint").alias("n_upper"))
 
 
+def q_lang_id_counts(spark, sf_dir):
+    """language-ID heuristic (stopword/CJK evidence argmax) → counts."""
+    from boon_spark.operators.text import language_id
+    return (_docs(spark, sf_dir)
+            .groupBy(language_id(F.col("text")).alias("lang_pred"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish token counting (words + punct + subword correction)."""
+    from boon_spark.operators.text import bpe_ish_token_count
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"))
+
+
+def q_minhash_head(spark, sf_dir):
+    """MinHash parity probe: first signature component (min md5-derived
+    hash over word-3-gram shingles) per document — proves the full
+    shingle→hash→min pipeline matches the oracle bit-for-bit."""
+    from boon_spark.operators.dedup import minhash_signature, word_shingles
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.element_at(minhash_signature(
+            word_shingles(F.col("text"), 3), 1), 1).alias("sig0"))
+
+
+def q_simhash_docs(spark, sf_dir):
+    """64-bit SimHash fingerprints (Arrow-batched pandas UDF) —
+    rows-only check (bit-vote loop not SQL-expressible)."""
+    from boon_spark.operators.dedup import simhash64
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash64(F.col("text")).alias("fp"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs — rows-only check (pair logic
+    verified by pytest with engineered dups; the driver documents corpus
+    contains ~26 genuine near-dup pairs at jaccard >= 0.9)."""
+    from boon_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, bands=8,
+                             jaccard_threshold=0.5) \
+        .select("id_a", "id_b")
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """LSH-bucketed cosine near-dup pairs over embeddings — rows-only
+    (hyperplane constants not SQL-expressible)."""
+    from boon_spark.operators.dedup import embedding_near_dups
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, dim=64, threshold=0.5, bits=4) \
+        .select("id_a", "id_b")
+
+
 def q_embedding_topk(spark, sf_dir):
     """brute-force cosine top-k: 3 nearest neighbors for vec_id < 5.
 
@@ -252,6 +305,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "quality_counts": q_quality_counts,
     "embedding_topk": q_embedding_topk,
+    "lang_id_counts": q_lang_id_counts,
+    "token_count_bpe": q_token_count_bpe,
+    "minhash_head": q_minhash_head,
+    "simhash_docs": q_simhash_docs,
+    "minhash_pairs": q_minhash_pairs,
+    "embedding_near_dups": q_embedding_near_dups,
 }
 
 
@@ -411,6 +470,53 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_stopwords,
                    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper
             FROM documents
+        """,
+        "lang_id_counts": """
+            WITH scores AS (
+              SELECT len(regexp_extract_all(text, '\\b(the|and|of|to|is|in|that|it|was|for)\\b')) AS c_en,
+                     len(regexp_extract_all(text, '\\b(der|die|das|und|ist|nicht|ich|ein|zu|den)\\b')) AS c_de,
+                     len(regexp_extract_all(text, '\\b(le|la|les|et|est|que|une|des|dans|pour)\\b')) AS c_fr,
+                     len(regexp_extract_all(text, '\\b(el|los|las|es|una|que|por|con|para|del)\\b')) AS c_es,
+                     len(regexp_extract_all(text, '[一-鿿]')) AS c_zh
+              FROM documents),
+            pred AS (
+              SELECT CASE
+                WHEN greatest(c_en,c_de,c_fr,c_es,c_zh) = 0 THEN 'und'
+                WHEN c_en = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'en'
+                WHEN c_de = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'de'
+                WHEN c_fr = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'fr'
+                WHEN c_es = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'es'
+                ELSE 'zh' END AS lang_pred
+              FROM scores)
+            SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY lang_pred
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                        + len(regexp_extract_all(text, '[^\\sA-Za-z0-9_]'))
+                        + greatest(CAST(floor(length(regexp_replace(text, '[^A-Za-z0-9_]', '', 'g')) / 4) AS BIGINT)
+                                   - len(regexp_extract_all(text, '[A-Za-z0-9_]+')), 0)
+                        AS BIGINT) AS n_tokens_bpe
+            FROM documents
+        """,
+        "minhash_head": """
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS words
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(words) - 3, 0) + 2),
+                       i -> array_to_string(list_slice(words, i, i + 2), ' ')
+                     )) AS shingles
+              FROM norm)
+            SELECT doc_id,
+                   list_min(list_transform(shingles,
+                     s -> CAST(concat('0x', substr(md5(concat(s, '#0')), 1, 15)) AS BIGINT)
+                   )) AS sig0
+            FROM sh
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -1,0 +1,258 @@
+"""Deduplication operators for training-data pipelines.
+
+boon has no cross-document operators (SURVEY.md §2.9); these are the
+Spark-native pipeline extensions the build brief mandates.  All hashing is
+deterministic (md5/xxhash64 of content + integer salts) — no RNG state, so
+results are reproducible at any parallelism and re-expressible in the
+DuckDB oracle.
+
+Scale notes per operator:
+
+* ``exact_duplicates`` — one hash shuffle on a 16-byte digest (map-side
+  partial counts); never shuffles document text.
+* ``minhash_lsh_pairs`` — the classic shingle → minhash → band → bucket
+  join.  Only (id, band_key) pairs shuffle (not text); bucket sizes are
+  capped (``max_bucket``) so a degenerate band (e.g. empty docs) cannot
+  quadratically explode a reducer — dropped buckets are *counted* in the
+  output, never silently ignored.
+* ``simhash64`` — Arrow-batched pandas UDF (numpy bit-bucketing);
+  near-dup join uses the pigeonhole principle: fingerprints within
+  hamming distance d share at least one of d+1 chunks, so candidates come
+  from d+1 equi-joins on 16-bit chunks, never a cross join.
+* ``embedding_near_dups`` — SimHash random-hyperplane buckets
+  (deterministic planes) + within-bucket cosine; an equi-join on the
+  signature replaces the cross product.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import cosine, simhash_signature
+
+# ---------------------------------------------------------------------------
+# shingling + exact
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(col: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column — pure expressions."""
+    words = F.split(normalized_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(words, i + 1, n)))
+    return F.array_distinct(sh)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-content duplicate groups: (content_hash, n_docs, keep_id,
+    doc_ids).  Normalization: whitespace-collapsed lowercase."""
+    h = F.md5(normalized_text(F.col(text_col)))
+    return (df.select(h.alias("content_hash"), F.col(id_col).alias("_id"))
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("_id").alias("keep_id"),
+                 F.slice(F.sort_array(F.collect_list("_id")), 1, 20)
+                 .alias("doc_ids"))
+            .filter(F.col("n_docs") > 1))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _hash_shingle(shingle: Column, salt: int) -> Column:
+    """Deterministic 60-bit hash of a shingle string for hash family
+    member ``salt`` — md5-based so the DuckDB oracle can reproduce it."""
+    return F.conv(F.substring(
+        F.md5(F.concat(shingle, F.lit(f"#{salt}"))), 1, 15), 16, 10) \
+        .cast("long")
+
+
+def _min_hasher(salt: int):
+    # NOTE: a `lambda s, _salt=salt:` default-arg closure would break
+    # here — pyspark treats a two-parameter lambda as (element, index)
+    # and binds the index Column to the second arg
+    return lambda s: _hash_shingle(s, salt)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """array<long> of per-hash minima over the shingle set."""
+    sigs = [F.array_min(F.transform(shingles, _min_hasher(h)))
+            for h in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.5,
+                      max_bucket: int = 64) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    shingle Jaccard.  Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    base = base.filter(F.size("_sh") > 0)
+    sig = base.select(
+        "_id", "_sh", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
+
+    # band keys: hash of each signature slice → (band_id, key) rows
+    band_cols = [F.struct(
+        F.lit(b).alias("band"),
+        F.xxhash64(F.concat_ws(
+            ",", *[F.element_at("_sig", b * rows_per_band + r + 1)
+                   .cast("string") for r in range(rows_per_band)]))
+        .alias("key")) for b in range(bands)]
+    banded = sig.select("_id", "_sh", F.explode(F.array(*band_cols)).alias("bk")) \
+        .select("_id", "_sh", "bk.band", "bk.key")
+
+    # bucket join: candidates are pairs sharing any band bucket.  Cap
+    # bucket size to bound the quadratic pair expansion per reducer.
+    buckets = (banded.groupBy("band", "key")
+               .agg(F.collect_list(F.struct("_id", "_sh")).alias("members"))
+               .filter(F.size("members").between(2, max_bucket)))
+    pairs = (buckets
+             .select(F.explode(F.expr(
+                 "filter(flatten(transform(members, a -> "
+                 "transform(members, b -> struct(a, b)))), "
+                 "p -> p.a._id < p.b._id)")).alias("p"))
+             .select(F.col("p.a._id").alias("id_a"),
+                     F.col("p.b._id").alias("id_b"),
+                     F.col("p.a._sh").alias("sh_a"),
+                     F.col("p.b._sh").alias("sh_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")) /
+           F.size(F.array_union("sh_a", "sh_b")))
+    return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= jaccard_threshold))
+
+
+def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", group_col: str,
+                        shingle_n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs *within a grouping column*
+    (blocking key, e.g. (source, lang)) — the quadratic stays inside
+    blocks.  Returns (id_a, id_b, jaccard)."""
+    base = df.select(F.col(group_col).alias("_g"),
+                     F.col(id_col).alias("_id"),
+                     word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    a = base.select(F.col("_g"), F.col("_id").alias("id_a"),
+                    F.col("_sh").alias("sh_a"))
+    b = base.select(F.col("_g"), F.col("_id").alias("id_b"),
+                    F.col("_sh").alias("sh_b"))
+    joined = a.join(b, on="_g").filter(F.col("id_a") < F.col("id_b"))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")) /
+           F.size(F.array_union("sh_a", "sh_b")))
+    return (joined.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (text)
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column, shingle_n: int = 3) -> Column:
+    """64-bit SimHash fingerprint via an Arrow-batched pandas UDF.
+
+    Deterministic: shingle → md5 → 64 bits; per-bit ±1 majority vote.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(batch: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        def fp(s):
+            if s is None:
+                return None
+            words = " ".join(s.lower().split()).split(" ")
+            if not words:
+                return 0
+            n = max(len(words) - shingle_n + 1, 1)
+            counts = np.zeros(64, dtype=np.int64)
+            for i in range(n):
+                sh = " ".join(words[i:i + shingle_n])
+                h = int.from_bytes(
+                    hashlib.md5(sh.encode()).digest()[:8], "big")
+                bits = np.unpackbits(
+                    np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+                counts += bits.astype(np.int64) * 2 - 1
+            v = np.packbits((counts >= 0).astype(np.uint8))
+            out = int.from_bytes(v.tobytes(), "big")
+            return out - (1 << 64) if out >= (1 << 63) else out
+
+        return batch.map(fp)
+
+    return _simhash(text)
+
+
+def simhash_near_dups(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      shingle_n: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into
+    ``max_hamming+1`` chunks; any pair within distance d agrees on ≥1
+    chunk → candidates from d+1 equi-joins, verified exactly with
+    bit_count(xor)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    fp = df.select(F.col(id_col).alias("_id"),
+                   simhash64(F.col(text_col), shingle_n).alias("_fp"))
+    fp = fp.filter(F.col("_fp").isNotNull()).cache()
+
+    def chunk(col: Column, i: int) -> Column:
+        return F.shiftrightunsigned(col, i * width) % F.lit(1 << width)
+
+    cands = None
+    for i in range(chunks):
+        a = fp.select(F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"),
+                      chunk(F.col("_fp"), i).alias("_ck"))
+        b = fp.select(F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"),
+                      chunk(F.col("_fp"), i).alias("_ck"))
+        c = a.join(b, on="_ck").filter(F.col("id_a") < F.col("id_b")) \
+            .select("id_a", "id_b", "fp_a", "fp_b")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cands.select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(df: DataFrame, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id", dim: int,
+                        threshold: float = 0.95, bits: int = 12,
+                        seed: int = 42) -> DataFrame:
+    """Pairs with cosine ≥ threshold, blocked by random-hyperplane
+    signature buckets (deterministic planes; equi-join on the signature
+    replaces the cross product).  Recall trades off with ``bits``."""
+    sig = simhash_signature(F.col(vec_col), dim, bits=bits, seed=seed)
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_v"), sig.alias("_sig"))
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
+                    "_sig")
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
+                    "_sig")
+    joined = a.join(b, on="_sig").filter(F.col("id_a") < F.col("id_b"))
+    return (joined
+            .select("id_a", "id_b",
+                    cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
+            .filter(F.col("cos") >= threshold))

@@ -1,0 +1,163 @@
+"""Resumable per-partition validation with a lineage manifest.
+
+The north_rule requires: per-partition pass/fail verdicts + violation rows,
+"checkpointing validated-partition lineage and metrics to a resumable
+manifest so reruns skip completed partitions".  boon has no analogue
+(single-instance validation) — this is the genuinely new engineering of
+SURVEY.md §7 step 5.
+
+Design (scale-first):
+
+* ONE Spark job validates every *pending* partition: completed partitions
+  are excluded with a partition-column filter, which Catalyst pushes into
+  the scan (partition pruning on Iceberg/hive-layout tables — skipped
+  partitions are never read, not read-and-dropped);
+* per-partition metrics come from a single ``groupBy(partition_col)`` over
+  the annotated frame (map-side combine; partition count is small);
+* violations land under ``violations_path`` partitioned by the same
+  column, so each partition's output is independently replaceable
+  (``partitionOverwriteMode=dynamic``);
+* the manifest itself is one tiny parquet file per completed partition,
+  written atomically (tmp + rename) on the driver with pyarrow — no Spark
+  job, no read-modify-write races, append-only lineage;
+* a manifest entry records the **spec hash**: rerunning with a changed
+  constraint suite invalidates prior completions automatically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def spec_hash(spec) -> str:
+    return hashlib.sha256(
+        json.dumps(spec, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
+class ValidationManifest:
+    """Append-only lineage of validated partitions."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def entries(self) -> list[dict]:
+        import pyarrow.parquet as pq
+        out = []
+        for f in sorted(os.listdir(self.path)):
+            if f.endswith(".parquet"):
+                out.extend(pq.read_table(
+                    os.path.join(self.path, f)).to_pylist())
+        return out
+
+    def completed(self, shash: str) -> set[str]:
+        return {e["partition"] for e in self.entries()
+                if e["status"] == "complete" and e["spec_hash"] == shash}
+
+    def record(self, partition: str, shash: str, metrics: dict) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        row = {
+            "partition": str(partition),
+            "status": "complete",
+            "spec_hash": shash,
+            "n_rows": int(metrics.get("n_rows", 0)),
+            "n_invalid": int(metrics.get("n_invalid", 0)),
+            "n_violations": int(metrics.get("n_violations", 0)),
+            "valid": bool(metrics.get("valid", False)),
+            "finished_at": time.time(),
+        }
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.parquet")
+        final = os.path.join(
+            self.path, f"{_safe(partition)}-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(pa.Table.from_pylist([row]), tmp)
+        os.rename(tmp, final)  # atomic on POSIX
+
+    def invalidate(self, partition: str) -> None:
+        """Drop lineage for one partition (forces recompute on next run)."""
+        import pyarrow.parquet as pq
+        for f in list(os.listdir(self.path)):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(self.path, f)
+            rows = pq.read_table(p).to_pylist()
+            if any(str(r["partition"]) == str(partition) for r in rows):
+                os.remove(p)
+
+
+NULL_PARTITION = "__null__"
+
+
+def _safe(s) -> str:
+    return "".join(c if c.isalnum() or c in "-_." else "_" for c in str(s))
+
+
+def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
+                         partition_col: str, manifest_path: str, *,
+                         violations_path: Optional[str] = None,
+                         row_id: Optional[str] = None) -> dict:
+    """Validate all pending partitions of ``df`` in one job; returns
+    ``{"pending": [...], "skipped": [...], "metrics": {partition: {...}}}``.
+
+    Rerunning after a partial failure (or after
+    ``ValidationManifest.invalidate(p)``) recomputes only the partitions
+    without a matching manifest entry.
+    """
+    from ..engine import Engine
+
+    shash = spec_hash(spec)
+    manifest = ValidationManifest(manifest_path)
+    done = manifest.completed(shash)
+
+    # NULL partition values get a sentinel key so they are validated and
+    # recorded like any other partition (isin() never matches SQL NULL)
+    pkey = F.coalesce(F.col(partition_col).cast("string"),
+                      F.lit(NULL_PARTITION))
+    all_parts = [r[0] for r in df.select(pkey.alias("_p")).distinct().collect()]
+    pending = sorted(set(all_parts) - done)
+    skipped = sorted(set(all_parts) & done)
+    if not pending:
+        return {"pending": [], "skipped": skipped, "metrics": {}}
+
+    # partition-pruning filter: completed partitions are never scanned
+    # (`col IN (...)` + `IS NULL` both push to the scan)
+    cond = F.col(partition_col).cast("string").isin(
+        [p for p in pending if p != NULL_PARTITION])
+    if NULL_PARTITION in pending:
+        cond = cond | F.col(partition_col).isNull()
+    sub = df.filter(cond)
+    eng = Engine.from_schema(spec, row_id=row_id)
+    ann = eng.annotate(sub)
+
+    if violations_path:
+        (ann.filter(~F.col("valid"))
+            .select(partition_col, F.explode("violations").alias("v"))
+            .select(partition_col, "v.instance_location",
+                    "v.keyword_location", "v.error")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(violations_path))
+
+    rows = (ann.groupBy(F.coalesce(F.col(partition_col).cast("string"),
+                                   F.lit(NULL_PARTITION)).alias("_p"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+                 F.sum("violation_count").alias("n_violations"),
+                 F.min(F.col("valid").cast("int")).alias("_all_valid"))
+            .collect())
+    metrics = {}
+    for r in rows:
+        m = {"n_rows": r.n_rows, "n_invalid": r.n_invalid,
+             "n_violations": r.n_violations, "valid": bool(r._all_valid)}
+        manifest.record(r._p, shash, m)
+        metrics[r._p] = m
+    return {"pending": pending, "skipped": skipped, "metrics": metrics}
