@@ -1,0 +1,115 @@
+"""Command-line interface — parity with the reference CLI
+(``cli/src/main.rs``): validate a table against a constraint schema,
+print flag/basic/summary output, exit 2 on any validation failure
+(``cli/src/main.rs:169-171``), exit 1 on usage/compile errors.
+
+Usage::
+
+    python -m boon_spark --schema spec.json --table data.parquet \
+        [--row-id doc_id] [--format flag|basic|summary] [--limit 20] \
+        [--partition-col source --manifest DIR [--violations DIR]] \
+        [--cpus 8]
+
+Schema files may be JSON or YAML (the reference CLI accepts YAML too,
+``cli/src/main.rs:219-228``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load_schema(path: str):
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+        return yaml.safe_load(text)
+    return json.loads(text)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="boon_spark",
+        description="Validate a parquet table against a constraint schema")
+    ap.add_argument("--schema", required=True,
+                    help="constraint schema (JSON or YAML file)")
+    ap.add_argument("--table", required=True, help="parquet path")
+    ap.add_argument("--row-id", default=None,
+                    help="column used for instance pointers")
+    ap.add_argument("--format", default="flag",
+                    choices=["flag", "basic", "summary"],
+                    help="output format (boon: flag/basic/detailed)")
+    ap.add_argument("--limit", type=int, default=20,
+                    help="max violation rows to print (basic format)")
+    ap.add_argument("--partition-col", default=None,
+                    help="validate per partition with a resumable manifest")
+    ap.add_argument("--manifest", default=None,
+                    help="manifest directory (with --partition-col)")
+    ap.add_argument("--violations", default=None,
+                    help="violation sink directory (with --partition-col)")
+    ap.add_argument("--cpus", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    from .errors import CompileError
+    from .schema import compile_schema
+
+    try:
+        spec = load_schema(args.schema)
+        compile_schema(spec)  # fail fast before starting a session
+    except Exception as e:  # schema I/O, YAML/JSON parse, compile errors
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master(f"local[{args.cpus}]")
+             .appName("boon_spark-cli")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = spark.read.parquet(args.table)
+
+        if args.partition_col:
+            if not args.manifest:
+                print("error: --manifest required with --partition-col",
+                      file=sys.stderr)
+                return 1
+            from .sources.manifest import validate_partitioned
+            out = validate_partitioned(
+                spark, df, spec, args.partition_col, args.manifest,
+                violations_path=args.violations, row_id=args.row_id)
+            print(json.dumps({"pending": out["pending"],
+                              "skipped": out["skipped"],
+                              "metrics": out["metrics"]}, indent=2))
+            any_invalid = any(not m["valid"] for m in out["metrics"].values())
+            return 2 if any_invalid else 0
+
+        from .engine import Engine
+        res = Engine.from_schema(spec, row_id=args.row_id).validate(df)
+        flag = res.flag().collect()[0]
+        if args.format == "flag":
+            print(json.dumps({"valid": flag.valid, "n_rows": flag.n_rows,
+                              "n_invalid": flag.n_invalid,
+                              "n_violations": flag.n_violations}))
+        elif args.format == "basic":
+            for r in res.violations().limit(args.limit).collect():
+                print(json.dumps({
+                    "valid": False,
+                    "instanceLocation": r.instance_location,
+                    "keywordLocation": r.keyword_location,
+                    "error": r.error}))
+        else:
+            for r in res.summary().orderBy("keyword_location").collect():
+                print(f"{r.keyword_location}\t{r.n_violations}")
+        return 2 if not flag.valid else 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

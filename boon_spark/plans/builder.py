@@ -251,6 +251,12 @@ class PlanBuilder:
                     F.lit('"'), sval,
                     F.lit(f'" does not match pattern "{node.pattern}"')))
 
+        # ---- content* (src/validator.rs:481-514)
+        if sval is not None and (node.content_encoding or
+                                 node.content_media_type or
+                                 node.content_schema):
+            self._content_checks(node, value, sval, iloc, valids, viols)
+
         # ---- arrays (src/validator.rs:337-447)
         if jt == "array" and value is not None:
             self._array_checks(node, dtype, value, iloc, valids, viols)
@@ -344,6 +350,55 @@ class PlanBuilder:
                 add(cnt <= node.max_contains, "maxContains", F.concat(
                     F.lit(f"maximum {node.max_contains} items required to match "
                           f"contains schema, but found "), cnt.cast("string")))
+
+    # ---------------------------------------------------------- content
+    def _content_checks(self, node: Node, value: Column, sval: Column,
+                        iloc: Column, valids: list, viols: list):
+        """contentEncoding / contentMediaType / contentSchema
+        (boon src/validator.rs:481-514, src/content.rs).  Checks chain:
+        media type is only judged on decodable values, contentSchema only
+        on parseable ones (mirroring boon's early-outs)."""
+        target = sval
+        enc_ok = F.lit(True)
+        if node.content_encoding is not None:
+            if node.content_encoding.lower() != "base64":
+                raise CompileError(
+                    f"{node.loc}/contentEncoding: only base64 is built in "
+                    f"(like the reference, src/content.rs:21-35)")
+            decoded = F.try_to_binary(sval, F.lit("base64"))
+            enc_ok = decoded.isNotNull()
+            fail = F.coalesce(value.isNotNull() & ~enc_ok, F.lit(False))
+            valids.append(~fail)
+            viols.append(self._viol(
+                fail, f"{node.loc}/contentEncoding", iloc,
+                F.lit("value is not 'base64' encoded")))
+            target = decoded.cast("string")
+        parse_ok = F.lit(True)
+        if node.content_media_type is not None:
+            if node.content_media_type.lower() != "application/json":
+                raise CompileError(
+                    f"{node.loc}/contentMediaType: only application/json "
+                    f"is built in (like the reference, src/content.rs:63-82)")
+            parse_ok = F.try_parse_json(target).isNotNull()
+            ok = F.when(~enc_ok, F.lit(True)).otherwise(parse_ok)
+            fail = F.coalesce(value.isNotNull() & ~ok, F.lit(False))
+            valids.append(~fail)
+            viols.append(self._viol(
+                fail, f"{node.loc}/contentMediaType", iloc,
+                F.lit("value is not of mediatype 'application/json'")))
+        if node.content_schema is not None:
+            ddl = _ddl_from_schema(node.content_schema)
+            parsed = F.from_json(target, ddl)
+            sub_dtype = T._parse_datatype_string(ddl)
+            sub_valid, sub_viols = self.build(
+                node.content_schema, sub_dtype, parsed, iloc)
+            ok = F.when(~enc_ok | ~parse_ok | parsed.isNull(), F.lit(True)) \
+                .otherwise(F.coalesce(sub_valid, F.lit(False)))
+            fail = F.coalesce(value.isNotNull() & ~ok, F.lit(False))
+            valids.append(~fail)
+            viols.append(self._viol(
+                fail, f"{node.loc}/contentSchema", iloc,
+                F.lit("contentSchema failed")))
 
     # ---------------------------------------------------------- objects
     def _object_checks(self, node: Node, dtype, value: Optional[Column],
@@ -441,6 +496,39 @@ class PlanBuilder:
                         v, vs = self.build(sub, fields[n], get(n), c_iloc)
                         valids.append(F.coalesce(guard(v), F.lit(False)))
                         viols.extend(guard_viols(x) for x in vs)
+
+        if node.dependent_schemas:
+            # if prop present → subschema applies to the whole object
+            # (boon src/validator.rs:309-314)
+            for prop, sub in node.dependent_schemas.items():
+                if prop not in fields:
+                    continue
+                s_valid, s_viols = self.build(sub, dtype, value, iloc)
+                ok = guard(F.when(get(prop).isNotNull(),
+                                  F.coalesce(s_valid, F.lit(False)))
+                           .otherwise(F.lit(True)))
+                fail = F.coalesce(~ok, F.lit(False))
+                valids.append(~fail)
+                viols.append(self._viol(
+                    fail, f"{node.loc}/dependentSchemas/{prop}", iloc,
+                    F.lit(f"schema for dependency '{prop}' failed")))
+
+        if node.property_names is not None:
+            # key names validate against a subschema — static column set
+            # makes this a compile-time check per name
+            # (boon src/validator.rs:291-303)
+            for name in fields:
+                name_ok = _py_string_check(node.property_names, name)
+                if name_ok:
+                    continue
+                present = get(name).isNotNull()
+                fail = F.coalesce(
+                    present if is_row else value.isNotNull() & present,
+                    F.lit(False))
+                valids.append(~fail)
+                viols.append(self._viol(
+                    fail, f"{node.loc}/propertyNames", iloc,
+                    F.lit(f"invalid property '{name}'")))
 
         if node.dependent_required:
             for prop, deps in node.dependent_required.items():
@@ -562,6 +650,58 @@ class PlanBuilder:
             e_arr = (F.concat(*else_vs) if len(else_vs) > 1
                      else (else_vs[0] if else_vs else empty_viols()))
             viols.append(F.when(cond, t_arr).otherwise(e_arr))
+
+
+def _ddl_from_schema(node: Node) -> str:
+    """Static Spark DDL for a contentSchema subschema — JSON generality
+    is pinned to declared property types (string when undeclared)."""
+    def spark_type(sub: Node) -> str:
+        t = (sub.types or ["string"])[0]
+        return {"string": "string", "integer": "bigint", "number": "double",
+                "boolean": "boolean",
+                "array": "array<string>", "object": "string",
+                "null": "string"}.get(t, "string")
+    if not node.properties:
+        raise CompileError(
+            f"{node.loc}: contentSchema needs 'properties' to derive a "
+            f"static parse schema for from_json")
+    return ", ".join(f"`{k}` {spark_type(s)}"
+                     for k, s in node.properties.items())
+
+
+def _py_string_check(node: Node, s: str) -> bool:
+    """Driver-side evaluation of a string-keyword subschema against a
+    literal (used for propertyNames over static column names)."""
+    if node.boolean is not None:
+        return node.boolean
+    ok = True
+    if node.types is not None:
+        ok &= "string" in node.types
+    if node.pattern is not None:
+        ok &= re.search(node.pattern, s) is not None
+    if node.min_length is not None:
+        ok &= len(s) >= node.min_length
+    if node.max_length is not None:
+        ok &= len(s) <= node.max_length
+    if node.enum is not None:
+        ok &= s in node.enum
+    if node.has_const:
+        ok &= s == node.const
+    if node.all_of:
+        ok &= all(_py_string_check(x, s) for x in node.all_of)
+    if node.any_of:
+        ok &= any(_py_string_check(x, s) for x in node.any_of)
+    if node.one_of:
+        ok &= sum(_py_string_check(x, s) for x in node.one_of) == 1
+    if node.not_ is not None:
+        ok &= not _py_string_check(node.not_, s)
+    unsupported = (node.properties or node.items or node.minimum is not None
+                   or node.contains or node.format)
+    if unsupported:
+        raise CompileError(
+            f"{node.loc}: propertyNames subschema may only use string/"
+            f"logic keywords (got a non-string keyword)")
+    return bool(ok)
 
 
 def _range_only_valid(items: Node, et: T.DataType,

@@ -35,8 +35,9 @@ SUPPORTED = {
     "minItems", "maxItems", "uniqueItems", "items", "prefixItems",
     "additionalItems", "contains", "minContains", "maxContains",
     "required", "properties", "patternProperties", "additionalProperties",
-    "dependentRequired", "dependencies", "propertyNames",
+    "dependentRequired", "dependencies", "dependentSchemas", "propertyNames",
     "minProperties", "maxProperties",
+    "contentEncoding", "contentMediaType", "contentSchema",
     "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
     "$ref", "$defs", "definitions",
     # annotation-only — accepted, ignored:
@@ -90,8 +91,14 @@ class Node:
     pattern_properties: Optional[dict[str, "Node"]] = None
     additional_properties: Any = None  # None | bool | Node
     dependent_required: Optional[dict[str, list[str]]] = None
+    dependent_schemas: Optional[dict[str, "Node"]] = None
+    property_names: Optional["Node"] = None
     min_properties: Optional[int] = None
     max_properties: Optional[int] = None
+
+    content_encoding: Optional[str] = None
+    content_media_type: Optional[str] = None
+    content_schema: Optional["Node"] = None
 
     all_of: Optional[list["Node"]] = None
     any_of: Optional[list["Node"]] = None
@@ -230,8 +237,14 @@ class Compiler:
         for kw, attr in (("minimum", "minimum"), ("maximum", "maximum"),
                          ("exclusiveMinimum", "exclusive_minimum"),
                          ("exclusiveMaximum", "exclusive_maximum")):
-            if kw in v:
+            if kw in v and not isinstance(v[kw], bool):
                 setattr(n, attr, _num(v[kw], kw, loc))
+        # draft-4 boolean exclusive form folded at compile
+        # (boon src/compiler.rs:449-465)
+        if v.get("exclusiveMinimum") is True and n.minimum is not None:
+            n.exclusive_minimum, n.minimum = n.minimum, None
+        if v.get("exclusiveMaximum") is True and n.maximum is not None:
+            n.exclusive_maximum, n.maximum = n.maximum, None
         if "multipleOf" in v:
             m = _num(v["multipleOf"], "multipleOf", loc)
             if m <= 0:
@@ -286,15 +299,30 @@ class Compiler:
                 ap if isinstance(ap, bool)
                 else self.compile_value(ap, loc + "/additionalProperties"))
         dep_req = dict(v.get("dependentRequired", {}))
+        dep_sch = {}
         for prop, dep in v.get("dependencies", {}).items():  # draft<=7 form
             if isinstance(dep, list):
                 dep_req[prop] = dep
             else:
-                raise UnsupportedKeyword(
-                    f"{loc}/dependencies/{prop}: schema-form dependencies "
-                    f"unsupported; use dependentRequired or if/then")
+                dep_sch[prop] = self.compile_value(
+                    dep, f"{loc}/dependencies/{prop}")
+        for prop, sub in v.get("dependentSchemas", {}).items():  # 2019+
+            dep_sch[prop] = self.compile_value(
+                sub, f"{loc}/dependentSchemas/{prop}")
         if dep_req:
             n.dependent_required = {k: list(vv) for k, vv in dep_req.items()}
+        if dep_sch:
+            n.dependent_schemas = dep_sch
+        if "propertyNames" in v:
+            n.property_names = self.compile_value(
+                v["propertyNames"], loc + "/propertyNames")
+        if "contentEncoding" in v:
+            n.content_encoding = v["contentEncoding"]
+        if "contentMediaType" in v:
+            n.content_media_type = v["contentMediaType"]
+        if "contentSchema" in v:
+            n.content_schema = self.compile_value(
+                v["contentSchema"], loc + "/contentSchema")
         if "minProperties" in v:
             n.min_properties = _nonneg_int(v["minProperties"], "minProperties", loc)
         if "maxProperties" in v:

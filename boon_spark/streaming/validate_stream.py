@@ -1,0 +1,95 @@
+"""Structured Streaming validation.
+
+boon validates one document per call; a stream of documents maps naturally
+onto Structured Streaming: the row-local validation projection is
+STATELESS, so ``Engine.annotate`` applies to a streaming DataFrame
+unchanged (micro-batch or continuous).  This module adds the
+streaming-native pieces:
+
+* :func:`annotate_stream` — engine projection over a stream;
+* :func:`violation_rate` — watermarked tumbling-window aggregation of
+  verdict counts (late data handled by the watermark, not dropped
+  silently);
+* :func:`cumulative_source_state` — a custom stateful operator via
+  ``applyInPandasWithState``: per-key running totals of rows/violations
+  emitted each micro-batch (the streaming analogue of the per-partition
+  manifest metrics).
+
+Scale notes: the projection adds no state; the windowed agg keys are
+(window × low-cardinality group) with partial aggregation; state size for
+the cumulative operator is O(distinct keys).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..engine import Engine
+
+
+def annotate_stream(stream_df: DataFrame, spec, *,
+                    row_id: Optional[str] = None) -> DataFrame:
+    """Per-row verdicts + violations on a streaming DataFrame — the same
+    single projection as batch (stateless, no watermark needed)."""
+    return Engine.from_schema(spec, row_id=row_id).annotate(stream_df)
+
+
+def violation_rate(stream_df: DataFrame, spec, *, ts_col: str,
+                   window: str = "1 minute",
+                   watermark: str = "2 minutes",
+                   by: Optional[str] = None,
+                   row_id: Optional[str] = None) -> DataFrame:
+    """Windowed verdict counts: (window, [by,] n_rows, n_invalid,
+    n_violations, invalid_rate) with late-data watermarking."""
+    ann = annotate_stream(stream_df, spec, row_id=row_id) \
+        .withWatermark(ts_col, watermark)
+    keys = [F.window(F.col(ts_col), window).alias("window")]
+    if by:
+        keys.append(F.col(by))
+    return (ann.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+                 F.sum("violation_count").alias("n_violations"))
+            .withColumn("invalid_rate",
+                        F.col("n_invalid") / F.col("n_rows")))
+
+
+STATE_SCHEMA = "total_rows long, total_invalid long"
+OUTPUT_SCHEMA = ("key string, batch_rows long, total_rows long, "
+                 "total_invalid long")
+
+
+def _cumulate(key, pdfs, state: GroupState):
+    batch_rows = 0
+    batch_invalid = 0
+    for pdf in pdfs:
+        batch_rows += len(pdf)
+        batch_invalid += int((~pdf["valid"]).sum())
+    if state.exists:
+        total_rows, total_invalid = state.get
+    else:
+        total_rows, total_invalid = 0, 0
+    total_rows += batch_rows
+    total_invalid += batch_invalid
+    state.update((total_rows, total_invalid))
+    yield pd.DataFrame([{
+        "key": key[0], "batch_rows": batch_rows,
+        "total_rows": total_rows, "total_invalid": total_invalid}])
+
+
+def cumulative_source_state(stream_df: DataFrame, spec, *, key_col: str,
+                            row_id: Optional[str] = None) -> DataFrame:
+    """Running per-key totals of rows/invalid rows across micro-batches —
+    a custom stateful operator via ``applyInPandasWithState`` (Arrow
+    batches, state is a 2-tuple per key)."""
+    ann = annotate_stream(stream_df, spec, row_id=row_id) \
+        .select(F.col(key_col).cast("string").alias("_key"), "valid")
+    return (ann.groupBy("_key")
+            .applyInPandasWithState(
+                _cumulate, OUTPUT_SCHEMA, STATE_SCHEMA,
+                "update", GroupStateTimeout.NoTimeout))

@@ -1,0 +1,60 @@
+"""CLI tests via subprocess — mirrors the reference CLI's exit-code
+contract (exit 2 on validation failure, cli/src/main.rs:169-171)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "boon_spark", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=300)
+
+
+def test_flag_output_and_exit_code(tmp_path):
+    spec = tmp_path / "s.json"
+    spec.write_text(json.dumps(
+        {"properties": {"n_chars": {"maximum": 400}}}))
+    r = run_cli("--schema", str(spec),
+                "--table", "/root/testdata/sf0.001/documents.parquet",
+                "--row-id", "doc_id", "--cpus", "2")
+    assert r.returncode == 2
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["valid"] is False and out["n_rows"] == 500
+
+
+def test_all_valid_exits_zero(tmp_path):
+    spec = tmp_path / "s.json"
+    spec.write_text(json.dumps(
+        {"properties": {"n_chars": {"minimum": 0}}}))
+    r = run_cli("--schema", str(spec),
+                "--table", "/root/testdata/sf0.001/documents.parquet",
+                "--cpus", "2")
+    assert r.returncode == 0
+    assert json.loads(r.stdout.strip().splitlines()[-1])["valid"] is True
+
+
+def test_compile_error_exits_one(tmp_path):
+    spec = tmp_path / "bad.json"
+    spec.write_text('{"type": "nope"}')
+    r = run_cli("--schema", str(spec), "--table", "whatever.parquet")
+    assert r.returncode == 1
+    assert "unknown type" in r.stderr
+
+
+def test_yaml_schema_and_basic_format(tmp_path):
+    spec = tmp_path / "s.yaml"
+    spec.write_text("properties:\n  lang: {enum: [en]}\n")
+    r = run_cli("--schema", str(spec),
+                "--table", "/root/testdata/sf0.001/documents.parquet",
+                "--row-id", "doc_id", "--format", "basic",
+                "--limit", "2", "--cpus", "2")
+    assert r.returncode == 2
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines()
+             if x.startswith("{")]
+    assert len(lines) == 2
+    assert lines[0]["keywordLocation"] == "/properties/lang/enum"
