@@ -180,6 +180,20 @@ def q_invariant_nchars(spark, sf_dir):
 # training-data pipeline ops (prompt mandate: dedup/similarity/text)
 # --------------------------------------------------------------------------
 
+def q_drift_nchars(spark, sf_dir):
+    """distribution drift (KS + PSI over width_bucket histograms,
+    SURVEY §2.6) between en and de documents' n_chars."""
+    from boon_spark.operators.drift import drift_check
+    docs = _docs(spark, sf_dir)
+    a = docs.filter(F.col("lang") == "en")
+    b = docs.filter(F.col("lang") == "de")
+    m = drift_check(a, b, "n_chars", lo=0, hi=600, buckets=24)
+    return m.select(F.round("ks_stat", 6).alias("ks_stat"),
+                    F.round("psi", 6).alias("psi"),
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"))
+
+
 def q_dedup_exact(spark, sf_dir):
     """exact dedup groups by content fingerprint bucket (source, lang):
     group count + canonical (min) doc_id to keep."""
@@ -300,6 +314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "referential_custkey": q_referential_custkey,
     "stats_by_source": q_stats_by_source,
     "invariant_nchars": q_invariant_nchars,
+    "drift_nchars": q_drift_nchars,
     "dedup_exact": q_dedup_exact,
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
@@ -448,6 +463,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n_chars <> length(text)
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
             FROM documents
+        """,
+        "drift_nchars": """
+            WITH ha AS (
+              SELECT CASE WHEN n_chars < 0 THEN 0
+                          WHEN n_chars >= 600 THEN 25
+                          ELSE CAST(floor(n_chars / 600.0 * 24) AS BIGINT) + 1
+                     END AS bucket,
+                     count(*) AS a
+              FROM documents WHERE lang = 'en' GROUP BY 1),
+            hb AS (
+              SELECT CASE WHEN n_chars < 0 THEN 0
+                          WHEN n_chars >= 600 THEN 25
+                          ELSE CAST(floor(n_chars / 600.0 * 24) AS BIGINT) + 1
+                     END AS bucket,
+                     count(*) AS b
+              FROM documents WHERE lang = 'de' GROUP BY 1),
+            merged AS (
+              SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+                     COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+              FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+            tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM merged),
+            withp AS (
+              SELECT bucket, a / na AS pa, b / nb AS pb,
+                     sum(a / na) OVER (ORDER BY bucket) AS cdfa,
+                     sum(b / nb) OVER (ORDER BY bucket) AS cdfb,
+                     na, nb
+              FROM merged CROSS JOIN tot)
+            SELECT round(max(abs(cdfa - cdfb)), 6) AS ks_stat,
+                   round(sum((pa - pb) * ln((pa + 1e-6) / (pb + 1e-6))), 6) AS psi,
+                   CAST(any_value(na) AS BIGINT) AS n_a,
+                   CAST(any_value(nb) AS BIGINT) AS n_b
+            FROM withp
         """,
         "dedup_exact": """
             SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -40,7 +40,7 @@ def main(argv=None) -> int:
     ap.add_argument("--row-id", default=None,
                     help="column used for instance pointers")
     ap.add_argument("--format", default="flag",
-                    choices=["flag", "basic", "summary"],
+                    choices=["flag", "basic", "detailed", "summary"],
                     help="output format (boon: flag/basic/detailed)")
     ap.add_argument("--limit", type=int, default=20,
                     help="max violation rows to print (basic format)")
@@ -96,6 +96,14 @@ def main(argv=None) -> int:
             print(json.dumps({"valid": flag.valid, "n_rows": flag.n_rows,
                               "n_invalid": flag.n_invalid,
                               "n_violations": flag.n_violations}))
+        elif args.format == "detailed":
+            for r in res.detailed().limit(args.limit).collect():
+                print(json.dumps({
+                    "valid": False,
+                    "instanceLocation": r.instance_location,
+                    "errors": [{"instanceLocation": e.instance_location,
+                                "keywordLocation": e.keyword_location,
+                                "error": e.error} for e in r.errors]}))
         elif args.format == "basic":
             for r in res.violations().limit(args.limit).collect():
                 print(json.dumps({

@@ -140,6 +140,21 @@ class ValidationResult:
             return self.annotated.groupBy(*by).agg(*agg)
         return self.annotated.agg(*agg)
 
+    def detailed(self) -> DataFrame:
+        """Detailed output (boon ``src/output.rs:89-137``): one row per
+        failing instance with its full violation list nested — the tree
+        shape, flattened one level (our schemas are one level deep)."""
+        ptr = (F.concat(F.lit("/"),
+                        F.coalesce(F.col(self.row_id).cast("string"),
+                                   F.lit("?")))
+               if self.row_id else F.lit(""))
+        return (self.annotated
+                .filter(~F.col("valid"))
+                .select(ptr.alias("instance_location"),
+                        F.col("valid"),
+                        F.col("violations").alias("errors"),
+                        F.col("violation_count")))
+
     def summary(self) -> DataFrame:
         """Per-keyword failure counts — map-side partial agg, one shuffle."""
         return (self.annotated

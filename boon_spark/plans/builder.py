@@ -292,10 +292,27 @@ class PlanBuilder:
                 F.lit(f"maximum {node.max_items} items required, but got "),
                 sz.cast("string"), F.lit(" items")))
         if node.unique_items:
-            # adaptive algo unnecessary: array_distinct is the built-in
-            # analogue of boon's hash path (src/util.rs:390-427)
-            add(F.size(F.array_distinct(value)) == sz, "uniqueItems",
-                F.lit("items are not unique"))
+            # validity via array_distinct — the built-in analogue of
+            # boon's hash path (src/util.rs:390-427).  The *message*
+            # reports the first duplicate pair (i, j) like boon's
+            # UniqueItems { got: [i, j] } (src/lib.rs:503-505); the pair
+            # search is HOF-heavy but sits inside the violation branch,
+            # so it only ever runs for failing rows.
+            def first_pos(x):
+                return F.array_position(value, x)  # 1-based first index
+
+            pair_candidates = F.filter(
+                F.transform(value, lambda x, j: F.when(
+                    F.coalesce(first_pos(x) - 1 < j, F.lit(False)),
+                    F.struct((first_pos(x) - 1).alias("i"),
+                             j.cast("long").alias("j")))),
+                lambda s: s.isNotNull())
+            first_pair = F.get(pair_candidates, 0)
+            msg = F.when(first_pair.isNotNull(), F.concat(
+                F.lit("items at "), first_pair.getField("i").cast("string"),
+                F.lit(" and "), first_pair.getField("j").cast("string"),
+                F.lit(" are equal"))).otherwise(F.lit("items are not unique"))
+            add(F.size(F.array_distinct(value)) == sz, "uniqueItems", msg)
 
         npfx = len(node.prefix_items or [])
         for i, sub in enumerate(node.prefix_items or []):

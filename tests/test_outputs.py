@@ -1,0 +1,64 @@
+"""Violation-row golden tests (FIXTURES.md §3): message strings and
+pointers mirror boon's basic-output units and ErrorKind Display."""
+
+import pytest
+
+from boon_spark import Engine
+
+
+@pytest.fixture(scope="module")
+def res(spark):
+    df = spark.createDataFrame(
+        [("web-000000000002", [1, 2], 9999, "web"),
+         ("ok-000000000001", [3], 1, "books")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    eng = Engine.from_schema(
+        {"properties": {"n_tok": {"type": "integer", "minimum": 1,
+                                  "maximum": 8192}}},
+        row_id="doc_id")
+    return eng.validate(df)
+
+
+def test_basic_output_unit_matches_boon_shape(res):
+    rows = res.violations().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # exact FIXTURES.md §3 golden values
+    assert r.valid is False
+    assert r.instance_location == "/web-000000000002/n_tok"
+    assert r.keyword_location == "/properties/n_tok/maximum"
+    assert r.error == "must be <=8192, but got 9999"
+
+
+def test_flag_output(res):
+    f = res.flag().collect()[0]
+    assert f.valid is False and f.n_rows == 2 and f.n_invalid == 1
+
+
+def test_detailed_output_nests_errors(res):
+    rows = res.detailed().collect()
+    assert len(rows) == 1
+    d = rows[0]
+    assert d.instance_location == "/web-000000000002"
+    assert d.violation_count == 1
+    assert d.errors[0].keyword_location == "/properties/n_tok/maximum"
+
+
+def test_unique_items_reports_first_dup_pair(spark):
+    eng = Engine.from_schema(
+        {"properties": {"xs": {"uniqueItems": True}}}, row_id="k")
+    df = spark.createDataFrame([("r1", [7, 1, 7, 1])],
+                               "k string, xs array<int>")
+    v = eng.validate(df).violations().collect()
+    # boon: UniqueItems { got: [i, j] } → "items at 0 and 2 are equal"
+    assert v[0].error == "items at 0 and 2 are equal"
+
+
+def test_summary_counts(spark):
+    eng = Engine.from_schema(
+        {"properties": {"x": {"minimum": 10}}}, row_id="k")
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 99)],
+                               "k string, x int")
+    s = eng.validate(df).summary().collect()
+    assert s[0].keyword_location == "/properties/x/minimum"
+    assert s[0].n_violations == 2
