@@ -134,6 +134,60 @@ def q_summary_documents(spark, sf_dir):
     return eng.validate(_docs(spark, sf_dir)).summary()
 
 
+def q_logic_combo(spark, sf_dir):
+    """anyOf / not / oneOf / multipleOf over lineitem (SURVEY §2.1)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    eng = Engine.from_schema({"properties": {
+        "l_discount": {"anyOf": [{"maximum": 0.02}, {"minimum": 0.08}]},
+        "l_tax": {"not": {"exclusiveMinimum": 0.07}},
+        "l_quantity": {"oneOf": [{"multipleOf": 2}, {"multipleOf": 3}]},
+    }})
+    return eng.annotate(li).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~F.col("valid")).cast("bigint")).cast("bigint")
+        .alias("n_invalid"),
+        F.sum("violation_count").cast("bigint").alias("n_violations"))
+
+
+def q_const_exclusive(spark, sf_dir):
+    """const + exclusive bounds violations over region (SURVEY §2.1/2.5)."""
+    return _violations(
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        {"properties": {
+            "r_name": {"const": "AFRICA"},
+            "r_regionkey": {"exclusiveMinimum": 0, "exclusiveMaximum": 4},
+        }},
+        "r_regionkey")
+
+
+def q_format_date(spark, sf_dir):
+    """format: 'date' over a derived string column (10% corrupted
+    deterministically) — exercises the rlike+calendar format path."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = F.date_format("o_orderdate", "yyyy-MM-dd")
+    derived = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0,
+               F.concat(d, F.lit("x"))).otherwise(d).alias("d_str"))
+    eng = Engine.from_schema(
+        {"properties": {"d_str": {"format": "date"}}}, row_id="o_orderkey")
+    return (eng.validate(derived).violations()
+            .select("instance_location", "keyword_location"))
+
+
+def q_content_json_events(spark, sf_dir):
+    """contentMediaType + contentSchema over events.props (SURVEY §2.4):
+    per-keyword violation counts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eng = Engine.from_schema({"properties": {"props": {
+        "contentMediaType": "application/json",
+        "contentSchema": {"properties": {
+            "k": {"type": "integer", "minimum": 0, "maximum": 50}},
+            "required": ["k"]},
+    }}}, row_id="event_id")
+    return eng.validate(ev).summary()
+
+
 # --------------------------------------------------------------------------
 # cross-row operators (SURVEY §2.6)
 # --------------------------------------------------------------------------
@@ -308,6 +362,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "items_bounds_embedding": q_items_bounds_embedding,
     "contains_embedding": q_contains_embedding,
     "logic_ifthen": q_logic_ifthen,
+    "logic_combo": q_logic_combo,
+    "const_exclusive": q_const_exclusive,
+    "format_date": q_format_date,
+    "content_json_events": q_content_json_events,
     "flag_documents": q_flag_documents,
     "summary_documents": q_summary_documents,
     "unique_custkey": q_unique_custkey,
@@ -433,6 +491,56 @@ def oracle_sql() -> dict[str, str]:
               WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr'))
             SELECT keyword_location, CAST(count(*) AS BIGINT) AS n_violations
             FROM v GROUP BY keyword_location
+        """,
+        "logic_combo": """
+            WITH c AS (
+              SELECT
+                (l_discount IS NULL OR l_discount <= 0.02 OR l_discount >= 0.08) AS ok_any,
+                (l_tax IS NULL OR NOT (l_tax > 0.07)) AS ok_not,
+                (l_quantity IS NULL OR
+                 (CAST((l_quantity / 2 = floor(l_quantity / 2)) AS INT)
+                  + CAST((l_quantity / 3 = floor(l_quantity / 3)) AS INT)) = 1) AS ok_one
+              FROM lineitem)
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN NOT (ok_any AND ok_not AND ok_one)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+                   CAST(sum(CAST(NOT ok_any AS INT) + CAST(NOT ok_not AS INT)
+                            + CAST(NOT ok_one AS INT)) AS BIGINT) AS n_violations
+            FROM c
+        """,
+        "const_exclusive": """
+            SELECT '/' || CAST(r_regionkey AS VARCHAR) || '/r_name' AS instance_location,
+                   '/properties/r_name/const' AS keyword_location
+            FROM region WHERE r_name IS NOT NULL AND r_name <> 'AFRICA'
+            UNION ALL
+            SELECT '/' || CAST(r_regionkey AS VARCHAR) || '/r_regionkey',
+                   '/properties/r_regionkey/exclusiveMinimum'
+            FROM region WHERE r_regionkey <= 0
+            UNION ALL
+            SELECT '/' || CAST(r_regionkey AS VARCHAR) || '/r_regionkey',
+                   '/properties/r_regionkey/exclusiveMaximum'
+            FROM region WHERE r_regionkey >= 4
+        """,
+        "format_date": """
+            SELECT '/' || CAST(o_orderkey AS VARCHAR) || '/d_str' AS instance_location,
+                   '/properties/d_str/format' AS keyword_location
+            FROM orders WHERE o_orderkey % 10 = 0
+        """,
+        "content_json_events": """
+            WITH checks AS (
+              SELECT CASE
+                  WHEN json_valid(props) = false THEN 'mediatype'
+                  WHEN json_extract(props, '$.k') IS NULL THEN 'schema'
+                  WHEN CAST(json_extract(props, '$.k') AS DOUBLE) < 0
+                    OR CAST(json_extract(props, '$.k') AS DOUBLE) > 50 THEN 'schema'
+                  ELSE NULL END AS fail
+              FROM events WHERE props IS NOT NULL)
+            SELECT CASE fail
+                     WHEN 'mediatype' THEN '/properties/props/contentMediaType'
+                     ELSE '/properties/props/contentSchema' END AS keyword_location,
+                   CAST(count(*) AS BIGINT) AS n_violations
+            FROM checks WHERE fail IS NOT NULL
+            GROUP BY 1
         """,
         "unique_custkey": """
             SELECT '/' || CAST(o_custkey AS VARCHAR) AS instance_location,
