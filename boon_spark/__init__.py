@@ -16,10 +16,13 @@ from .engine import Engine, ValidationResult, validate_table
 from .errors import CompileError, UnsupportedKeyword
 from .schema import compile_schema
 from .functions.formats import register_format
+from .functions.content import (register_content_encoding,
+                                register_content_media_type)
 
 __all__ = [
     "Engine", "ValidationResult", "validate_table", "compile_schema",
     "CompileError", "UnsupportedKeyword", "register_format",
+    "register_content_encoding", "register_content_media_type",
 ]
 
 __version__ = "0.1.0"

@@ -22,8 +22,16 @@ import sys
 
 
 def load_schema(path: str):
-    with open(path) as f:
-        text = f.read()
+    """Load a schema document from a file path or http(s) URL — the
+    reference CLI supports both (cli/src/main.rs:231-276) plus YAML
+    (cli/src/main.rs:219-228)."""
+    if path.startswith(("http://", "https://")):
+        from urllib.request import urlopen
+        with urlopen(path, timeout=30) as r:
+            text = r.read().decode()
+    else:
+        with open(path) as f:
+            text = f.read()
     if path.endswith((".yaml", ".yml")):
         import yaml
         return yaml.safe_load(text)

@@ -375,34 +375,38 @@ class PlanBuilder:
         (boon src/validator.rs:481-514, src/content.rs).  Checks chain:
         media type is only judged on decodable values, contentSchema only
         on parseable ones (mirroring boon's early-outs)."""
+        from ..functions.content import ENCODINGS, MEDIA_TYPES
+
         target = sval
         enc_ok = F.lit(True)
         if node.content_encoding is not None:
-            if node.content_encoding.lower() != "base64":
+            enc = node.content_encoding.lower()
+            if enc not in ENCODINGS:
                 raise CompileError(
-                    f"{node.loc}/contentEncoding: only base64 is built in "
-                    f"(like the reference, src/content.rs:21-35)")
-            decoded = F.try_to_binary(sval, F.lit("base64"))
+                    f"{node.loc}/contentEncoding: unknown encoding "
+                    f"{enc!r}; register_content_encoding() it first")
+            decoded = ENCODINGS[enc](sval)
             enc_ok = decoded.isNotNull()
             fail = F.coalesce(value.isNotNull() & ~enc_ok, F.lit(False))
             valids.append(~fail)
             viols.append(self._viol(
                 fail, f"{node.loc}/contentEncoding", iloc,
-                F.lit("value is not 'base64' encoded")))
-            target = decoded.cast("string")
+                F.lit(f"value is not '{enc}' encoded")))
+            target = decoded
         parse_ok = F.lit(True)
         if node.content_media_type is not None:
-            if node.content_media_type.lower() != "application/json":
+            mt = node.content_media_type.lower()
+            if mt not in MEDIA_TYPES:
                 raise CompileError(
-                    f"{node.loc}/contentMediaType: only application/json "
-                    f"is built in (like the reference, src/content.rs:63-82)")
-            parse_ok = F.try_parse_json(target).isNotNull()
+                    f"{node.loc}/contentMediaType: unknown media type "
+                    f"{mt!r}; register_content_media_type() it first")
+            parse_ok = MEDIA_TYPES[mt](target)
             ok = F.when(~enc_ok, F.lit(True)).otherwise(parse_ok)
             fail = F.coalesce(value.isNotNull() & ~ok, F.lit(False))
             valids.append(~fail)
             viols.append(self._viol(
                 fail, f"{node.loc}/contentMediaType", iloc,
-                F.lit("value is not of mediatype 'application/json'")))
+                F.lit(f"value is not of mediatype '{mt}'")))
         if node.content_schema is not None:
             ddl = _ddl_from_schema(node.content_schema)
             parsed = F.from_json(target, ddl)

@@ -42,7 +42,8 @@ SUPPORTED = {
     "$ref", "$defs", "definitions",
     # annotation-only — accepted, ignored:
     "title", "description", "default", "examples", "$schema", "$id",
-    "$comment", "deprecated", "readOnly", "writeOnly",
+    "$anchor", "$vocabulary", "$comment", "deprecated", "readOnly",
+    "writeOnly",
 }
 
 UNSUPPORTED = {
@@ -160,6 +161,23 @@ class Compiler:
         self.doc = doc
         self._ref_stack: list[str] = []
         self._ref_cache: dict[str, Node] = {}
+        self._anchors: dict[str, Any] = {}
+        self._collect_anchors(doc)
+
+    def _collect_anchors(self, v: Any) -> None:
+        """Pre-pass collecting ``$anchor`` names → subschema, mirroring
+        boon's resource/anchor collection (src/draft.rs:239-297)."""
+        if isinstance(v, dict):
+            a = v.get("$anchor")
+            if isinstance(a, str):
+                if a in self._anchors:
+                    raise CompileError(f"duplicate $anchor {a!r}")
+                self._anchors[a] = v
+            for sub in v.values():
+                self._collect_anchors(sub)
+        elif isinstance(v, list):
+            for sub in v:
+                self._collect_anchors(sub)
 
     def compile(self) -> Node:
         return self.compile_value(self.doc, "")
@@ -173,6 +191,10 @@ class Compiler:
         val: Any = self.doc
         if frag in ("", "/"):
             return val
+        if not frag.startswith("/"):  # "#name" = $anchor reference
+            if frag in self._anchors:
+                return self._anchors[frag]
+            raise CompileError(f"$ref {ref!r}: no $anchor named {frag!r}")
         for raw in frag.lstrip("/").split("/"):
             tok = raw.replace("~1", "/").replace("~0", "~")
             if isinstance(val, dict) and tok in val:
