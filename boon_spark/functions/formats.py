@@ -134,9 +134,11 @@ def _check_email(s: str) -> bool:
         while i < len(body):
             c = body[i]
             if c == "\\":
-                i += 2
-                if i > len(body):
+                # quoted-pair: only \" and \\ (matches the reference's
+                # email checker, src/formats.rs:581-657)
+                if i + 1 >= len(body) or body[i + 1] not in '"\\':
                     return False
+                i += 2
             elif c in '"\r\n':
                 return False
             else:

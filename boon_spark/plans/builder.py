@@ -407,13 +407,21 @@ class PlanBuilder:
             viols.append(self._viol(
                 fail, f"{node.loc}/contentMediaType", iloc,
                 F.lit(f"value is not of mediatype '{mt}'")))
-        if node.content_schema is not None:
+        # contentSchema only applies when contentMediaType is present
+        # (gating mirrors boon src/compiler.rs:589-595 and the suite's
+        # "contentSchema without contentMediaType" cases)
+        if node.content_schema is not None and \
+                node.content_media_type is not None:
             ddl = _ddl_from_schema(node.content_schema)
             parsed = F.from_json(target, ddl)
             sub_dtype = T._parse_datatype_string(ddl)
             sub_valid, sub_viols = self.build(
                 node.content_schema, sub_dtype, parsed, iloc)
-            ok = F.when(~enc_ok | ~parse_ok | parsed.isNull(), F.lit(True)) \
+            # applicability: an object-keyword contentSchema only judges
+            # JSON *objects* — arrays/scalars pass (suite: '[]' is valid)
+            is_object = F.ltrim(target).startswith("{")
+            ok = F.when(~enc_ok | ~parse_ok | ~is_object | parsed.isNull(),
+                        F.lit(True)) \
                 .otherwise(F.coalesce(sub_valid, F.lit(False)))
             fail = F.coalesce(value.isNotNull() & ~ok, F.lit(False))
             valids.append(~fail)

@@ -162,17 +162,22 @@ class Compiler:
         self._ref_stack: list[str] = []
         self._ref_cache: dict[str, Node] = {}
         self._anchors: dict[str, Any] = {}
+        self._resources: dict[str, Any] = {}
         self._collect_anchors(doc)
 
     def _collect_anchors(self, v: Any) -> None:
-        """Pre-pass collecting ``$anchor`` names → subschema, mirroring
-        boon's resource/anchor collection (src/draft.rs:239-297)."""
+        """Pre-pass collecting ``$anchor`` names and ``$id`` resource
+        URIs → subschema, mirroring boon's resource/anchor collection
+        (src/draft.rs:239-297, src/root.rs:112-117)."""
         if isinstance(v, dict):
             a = v.get("$anchor")
             if isinstance(a, str):
                 if a in self._anchors:
                     raise CompileError(f"duplicate $anchor {a!r}")
                 self._anchors[a] = v
+            rid = v.get("$id")
+            if isinstance(rid, str) and v is not self.doc:
+                self._resources[rid] = v
             for sub in v.values():
                 self._collect_anchors(sub)
         elif isinstance(v, list):
@@ -186,11 +191,19 @@ class Compiler:
     #    mirroring boon's RefCycle, src/validator.rs:999-1011) --
     def _resolve_pointer(self, ref: str) -> Any:
         if not ref.startswith("#"):
-            raise CompileError(f"$ref {ref!r}: only local '#/...' refs supported")
+            # embedded $id resources resolve by full URI
+            # (boon src/roots.rs:37-43)
+            if ref in self._resources:
+                return self._resources[ref]
+            raise CompileError(
+                f"$ref {ref!r}: only local '#...' refs and embedded $id "
+                f"resources supported (no remote loading)")
         frag = ref[1:]
         val: Any = self.doc
         if frag in ("", "/"):
             return val
+        from urllib.parse import unquote
+        frag = unquote(frag)  # percent-decode, like boon src/util.rs:161-176
         if not frag.startswith("/"):  # "#name" = $anchor reference
             if frag in self._anchors:
                 return self._anchors[frag]
@@ -361,11 +374,23 @@ class Compiler:
         if "not" in v:
             n.not_ = self.compile_value(v["not"], loc + "/not")
         if "if" in v:
-            n.if_ = self.compile_value(v["if"], loc + "/if")
-            if "then" in v:
-                n.then = self.compile_value(v["then"], loc + "/then")
-            if "else" in v:
-                n.else_ = self.compile_value(v["else"], loc + "/else")
+            # literal boolean `if` → dead branch is pruned at compile and
+            # never loaded/compiled (matches the reference's laziness for
+            # untaken branches; Extra-Test-Suite draft7/if-then-else.json)
+            if v["if"] is True:
+                if "then" in v:
+                    n.all_of = (n.all_of or []) + [
+                        self.compile_value(v["then"], loc + "/then")]
+            elif v["if"] is False:
+                if "else" in v:
+                    n.all_of = (n.all_of or []) + [
+                        self.compile_value(v["else"], loc + "/else")]
+            else:
+                n.if_ = self.compile_value(v["if"], loc + "/if")
+                if "then" in v:
+                    n.then = self.compile_value(v["then"], loc + "/then")
+                if "else" in v:
+                    n.else_ = self.compile_value(v["else"], loc + "/else")
 
         return n
 
