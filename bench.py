@@ -84,7 +84,8 @@ def bench_queries(spark) -> dict[str, float]:
     names = ["flag_documents", "items_bounds_embedding", "unique_custkey",
              "referential_custkey", "stats_by_source", "dedup_exact",
              "token_count", "quality_counts", "fingerprint",
-             "embedding_topk"]
+             "embedding_topk", "lang_id_counts", "minhash_head",
+             "drift_nchars", "content_json_events"]
     out = {}
     for n in names:
         t0 = time.time()

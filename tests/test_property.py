@@ -1,0 +1,174 @@
+"""Property-based testing (hypothesis): random constraint specs × random
+rows (with NULLs everywhere) compared against an independent pure-Python
+evaluator of the documented semantics.
+
+The reference's suite is golden-file-driven (SURVEY §5); this adds the
+randomized layer it lacks, specifically to hunt three-valued-logic bugs
+(SQL NULL propagation) in the expression builder.
+"""
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from boon_spark import Engine
+
+# ---------------------------------------------------------------------------
+# independent evaluator of the engine's documented semantics
+# ---------------------------------------------------------------------------
+
+
+def eval_value(schema: dict, v, *, is_int_col: bool) -> bool:
+    """Value-level keywords with NULL-passes-everything-but-type rules."""
+    ok = True
+    if "type" in schema:
+        want = schema["type"] if isinstance(schema["type"], list) \
+            else [schema["type"]]
+        if v is None:
+            ok &= "null" in want
+        elif isinstance(v, list):
+            ok &= "array" in want
+        elif isinstance(v, str):
+            ok &= "string" in want
+        elif is_int_col or (isinstance(v, float) and v == int(v)):
+            ok &= bool({"integer", "number"} & set(want))
+        else:
+            ok &= "number" in want
+    if v is None:
+        # type-specific keywords pass on NULL, but LOGIC applicators
+        # still evaluate (JSON-null semantics: not({minimum}) FAILS null
+        # because the inner schema passes it)
+        if "anyOf" in schema:
+            ok &= any(eval_value(s, None, is_int_col=is_int_col)
+                      for s in schema["anyOf"])
+        if "not" in schema:
+            ok &= not eval_value(schema["not"], None, is_int_col=is_int_col)
+        return bool(ok)
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        if "minimum" in schema:
+            ok &= v >= schema["minimum"]
+        if "maximum" in schema:
+            ok &= v <= schema["maximum"]
+        if "exclusiveMinimum" in schema and not isinstance(
+                schema["exclusiveMinimum"], bool):
+            ok &= v > schema["exclusiveMinimum"]
+        if "multipleOf" in schema:
+            m = schema["multipleOf"]
+            ok &= (float(v) / m) == int(float(v) / m)
+    if isinstance(v, str):
+        if "minLength" in schema:
+            ok &= len(v) >= schema["minLength"]
+        if "maxLength" in schema:
+            ok &= len(v) <= schema["maxLength"]
+        if "pattern" in schema:
+            ok &= re.search(schema["pattern"], v) is not None
+    if "enum" in schema:
+        ok &= any(_jeq(v, e) for e in schema["enum"])
+    if "const" in schema:
+        ok &= _jeq(v, schema["const"])
+    if isinstance(v, list):
+        if "minItems" in schema:
+            ok &= len(v) >= schema["minItems"]
+        if "maxItems" in schema:
+            ok &= len(v) <= schema["maxItems"]
+        if schema.get("uniqueItems"):
+            ok &= len(set(v)) == len(v)
+        if "items" in schema:
+            ok &= all(eval_value(schema["items"], x, is_int_col=True)
+                      for x in v)
+        if "contains" in schema:
+            cnt = sum(bool(eval_value(schema["contains"], x,
+                                      is_int_col=True)) for x in v)
+            ok &= cnt >= 1
+    for sub in schema.get("anyOf", []) or []:
+        pass
+    if "anyOf" in schema:
+        ok &= any(eval_value(s, v, is_int_col=is_int_col)
+                  for s in schema["anyOf"])
+    if "not" in schema:
+        ok &= not eval_value(schema["not"], v, is_int_col=is_int_col)
+    return bool(ok)
+
+
+def _jeq(a, b):
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    return a == b
+
+
+def eval_row(spec: dict, row: dict, int_cols: set) -> bool:
+    ok = True
+    for r in spec.get("required", []):
+        ok &= row.get(r) is not None
+    for name, sub in spec.get("properties", {}).items():
+        ok &= eval_value(sub, row.get(name), is_int_col=name in int_cols)
+    return bool(ok)
+
+
+# ---------------------------------------------------------------------------
+# strategies
+# ---------------------------------------------------------------------------
+
+num_kw = st.fixed_dictionaries({}, optional={
+    "minimum": st.integers(-5, 5),
+    "maximum": st.integers(-5, 10),
+    "multipleOf": st.sampled_from([1, 2, 3]),
+    "type": st.sampled_from(["integer", ["integer", "null"], "number"]),
+    "anyOf": st.tuples(st.integers(-5, 0), st.integers(1, 6)).map(
+        lambda t: [{"maximum": t[0]}, {"minimum": t[1]}]),
+    "not": st.integers(-3, 3).map(lambda b: {"minimum": b}),
+})
+
+str_kw = st.fixed_dictionaries({}, optional={
+    "minLength": st.integers(0, 4),
+    "maxLength": st.integers(0, 6),
+    "pattern": st.sampled_from(["^a", "b$", "c", "^[ab]+$"]),
+    "enum": st.lists(st.sampled_from(["a", "ab", "abc", "b", "c"]),
+                     min_size=1, max_size=3, unique=True),
+    "const": st.sampled_from(["a", "ab"]),
+    "type": st.sampled_from(["string", ["string", "null"]]),
+})
+
+arr_kw = st.fixed_dictionaries({}, optional={
+    "minItems": st.integers(0, 3),
+    "maxItems": st.integers(1, 5),
+    "uniqueItems": st.booleans(),
+    "items": st.fixed_dictionaries({}, optional={
+        "minimum": st.integers(-3, 2), "maximum": st.integers(0, 8)}),
+    "contains": st.fixed_dictionaries({"minimum": st.integers(0, 5)}),
+})
+
+spec_st = st.fixed_dictionaries({
+    "properties": st.fixed_dictionaries({}, optional={
+        "n": num_kw, "s": str_kw, "xs": arr_kw}),
+}, optional={"required": st.lists(
+    st.sampled_from(["n", "s", "xs"]), unique=True)})
+
+row_st = st.fixed_dictionaries({
+    "k": st.integers(0, 10**6),
+    "n": st.one_of(st.none(), st.integers(-8, 12)),
+    "s": st.one_of(st.none(),
+                   st.text(alphabet="abc", min_size=0, max_size=7)),
+    "xs": st.one_of(st.none(), st.lists(st.integers(-4, 9), max_size=6)),
+})
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(spec=spec_st, rows=st.lists(row_st, min_size=1, max_size=8))
+def test_engine_matches_python_evaluator(_spark, spec, rows):
+    df = _spark.createDataFrame(
+        [(r["k"], r["n"], r["s"], r["xs"]) for r in rows],
+        "k bigint, n bigint, s string, xs array<bigint>")
+    eng = Engine.from_schema(spec, row_id="k")
+    got = [r.valid for r in eng.annotate(df).select("valid").collect()]
+    want = [eval_row(spec, r, int_cols={"n", "xs"}) for r in rows]
+    assert got == want, f"spec={spec} rows={rows}"
