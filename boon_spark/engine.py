@@ -84,7 +84,13 @@ class Engine:
         valid, viol_arrays = pb.build(
             self.compiled.root, None, None, pb.root_iloc())
         cap = self.max_violations_per_row
-        step1 = df.select("*", F.coalesce(valid, F.lit(False)).alias("valid"))
+        base = df
+        if pb.prelude:
+            # stage 0: expensive shared subexpressions (JSON parses)
+            # computed exactly once, codegen'd + CSE'd
+            base = df.select("*", *[c.alias(a)
+                                    for a, c in pb.prelude.items()])
+        step1 = base.select("*", F.coalesce(valid, F.lit(False)).alias("valid"))
         if viol_arrays:
             arr = viol_arrays[0] if len(viol_arrays) == 1 \
                 else F.concat(*viol_arrays)

@@ -87,6 +87,22 @@ class PlanBuilder:
     def __init__(self, df_schema: T.StructType, row_id: Optional[str] = None):
         self.df_schema = df_schema
         self.row_id = row_id
+        # prelude: expensive shared subexpressions (JSON parses) hoisted
+        # into their own projection so the (interpreted, lambda-bearing)
+        # violation stage references a column instead of re-evaluating —
+        # interpreted projections get no subexpression elimination
+        self.prelude: dict[str, Column] = {}
+        self._lambda_depth = 0
+
+    def _hoist(self, name: str, expr: Column) -> Column:
+        """Register an expression for the prelude projection and return a
+        reference to it.  Only legal outside lambda bodies (a lambda var
+        cannot cross a projection boundary)."""
+        if self._lambda_depth > 0:
+            return expr
+        alias = f"_bs_{name}_{len(self.prelude)}"
+        self.prelude[alias] = expr
+        return F.col(alias)
 
     # ---------------------------------------------------------- helpers
     def root_iloc(self) -> Column:
@@ -338,8 +354,10 @@ class PlanBuilder:
                 valid_all = fast
             else:
                 # general path — stays JVM-side via forall
+                self._lambda_depth += 1
                 valid_all = F.forall(rest, lambda x: F.coalesce(
                     self.build(node.items, et, x, iloc)[0], F.lit(False)))
+                self._lambda_depth -= 1
             fail = F.coalesce(value.isNotNull() & ~valid_all, F.lit(False))
             valids.append(~fail)
             # per-element violation detail with the element index in the
@@ -350,13 +368,17 @@ class PlanBuilder:
                 if not evs:
                     return empty_viols()
                 return F.concat(*evs) if len(evs) > 1 else evs[0]
+            self._lambda_depth += 1
             per_elem = F.flatten(F.transform(rest, elem_viols))
+            self._lambda_depth -= 1
             viols.append(F.when(fail, per_elem).otherwise(empty_viols()))
 
         if node.contains is not None:
             pred_valid = lambda x: F.coalesce(  # noqa: E731
                 self.build(node.contains, et, x, iloc)[0], F.lit(False))
+            self._lambda_depth += 1
             cnt = F.size(F.filter(value, pred_valid))
+            self._lambda_depth -= 1
             lo = 1 if node.min_contains is None else node.min_contains
             ok = cnt >= lo
             msg = F.lit(MESSAGES["contains"]) if node.min_contains is None else \
@@ -377,6 +399,11 @@ class PlanBuilder:
         on parseable ones (mirroring boon's early-outs)."""
         from ..functions.content import ENCODINGS, MEDIA_TYPES
 
+        # `target_inline` is the full expression (usable inside other
+        # hoisted prelude expressions — prelude aliases cannot reference
+        # each other within one projection); `target` is the cheap
+        # post-prelude reference used by the check/violation stages.
+        target_inline = sval
         target = sval
         enc_ok = F.lit(True)
         if node.content_encoding is not None:
@@ -385,14 +412,16 @@ class PlanBuilder:
                 raise CompileError(
                     f"{node.loc}/contentEncoding: unknown encoding "
                     f"{enc!r}; register_content_encoding() it first")
-            decoded = ENCODINGS[enc](sval)
-            enc_ok = decoded.isNotNull()
+            # hoist the decode: downstream checks reference the prelude
+            # column; the codegen'd prelude projection CSEs duplicates
+            target_inline = ENCODINGS[enc](sval)
+            target = self._hoist("decoded", target_inline)
+            enc_ok = target.isNotNull()
             fail = F.coalesce(value.isNotNull() & ~enc_ok, F.lit(False))
             valids.append(~fail)
             viols.append(self._viol(
                 fail, f"{node.loc}/contentEncoding", iloc,
                 F.lit(f"value is not '{enc}' encoded")))
-            target = decoded
         parse_ok = F.lit(True)
         if node.content_media_type is not None:
             mt = node.content_media_type.lower()
@@ -400,7 +429,7 @@ class PlanBuilder:
                 raise CompileError(
                     f"{node.loc}/contentMediaType: unknown media type "
                     f"{mt!r}; register_content_media_type() it first")
-            parse_ok = MEDIA_TYPES[mt](target)
+            parse_ok = self._hoist("parse_ok", MEDIA_TYPES[mt](target_inline))
             ok = F.when(~enc_ok, F.lit(True)).otherwise(parse_ok)
             fail = F.coalesce(value.isNotNull() & ~ok, F.lit(False))
             valids.append(~fail)
@@ -413,7 +442,7 @@ class PlanBuilder:
         if node.content_schema is not None and \
                 node.content_media_type is not None:
             ddl = _ddl_from_schema(node.content_schema)
-            parsed = F.from_json(target, ddl)
+            parsed = self._hoist("parsed", F.from_json(target_inline, ddl))
             sub_dtype = T._parse_datatype_string(ddl)
             sub_valid, sub_viols = self.build(
                 node.content_schema, sub_dtype, parsed, iloc)
