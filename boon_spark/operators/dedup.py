@@ -76,16 +76,27 @@ def _hash_shingle(shingle: Column, salt: int) -> Column:
         .cast("long")
 
 
-def _min_hasher(salt: int):
+def _hash_shingle_fast(shingle: Column, salt: int) -> Column:
+    """xxhash64 variant — ~5x cheaper per shingle (one JVM hash vs
+    md5+hex+conv); the production default.  Not reproducible outside
+    Spark, so the oracle-paired queries use the md5 family."""
+    return F.xxhash64(shingle, F.lit(salt))
+
+
+def _min_hasher(salt: int, fast: bool):
     # NOTE: a `lambda s, _salt=salt:` default-arg closure would break
     # here — pyspark treats a two-parameter lambda as (element, index)
     # and binds the index Column to the second arg
-    return lambda s: _hash_shingle(s, salt)
+    fn = _hash_shingle_fast if fast else _hash_shingle
+    return lambda s: fn(s, salt)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """array<long> of per-hash minima over the shingle set."""
-    sigs = [F.array_min(F.transform(shingles, _min_hasher(h)))
+def minhash_signature(shingles: Column, num_hashes: int = 16, *,
+                      hash_family: str = "md5") -> Column:
+    """array<long> of per-hash minima over the shingle set.
+    ``hash_family``: 'md5' (oracle-reproducible) or 'xxhash64' (fast)."""
+    fast = hash_family == "xxhash64"
+    sigs = [F.array_min(F.transform(shingles, _min_hasher(h, fast)))
             for h in range(num_hashes)]
     return F.array(*sigs)
 
@@ -94,7 +105,8 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
                       jaccard_threshold: float = 0.5,
-                      max_bucket: int = 64) -> DataFrame:
+                      max_bucket: int = 64,
+                      hash_family: str = "xxhash64") -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     shingle Jaccard.  Returns (id_a, id_b, jaccard) with id_a < id_b."""
     assert num_hashes % bands == 0
@@ -105,7 +117,9 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
         word_shingles(F.col(text_col), shingle_n).alias("_sh"))
     base = base.filter(F.size("_sh") > 0)
     sig = base.select(
-        "_id", "_sh", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
+        "_id", "_sh",
+        minhash_signature(F.col("_sh"), num_hashes,
+                          hash_family=hash_family).alias("_sig"))
 
     # band keys: hash of each signature slice → (band_id, key) rows
     band_cols = [F.struct(

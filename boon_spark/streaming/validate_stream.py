@@ -59,6 +59,40 @@ def violation_rate(stream_df: DataFrame, spec, *, ts_col: str,
                         F.col("n_invalid") / F.col("n_rows")))
 
 
+def stream_to_manifest(stream_df: DataFrame, spec, *, partition_col: str,
+                       manifest_path: str, checkpoint: str,
+                       violations_path: Optional[str] = None,
+                       row_id: Optional[str] = None):
+    """Bridge a stream into the batch lineage manifest: each micro-batch
+    is validated with :func:`validate_partitioned` via ``foreachBatch``,
+    so streaming ingestion lands in the SAME resumable manifest a batch
+    backfill uses (one source of truth for per-partition verdicts).
+
+    Returns the started StreamingQuery.
+    """
+    from ..sources.manifest import ValidationManifest, validate_partitioned
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # a partition seen again in a later batch must re-validate:
+        # drop its lineage first, then validate the batch's partitions
+        manifest = ValidationManifest(manifest_path)
+        parts = [r[0] for r in batch_df.select(
+            partition_col).distinct().collect()]
+        for p in parts:
+            manifest.invalidate(str(p))
+        validate_partitioned(spark, batch_df, spec, partition_col,
+                             manifest_path, violations_path=violations_path,
+                             row_id=row_id)
+
+    return (stream_df.writeStream
+            .foreachBatch(handle)
+            .option("checkpointLocation", checkpoint)
+            .start())
+
+
 STATE_SCHEMA = "total_rows long, total_invalid long"
 OUTPUT_SCHEMA = ("key string, batch_rows long, total_rows long, "
                  "total_invalid long")

@@ -89,3 +89,27 @@ def test_cumulative_state_across_batches(spark, input_dir, tmp_path):
         finals = max(e.total_rows for e in emissions)
         assert finals == 60
         assert sum(e.batch_rows for e in emissions) == 60
+
+
+def test_stream_to_manifest(spark, input_dir, tmp_path):
+    from boon_spark.sources.manifest import ValidationManifest
+    from boon_spark.streaming.validate_stream import stream_to_manifest
+
+    q = stream_to_manifest(
+        _read_stream(spark, input_dir), SPEC, partition_col="source",
+        manifest_path=str(tmp_path / "m"), checkpoint=str(tmp_path / "ck"),
+        violations_path=str(tmp_path / "v"), row_id="doc_id")
+    # availableNow semantics via manual stop after the data drains
+    import time
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        entries = ValidationManifest(str(tmp_path / "m")).entries()
+        if sum(e["n_rows"] for e in entries) >= 120:
+            break
+        time.sleep(1)
+    q.stop()
+    entries = ValidationManifest(str(tmp_path / "m")).entries()
+    by_part = {e["partition"]: e for e in entries}
+    assert set(by_part) == {"web", "books"}
+    assert sum(e["n_rows"] for e in by_part.values()) == 120
+    assert os.path.isdir(tmp_path / "v" / "source=web")
