@@ -61,7 +61,6 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=4)
     args = ap.parse_args(argv)
 
-    from .errors import CompileError
     from .schema import compile_schema
 
     try:

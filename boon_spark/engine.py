@@ -25,8 +25,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .plans.builder import VIOL_ARRAY, PlanBuilder, empty_viols
-from .schema import CompiledSchema, Node, compile_schema
+from .plans.builder import PlanBuilder, empty_viols
+from .schema import CompiledSchema, compile_schema
 
 
 @dataclass
@@ -47,8 +47,11 @@ class Engine:
 
     # ------------------------------------------------------------------
     def check_columns(self, df: DataFrame) -> tuple[Column, Column]:
-        """Build (valid, violations) Columns against ``df``'s schema."""
-        pb = PlanBuilder(df.schema, row_id=self.row_id)
+        """Build (valid, violations) Columns against ``df``'s schema —
+        for embedding checks into a caller's own select().  Hoisting is
+        disabled (no staging projection exists to carry prelude columns);
+        prefer :meth:`annotate` for content-heavy schemas."""
+        pb = PlanBuilder(df.schema, row_id=self.row_id, allow_hoist=False)
         valid, viol_arrays = pb.build(
             self.compiled.root, None, None, pb.root_iloc())
         if viol_arrays:

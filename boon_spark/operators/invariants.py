@@ -7,7 +7,6 @@ keyword checks (no shuffle, codegen'd).
 
 from __future__ import annotations
 
-from functools import reduce
 from typing import Optional
 
 from pyspark.sql import DataFrame

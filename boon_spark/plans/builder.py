@@ -84,7 +84,8 @@ class PlanBuilder:
     can push filters/pruning to the scan; nested structs use ``getField``.
     """
 
-    def __init__(self, df_schema: T.StructType, row_id: Optional[str] = None):
+    def __init__(self, df_schema: T.StructType, row_id: Optional[str] = None,
+                 *, allow_hoist: bool = True):
         self.df_schema = df_schema
         self.row_id = row_id
         # prelude: expensive shared subexpressions (JSON parses) hoisted
@@ -93,12 +94,13 @@ class PlanBuilder:
         # interpreted projections get no subexpression elimination
         self.prelude: dict[str, Column] = {}
         self._lambda_depth = 0
+        self._allow_hoist = allow_hoist
 
     def _hoist(self, name: str, expr: Column) -> Column:
         """Register an expression for the prelude projection and return a
         reference to it.  Only legal outside lambda bodies (a lambda var
         cannot cross a projection boundary)."""
-        if self._lambda_depth > 0:
+        if self._lambda_depth > 0 or not self._allow_hoist:
             return expr
         alias = f"_bs_{name}_{len(self.prelude)}"
         self.prelude[alias] = expr
