@@ -375,6 +375,32 @@ class PlanBuilder:
             self._lambda_depth -= 1
             viols.append(F.when(fail, per_elem).otherwise(empty_viols()))
 
+        if node.unevaluated_items is not None and node.items is None:
+            # static index arithmetic (SURVEY §2.3): prefix length is the
+            # evaluated count; `items` present ⇒ everything evaluated
+            if node.contains is not None:
+                raise CompileError(
+                    f"{node.loc}: unevaluatedItems alongside contains "
+                    f"needs runtime annotation flow — unsupported")
+            rest = value if npfx == 0 else F.slice(
+                value, npfx + 1, F.greatest(sz - npfx, F.lit(0)))
+            sub = node.unevaluated_items
+            if sub is False:
+                add(sz <= npfx, "unevaluatedItems", F.concat(
+                    F.lit("last "), (sz - npfx).cast("string"),
+                    F.lit(" unevaluatedItems not allowed")))
+            elif isinstance(sub, Node) and not sub.is_trivial_true():
+                fast = _range_only_valid(sub, et, rest)
+                if fast is not None:
+                    u_ok = fast
+                else:
+                    self._lambda_depth += 1
+                    u_ok = F.forall(rest, lambda x: F.coalesce(
+                        self.build(sub, et, x, iloc)[0], F.lit(False)))
+                    self._lambda_depth -= 1
+                add(u_ok, "unevaluatedItems",
+                    F.lit("unevaluated items do not match schema"))
+
         if node.contains is not None:
             pred_valid = lambda x: F.coalesce(  # noqa: E731
                 self.build(node.contains, et, x, iloc)[0], F.lit(False))
@@ -459,6 +485,9 @@ class PlanBuilder:
             viols.append(self._viol(
                 fail, f"{node.loc}/contentSchema", iloc,
                 F.lit("contentSchema failed")))
+
+    # ---------------------------------------------------------- unevaluated
+    # (helpers live at module level: _static_evaluated_names)
 
     # ---------------------------------------------------------- objects
     def _object_checks(self, node: Node, dtype, value: Optional[Column],
@@ -556,6 +585,32 @@ class PlanBuilder:
                         v, vs = self.build(sub, fields[n], get(n), c_iloc)
                         valids.append(F.coalesce(guard(v), F.lit(False)))
                         viols.extend(guard_viols(x) for x in vs)
+
+        if node.unevaluated_properties is not None:
+            # static annotation flow (SURVEY §2.2): the evaluated-name set
+            # is computed at compile from properties/patternProperties of
+            # this schema and its allOf descendants.  Applicators whose
+            # evaluated set is runtime-dependent (anyOf/oneOf/if/
+            # dependentSchemas — boon's Uneval runtime merge,
+            # src/validator.rs:930-968) are rejected, not approximated.
+            evaluated = _static_evaluated_names(node, set(fields))
+            extra = [nm for nm in fields if nm not in evaluated]
+            sub = node.unevaluated_properties
+            for nm in extra:
+                if sub is False:
+                    present = get(nm).isNotNull()
+                    fail = F.coalesce(
+                        present if is_row else value.isNotNull() & present,
+                        F.lit(False))
+                    valids.append(~fail)
+                    viols.append(self._viol(
+                        fail, f"{node.loc}/unevaluatedProperties", iloc,
+                        F.lit(f"unevaluated property '{nm}' not allowed")))
+                elif isinstance(sub, Node) and not sub.is_trivial_true():
+                    c_iloc = F.concat(iloc, F.lit(f"/{nm}"))
+                    v2, vs2 = self.build(sub, fields[nm], get(nm), c_iloc)
+                    valids.append(F.coalesce(guard(v2), F.lit(False)))
+                    viols.extend(guard_viols(x) for x in vs2)
 
         if node.dependent_schemas:
             # if prop present → subschema applies to the whole object
@@ -710,6 +765,27 @@ class PlanBuilder:
             e_arr = (F.concat(*else_vs) if len(else_vs) > 1
                      else (else_vs[0] if else_vs else empty_viols()))
             viols.append(F.when(cond, t_arr).otherwise(e_arr))
+
+
+def _static_evaluated_names(node: Node, fields: set) -> set:
+    """Compile-time evaluated-property set for unevaluatedProperties:
+    properties + patternProperties matches here and in allOf descendants.
+    Runtime-dependent applicators are a CompileError, mirroring the
+    honest-subset policy (boon's Uneval flow is runtime,
+    src/validator.rs:930-968)."""
+    if node.any_of or node.one_of or node.if_ is not None \
+            or node.dependent_schemas or node.not_ is not None:
+        raise CompileError(
+            f"{node.loc}: unevaluatedProperties alongside anyOf/oneOf/if/"
+            f"not/dependentSchemas needs runtime annotation flow — "
+            f"unsupported; restructure with allOf")
+    out = set(node.properties or {})
+    for pat in (node.pattern_properties or {}):
+        rx = re.compile(pat)
+        out |= {f for f in fields if rx.search(f)}
+    for sub in node.all_of or []:
+        out |= _static_evaluated_names(sub, fields)
+    return out
 
 
 def _ddl_from_schema(node: Node) -> str:

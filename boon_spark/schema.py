@@ -37,6 +37,7 @@ SUPPORTED = {
     "required", "properties", "patternProperties", "additionalProperties",
     "dependentRequired", "dependencies", "dependentSchemas", "propertyNames",
     "minProperties", "maxProperties",
+    "unevaluatedProperties", "unevaluatedItems",
     "contentEncoding", "contentMediaType", "contentSchema",
     "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
     "$ref", "$defs", "definitions",
@@ -50,7 +51,6 @@ UNSUPPORTED = {
     # dynamic-scope resolution is meaningless over fixed-width rows
     # (src/validator.rs:579-652) — fail at compile, never silently ignore.
     "$recursiveRef", "$recursiveAnchor", "$dynamicRef", "$dynamicAnchor",
-    "unevaluatedProperties", "unevaluatedItems",
 }
 
 
@@ -96,6 +96,9 @@ class Node:
     property_names: Optional["Node"] = None
     min_properties: Optional[int] = None
     max_properties: Optional[int] = None
+
+    unevaluated_properties: Any = None  # None | bool | Node
+    unevaluated_items: Any = None       # None | bool | Node
 
     content_encoding: Optional[str] = None
     content_media_type: Optional[str] = None
@@ -362,6 +365,12 @@ class Compiler:
             n.min_properties = _nonneg_int(v["minProperties"], "minProperties", loc)
         if "maxProperties" in v:
             n.max_properties = _nonneg_int(v["maxProperties"], "maxProperties", loc)
+        for kw, attr in (("unevaluatedProperties", "unevaluated_properties"),
+                         ("unevaluatedItems", "unevaluated_items")):
+            if kw in v:
+                u = v[kw]
+                setattr(n, attr, u if isinstance(u, bool)
+                        else self.compile_value(u, f"{loc}/{kw}"))
 
         for kw, attr in (("allOf", "all_of"), ("anyOf", "any_of"), ("oneOf", "one_of")):
             if kw in v:

@@ -87,3 +87,13 @@ def test_http_schema_loading(tmp_path):
         got = load_schema(f"http://127.0.0.1:{port}/s.json")
         srv.shutdown()
     assert got == doc
+
+
+def test_unevaluated_with_dynamic_applicator_is_compile_error(spark):
+    from boon_spark import Engine
+    eng = Engine.from_schema({
+        "anyOf": [{"properties": {"a": {"type": "string"}}}],
+        "unevaluatedProperties": False})
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    with pytest.raises(CompileError, match="runtime annotation flow"):
+        eng.annotate(df)
