@@ -78,6 +78,7 @@ def main(argv=None) -> int:
              .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    from .errors import CompileError
     try:
         df = spark.read.parquet(args.table)
 
@@ -122,6 +123,9 @@ def main(argv=None) -> int:
             for r in res.summary().orderBy("keyword_location").collect():
                 print(f"{r.keyword_location}\t{r.n_violations}")
         return 2 if not flag.valid else 0
+    except CompileError as e:  # plan-time compile errors (e.g. dynamic
+        print(f"error: {e}", file=sys.stderr)  # unevaluated* sets)
+        return 1
     finally:
         spark.stop()
 
