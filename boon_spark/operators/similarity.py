@@ -129,18 +129,31 @@ def simhash_signature(vec: Column, dim: int, *, bits: int = 16,
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
                     dim: int, id_col: str = "vec_id",
                     vec_col: str = "embedding", bits: int = 8,
-                    seed: int = 42) -> DataFrame:
+                    seed: int = 42, multiprobe: bool = True) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by SimHash signature,
     join on the bucket, rank within.  Recall < 1.0 by construction; the
     bucket join replaces the cross product — at scale this is a standard
-    shuffled equi-join on the signature (bounded fan-out)."""
+    shuffled equi-join on the signature (bounded fan-out).
+
+    ``multiprobe`` explodes each QUERY into its bucket plus all 1-bit-
+    flipped neighbor buckets (bits+1 probes) — the classic recall lever
+    that costs query-side fan-out (small side) instead of corpus passes.
+    """
     sig_c = simhash_signature(F.col(vec_col), dim, bits=bits, seed=seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("_cv"), sig_c.alias("_sig"))
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qv"), sig_c.alias("_sig"))
+                       F.col(vec_col).alias("_qv"), sig_c.alias("_sig0"))
+    if multiprobe:
+        probes = F.array(F.col("_sig0"), *[
+            F.col("_sig0").bitwiseXOR(F.lit(1 << b)) for b in range(bits)])
+        q = q.select("query_id", "_qv",
+                     F.explode(probes).alias("_sig"))
+    else:
+        q = q.withColumnRenamed("_sig0", "_sig")
     joined = (c.join(F.broadcast(q), on="_sig")
-              .filter(F.col("neighbor_id") != F.col("query_id")))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .dropDuplicates(["query_id", "neighbor_id"]))
     scored = joined.select(
         "query_id", "neighbor_id",
         cosine(F.col("_cv"), F.col("_qv")).alias("cos"))

@@ -90,3 +90,28 @@ def test_embedding_near_dups(spark):
     found = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in found
     assert (1, 3) not in found
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    """The approximate (LSH-bucketed) ANN must recover a decent fraction
+    of the exact top-k — the scale-path quality contract."""
+    from pyspark.sql import functions as F
+
+    from boon_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+    emb = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(16)),
+                    lambda i: ((F.pmod(F.xxhash64(F.col("id"), i),
+                                       F.lit(1000)) / 500.0) - 1.0)
+                    .cast("float")).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in
+              lsh_bucket_topk(emb, queries, k=5, dim=16, bits=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    # 4-bit buckets on 400 random vectors: expect moderate recall, and
+    # the approximate result must be a plausible subset, not garbage
+    assert recall >= 0.25, f"recall {recall:.2f} too low"
+    assert all(q < 10 for q, _ in approx)
