@@ -310,8 +310,9 @@ def q_minhash_head(spark, sf_dir):
 
 
 def q_simhash_docs(spark, sf_dir):
-    """64-bit SimHash fingerprints (Arrow-batched pandas UDF) —
-    rows-only check (bit-vote loop not SQL-expressible)."""
+    """64-bit SimHash fingerprints (Arrow-batched pandas UDF), oracle-
+    checked bit-for-bit against a DuckDB reimplementation of the full
+    shingle→md5→bit-vote pipeline."""
     from boon_spark.operators.dedup import simhash64
     return _docs(spark, sf_dir).select(
         "doc_id", simhash64(F.col("text")).alias("fp"))
@@ -672,6 +673,38 @@ def oracle_sql() -> dict[str, str]:
                      s -> CAST(concat('0x', substr(md5(concat(s, '#0')), 1, 15)) AS BIGINT)
                    )) AS sig0
             FROM sh
+        """,
+        "simhash_docs": """
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS words
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_transform(range(1, greatest(len(words) - 3, 0) + 2),
+                                            i -> array_to_string(list_slice(words, i, i + 2), ' ')) AS shingles
+              FROM norm),
+            hs AS (
+              SELECT doc_id, len(shingles) AS n,
+                     list_transform(shingles,
+                       s -> CAST(CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296
+                            + CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)) AS hlist
+              FROM sh),
+            halves AS (
+              SELECT doc_id,
+                CAST(list_sum(list_transform(range(32, 64),
+                   p -> CASE WHEN 2 * len(list_filter(hlist,
+                            h -> (h >> CAST(p AS HUGEINT)) & CAST(1 AS HUGEINT) = CAST(1 AS HUGEINT))) >= n
+                        THEN CAST(1 AS BIGINT) << (p - 32) ELSE 0 END)) AS BIGINT) AS hi,
+                CAST(list_sum(list_transform(range(0, 32),
+                   p -> CASE WHEN 2 * len(list_filter(hlist,
+                            h -> (h >> CAST(p AS HUGEINT)) & CAST(1 AS HUGEINT) = CAST(1 AS HUGEINT))) >= n
+                        THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS lo
+              FROM hs),
+            tot AS (SELECT doc_id, CAST(hi AS HUGEINT) * 4294967296 + lo AS u FROM halves)
+            SELECT doc_id, CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                                     THEN u - CAST('18446744073709551616' AS HUGEINT)
+                                     ELSE u END AS BIGINT) AS fp
+            FROM tot
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
