@@ -328,6 +328,15 @@ def q_minhash_pairs(spark, sf_dir):
         .select("id_a", "id_b")
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """exact word-3-gram Jaccard pairs within (source, lang) blocks."""
+    from boon_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _docs(spark, sf_dir).withColumn(
+        "blk", F.concat_ws("|", "source", "lang"))
+    return (ngram_jaccard_pairs(docs, group_col="blk", threshold=0.5)
+            .select("id_a", "id_b"))
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """LSH-bucketed cosine near-dup pairs over embeddings — rows-only
     (hyperplane constants not SQL-expressible)."""
@@ -384,6 +393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_head": q_minhash_head,
     "simhash_docs": q_simhash_docs,
     "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dups": q_embedding_near_dups,
 }
 
@@ -673,6 +683,24 @@ def oracle_sql() -> dict[str, str]:
                      s -> CAST(concat('0x', substr(md5(concat(s, '#0')), 1, 15)) AS BIGINT)
                    )) AS sig0
             FROM sh
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id, source || '|' || lang AS blk,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) - 3, 0) + 2),
+                       i -> array_to_string(list_slice(
+                              string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '),
+                              i, i + 2), ' '))) AS shingles
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.shingles, b.shingles)) AS inter,
+                     len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles)) AS uni
+              FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b FROM pairs
+            WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
         """,
         "simhash_docs": """
             WITH norm AS (
