@@ -319,12 +319,13 @@ def q_simhash_docs(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-duplicate pairs — rows-only check (pair logic
-    verified by pytest with engineered dups; the driver documents corpus
-    contains ~26 genuine near-dup pairs at jaccard >= 0.9)."""
+    """MinHash-LSH near-duplicate pairs (md5 hash family so the full
+    shingle→minhash→band→bucket→Jaccard pipeline is reproduced in the
+    DuckDB oracle; the driver documents corpus contains ~26 genuine
+    near-dup pairs at jaccard >= 0.9)."""
     from boon_spark.operators.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, bands=8,
-                             jaccard_threshold=0.5) \
+                             jaccard_threshold=0.5, hash_family="md5") \
         .select("id_a", "id_b")
 
 
@@ -683,6 +684,46 @@ def oracle_sql() -> dict[str, str]:
                      s -> CAST(concat('0x', substr(md5(concat(s, '#0')), 1, 15)) AS BIGINT)
                    )) AS sig0
             FROM sh
+        """,
+        "minhash_pairs": """
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS words
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(words) - 3, 0) + 2),
+                       i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS shingles
+              FROM norm
+              WHERE len(list_distinct(list_transform(
+                       range(1, greatest(len(words) - 3, 0) + 2),
+                       i -> array_to_string(list_slice(words, i, i + 2), ' ')))) > 0),
+            sig AS (
+              SELECT doc_id, shingles,
+                     list_transform(range(0, 16),
+                       hh -> list_min(list_transform(shingles,
+                         s -> CAST(concat('0x', substr(md5(concat(s, '#', hh)), 1, 15)) AS BIGINT)))) AS sg
+              FROM sh),
+            banded AS (
+              SELECT doc_id, shingles, b,
+                     CAST(concat('0x', substr(md5(
+                       CAST(sg[2*b + 1] AS VARCHAR) || ',' || CAST(sg[2*b + 2] AS VARCHAR)
+                     ), 1, 15)) AS BIGINT) AS key
+              FROM sig, range(0, 8) t(b)),
+            buckets AS (
+              SELECT b, key FROM banded GROUP BY b, key
+              HAVING count(*) BETWEEN 2 AND 64),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                     x.shingles AS sa, y.shingles AS sb
+              FROM banded x
+              JOIN buckets u ON x.b = u.b AND x.key = u.key
+              JOIN banded y ON y.b = u.b AND y.key = u.key
+                           AND x.doc_id < y.doc_id)
+            SELECT DISTINCT id_a, id_b FROM cand
+            WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                  / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.5
         """,
         "ngram_jaccard": """
             WITH sh AS (

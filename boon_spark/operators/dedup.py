@@ -121,13 +121,20 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
         minhash_signature(F.col("_sh"), num_hashes,
                           hash_family=hash_family).alias("_sig"))
 
-    # band keys: hash of each signature slice → (band_id, key) rows
+    # band keys: hash of each signature slice → (band_id, key) rows.
+    # key hashing follows hash_family so md5 runs are oracle-reproducible
+    def band_key(b: int):
+        joined = F.concat_ws(
+            ",", *[F.element_at("_sig", b * rows_per_band + r + 1)
+                   .cast("string") for r in range(rows_per_band)])
+        if hash_family == "md5":
+            return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10) \
+                .cast("long")
+        return F.xxhash64(joined)
+
     band_cols = [F.struct(
         F.lit(b).alias("band"),
-        F.xxhash64(F.concat_ws(
-            ",", *[F.element_at("_sig", b * rows_per_band + r + 1)
-                   .cast("string") for r in range(rows_per_band)]))
-        .alias("key")) for b in range(bands)]
+        band_key(b).alias("key")) for b in range(bands)]
     banded = sig.select("_id", "_sh", F.explode(F.array(*band_cols)).alias("bk")) \
         .select("_id", "_sh", "bk.band", "bk.key")
 
