@@ -230,6 +230,34 @@ def q_invariant_nchars(spark, sf_dir):
         F.sum((~ok).cast("bigint")).cast("bigint").alias("n_bad"))
 
 
+def q_validate_table_docs(spark, sf_dir):
+    """the validate_table orchestrator end-to-end: row-local keywords +
+    table-level uniqueness + row invariants, summarized per keyword."""
+    from boon_spark import validate_table
+    spec = {
+        "schema": {"properties": {
+            "n_chars": {"maximum": 400},
+            "lang": {"enum": ["en", "de", "fr"]}}},
+        "unique": [["source", "lang"]],
+        "invariants": [{"name": "n_chars_len",
+                        "expr": "n_chars = length(text)"}],
+    }
+    out = validate_table(_docs(spark, sf_dir), spec, row_id="doc_id")
+    row_counts = (out["row_violations"]
+                  .groupBy("keyword_location")
+                  .agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("n_violations")))
+    uniq_counts = (out["unique_violations"]
+                   .groupBy("keyword_location")
+                   .agg(F.count(F.lit(1)).cast("bigint")
+                        .alias("n_violations")))
+    inv_counts = (out["invariant_violations"]
+                  .groupBy("keyword_location")
+                  .agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("n_violations")))
+    return row_counts.unionByName(uniq_counts).unionByName(inv_counts)
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline ops (prompt mandate: dedup/similarity/text)
 # --------------------------------------------------------------------------
@@ -383,6 +411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "referential_custkey": q_referential_custkey,
     "stats_by_source": q_stats_by_source,
     "invariant_nchars": q_invariant_nchars,
+    "validate_table_docs": q_validate_table_docs,
     "drift_nchars": q_drift_nchars,
     "dedup_exact": q_dedup_exact,
     "fingerprint": q_fingerprint,
@@ -615,6 +644,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(any_value(na) AS BIGINT) AS n_a,
                    CAST(any_value(nb) AS BIGINT) AS n_b
             FROM withp
+        """,
+        "validate_table_docs": """
+            WITH cats AS (
+              SELECT '/properties/n_chars/maximum' AS keyword_location,
+                     CAST(count(*) AS BIGINT) AS n_violations
+              FROM documents WHERE n_chars > 400
+              UNION ALL
+              SELECT '/properties/lang/enum', CAST(count(*) AS BIGINT)
+              FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+              UNION ALL
+              SELECT '/x-unique/source,lang', CAST(count(*) AS BIGINT)
+              FROM (SELECT source, lang FROM documents
+                    GROUP BY source, lang HAVING count(*) > 1)
+              UNION ALL
+              SELECT '/x-invariants/n_chars_len', CAST(count(*) AS BIGINT)
+              FROM documents WHERE NOT coalesce(n_chars = length(text), FALSE))
+            SELECT * FROM cats WHERE n_violations > 0
         """,
         "dedup_exact": """
             SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,

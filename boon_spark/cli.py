@@ -58,6 +58,10 @@ def main(argv=None) -> int:
                     help="manifest directory (with --partition-col)")
     ap.add_argument("--violations", default=None,
                     help="violation sink directory (with --partition-col)")
+    ap.add_argument("--sample", type=float, default=None,
+                    help="validate a row fraction (north_star: sampled-"
+                         "partition spot checks at full scale)")
+    ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--cpus", type=int, default=4)
     args = ap.parse_args(argv)
 
@@ -81,6 +85,8 @@ def main(argv=None) -> int:
     from .errors import CompileError
     try:
         df = spark.read.parquet(args.table)
+        if args.sample is not None:
+            df = df.sample(fraction=args.sample, seed=args.seed)
 
         if args.partition_col:
             if not args.manifest:

@@ -406,17 +406,30 @@ class PlanBuilder:
                 self.build(node.contains, et, x, iloc)[0], F.lit(False))
             self._lambda_depth += 1
             cnt = F.size(F.filter(value, pred_valid))
+            # matching indices, only materialized inside failure messages
+            # (boon reports them: "found N items at i, j",
+            # src/validator.rs:412-447)
+            match_idx = F.array_join(
+                F.filter(F.transform(value, lambda x, i: F.when(
+                    pred_valid(x), i.cast("string"))),
+                    lambda s: s.isNotNull()), ", ")
             self._lambda_depth -= 1
             lo = 1 if node.min_contains is None else node.min_contains
             ok = cnt >= lo
             msg = F.lit(MESSAGES["contains"]) if node.min_contains is None else \
-                F.concat(F.lit(f"minimum {lo} items required to match "
-                               f"contains schema, but found "), cnt.cast("string"))
+                F.when(cnt == 0, F.lit(
+                    f"minimum {lo} items required to match contains "
+                    f"schema, but found none")) \
+                .otherwise(F.concat(
+                    F.lit(f"minimum {lo} items required to match contains "
+                          f"schema, but found "), cnt.cast("string"),
+                    F.lit(" items at "), match_idx))
             add(ok, "contains" if node.min_contains is None else "minContains", msg)
             if node.max_contains is not None:
                 add(cnt <= node.max_contains, "maxContains", F.concat(
-                    F.lit(f"maximum {node.max_contains} items required to match "
-                          f"contains schema, but found "), cnt.cast("string")))
+                    F.lit(f"maximum {node.max_contains} items required to "
+                          f"match contains schema, but found "),
+                    cnt.cast("string"), F.lit(" items at "), match_idx))
 
     # ---------------------------------------------------------- content
     def _content_checks(self, node: Node, value: Column, sval: Column,

@@ -62,3 +62,15 @@ def test_summary_counts(spark):
     s = eng.validate(df).summary().collect()
     assert s[0].keyword_location == "/properties/x/minimum"
     assert s[0].n_violations == 2
+
+
+def test_contains_reports_matching_indices(spark):
+    # boon: "minimum N items required to match contains schema, but
+    # found M items at i, j" (src/validator.rs:412-447)
+    eng = Engine.from_schema(
+        {"properties": {"xs": {"contains": {"minimum": 10},
+                               "minContains": 2}}}, row_id="k")
+    df = spark.createDataFrame([("r1", [1, 12, 3])], "k string, xs array<int>")
+    v = eng.validate(df).violations().collect()
+    assert v[0].error == ("minimum 2 items required to match contains "
+                          "schema, but found 1 items at 1")
