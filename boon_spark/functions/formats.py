@@ -305,7 +305,9 @@ FORMATS: dict[str, Callable[[Column], Column]] = {}
 for _name, _pat in _REGEXES.items():
     FORMATS[_name] = (lambda p: (lambda c: c.rlike(p)))(_pat)
 
-# date gets an extra fast path: regex prunes JVM-side before the UDF runs
+# Python-checker formats are Arrow-batched UDFs (no JVM pre-prune: an
+# ArrowEvalPython stage evaluates the UDF for the whole batch regardless
+# of a guarding AND/when, so a regex prune would not shrink Arrow traffic)
 for _name, _fn in _PY_CHECKERS.items():
     FORMATS[_name] = _vectorized(_fn)
 
@@ -323,5 +325,9 @@ def register_format(name: str, fn, *, column_expr: bool = False) -> None:
 
 def format_predicate(name: str) -> Callable[[Column], Column]:
     if name not in FORMATS:
-        raise KeyError(f"unknown format {name!r}; register_format() it first")
+        # backstop — compile_schema fail-fasts first (schema.py), but a
+        # format deregistered between compile and plan-build lands here
+        from ..errors import CompileError
+        raise CompileError(
+            f"unknown format {name!r}; register_format() it first")
     return FORMATS[name]

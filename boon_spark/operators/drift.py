@@ -58,15 +58,18 @@ def drift_metrics(hist_a: DataFrame, hist_b: DataFrame, *,
                .agg(F.first("cnt"))
                .na.fill(0))
     tot = pivoted.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    # the CDF window runs over the POST-AGGREGATION histogram — at most
+    # buckets+2 rows regardless of input size, so a single partition is
+    # correct and bounded; partitionBy(lit(0)) declares that explicitly
+    # (and silences the "No Partition Defined" WARN that would otherwise
+    # mask real single-partition windows over big data)
+    cdf_w = Window.partitionBy(F.lit(0)).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0)
     withp = (pivoted.crossJoin(F.broadcast(tot))
              .withColumn("pa", F.col("a") / F.col("na"))
              .withColumn("pb", F.col("b") / F.col("nb"))
-             .withColumn("cdfa", F.sum("pa").over(
-                 Window.orderBy("bucket").rowsBetween(
-                     Window.unboundedPreceding, 0)))
-             .withColumn("cdfb", F.sum("pb").over(
-                 Window.orderBy("bucket").rowsBetween(
-                     Window.unboundedPreceding, 0))))
+             .withColumn("cdfa", F.sum("pa").over(cdf_w))
+             .withColumn("cdfb", F.sum("pb").over(cdf_w)))
     return withp.agg(
         F.max(F.abs(F.col("cdfa") - F.col("cdfb"))).alias("ks_stat"),
         F.sum((F.col("pa") - F.col("pb")) *

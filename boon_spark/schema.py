@@ -270,6 +270,18 @@ class Compiler:
                 raise CompileError(f"{loc}/enum: must be a non-empty array")
             n.enum = v["enum"]
         if "format" in v:
+            # fail-fast on unknown formats at compile (not plan-build):
+            # boon treats unknown formats as annotations (compiler.rs:488-502
+            # — formats.get().or_else(FORMATS.get) → None skips the check);
+            # we default to assert-format behavior, so an unregistered name
+            # must surface as a clean CompileError, not a KeyError mid-plan.
+            from .functions.formats import FORMATS
+            if not isinstance(v["format"], str):
+                raise CompileError(f"{loc}/format: expected string")
+            if v["format"] not in FORMATS:
+                raise CompileError(
+                    f"{loc}/format: unknown format {v['format']!r}; "
+                    f"register_format() it first")
             n.format = v["format"]
 
         for kw, attr in (("minimum", "minimum"), ("maximum", "maximum"),

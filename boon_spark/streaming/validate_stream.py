@@ -59,6 +59,21 @@ def violation_rate(stream_df: DataFrame, spec, *, ts_col: str,
                         F.col("n_invalid") / F.col("n_rows")))
 
 
+def batch_partition_keys(batch_df: DataFrame, partition_col: str) -> list:
+    """Distinct manifest partition keys of a batch, derived EXACTLY as
+    ``validate_partitioned`` derives them (Spark cast-to-string + the
+    ``__null__`` sentinel).  Python ``str()`` on raw values would produce
+    "None"/"True" where the manifest holds "__null__"/"true", so a
+    re-seen null/bool partition would never be invalidated and its rows
+    silently skipped as already-complete."""
+    from ..sources.manifest import NULL_PARTITION
+
+    pkey = F.coalesce(F.col(partition_col).cast("string"),
+                      F.lit(NULL_PARTITION))
+    return [r[0] for r in
+            batch_df.select(pkey.alias("_p")).distinct().collect()]
+
+
 def stream_to_manifest(stream_df: DataFrame, spec, *, partition_col: str,
                        manifest_path: str, checkpoint: str,
                        violations_path: Optional[str] = None,
@@ -79,10 +94,8 @@ def stream_to_manifest(stream_df: DataFrame, spec, *, partition_col: str,
         # a partition seen again in a later batch must re-validate:
         # drop its lineage first, then validate the batch's partitions
         manifest = ValidationManifest(manifest_path)
-        parts = [r[0] for r in batch_df.select(
-            partition_col).distinct().collect()]
-        for p in parts:
-            manifest.invalidate(str(p))
+        for p in batch_partition_keys(batch_df, partition_col):
+            manifest.invalidate(p)
         validate_partitioned(spark, batch_df, spec, partition_col,
                              manifest_path, violations_path=violations_path,
                              row_id=row_id)

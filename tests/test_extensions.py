@@ -55,6 +55,14 @@ def test_unknown_encoding_is_compile_error(spark):
         eng.annotate(df)
 
 
+def test_unknown_format_is_compile_error():
+    # fail-fast at compile (boon ignores unknown formats as annotations,
+    # compiler.rs:488-502; we assert formats, so unknown must error
+    # cleanly — a raw KeyError would bypass the CLI's CompileError handler)
+    with pytest.raises(CompileError, match="register_format"):
+        Engine.from_schema({"properties": {"x": {"format": "iri-x"}}})
+
+
 def test_anchor_resolution(spark):
     eng = Engine.from_schema({
         "$defs": {"pos": {"$anchor": "positive", "minimum": 0}},

@@ -113,3 +113,17 @@ def test_stream_to_manifest(spark, input_dir, tmp_path):
     assert set(by_part) == {"web", "books"}
     assert sum(e["n_rows"] for e in by_part.values()) == 120
     assert os.path.isdir(tmp_path / "v" / "source=web")
+
+
+def test_batch_partition_keys_match_manifest_convention(spark):
+    # regression: invalidate() must receive the SAME key string that
+    # validate_partitioned records — Spark cast-to-string + "__null__"
+    # sentinel, never Python str() ("None"/"True"/"1.5" mismatches)
+    from boon_spark.streaming.validate_stream import batch_partition_keys
+
+    df = spark.createDataFrame(
+        [(None,), (True,), (False,)], "p boolean")
+    assert sorted(batch_partition_keys(df, "p")) == \
+        ["__null__", "false", "true"]
+    df2 = spark.createDataFrame([(1.5,), (None,)], "p double")
+    assert sorted(batch_partition_keys(df2, "p")) == ["1.5", "__null__"]
