@@ -11,10 +11,15 @@ Scale notes per operator:
 * ``exact_duplicates`` — one hash shuffle on a 16-byte digest (map-side
   partial counts); never shuffles document text.
 * ``minhash_lsh_pairs`` — the classic shingle → minhash → band → bucket
-  join.  Only (id, band_key) pairs shuffle (not text); bucket sizes are
-  capped (``max_bucket``) so a degenerate band (e.g. empty docs) cannot
-  quadratically explode a reducer — dropped buckets are *counted* in the
-  output, never silently ignored.
+  join.  Only ``(_id, band, key)`` triples shuffle through the band
+  exchange (never shingle arrays or text — pinned by
+  ``test_plans.test_minhash_band_exchange_carries_no_shingles``); the
+  surviving candidate-pair set (orders of magnitude smaller than the
+  corpus) is re-joined against an ``(_id, shingles)`` projection for the
+  exact-Jaccard verify.  Bucket sizes are capped (``max_bucket``) so a
+  degenerate band (e.g. empty docs) cannot quadratically explode a
+  reducer; over-cap buckets are DROPPED (recall loss, not a correctness
+  loss) — audit the loss with :func:`minhash_lsh_bucket_stats`.
 * ``simhash64`` — Arrow-batched pandas UDF (numpy bit-bucketing);
   near-dup join uses the pigeonhole principle: fingerprints within
   hamming distance d share at least one of d+1 chunks, so candidates come
@@ -25,6 +30,8 @@ Scale notes per operator:
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import Column, DataFrame
@@ -51,17 +58,32 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     max_examples: int = 20) -> DataFrame:
     """Exact-content duplicate groups: (content_hash, n_docs, keep_id,
-    doc_ids).  Normalization: whitespace-collapsed lowercase."""
+    doc_ids).  Normalization: whitespace-collapsed lowercase.
+
+    Bounded accumulation: counts and the example-id list come from window
+    functions over one hash exchange, and only the first
+    ``max_examples`` rows per key reach the ``collect_list`` buffer — a
+    pathological hot key (the empty document, at web scale) sorts and
+    spills instead of holding millions of ids in one reducer's
+    aggregation buffer.  The groupBy reuses the window's partitioning, so
+    this is still a single shuffle."""
+    from pyspark.sql.window import Window
+
     h = F.md5(normalized_text(F.col(text_col)))
-    return (df.select(h.alias("content_hash"), F.col(id_col).alias("_id"))
-            .groupBy("content_hash")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.min("_id").alias("keep_id"),
-                 F.slice(F.sort_array(F.collect_list("_id")), 1, 20)
-                 .alias("doc_ids"))
-            .filter(F.col("n_docs") > 1))
+    w = Window.partitionBy("content_hash")
+    wo = w.orderBy("_id")
+    ranked = (df.select(h.alias("content_hash"), F.col(id_col).alias("_id"))
+              .withColumn("n_docs", F.count(F.lit(1)).over(w))
+              .withColumn("keep_id", F.min("_id").over(w))
+              .withColumn("_rn", F.row_number().over(wo))
+              .filter((F.col("n_docs") > 1) & (F.col("_rn") <= max_examples)))
+    return (ranked.groupBy("content_hash")
+            .agg(F.first("n_docs").alias("n_docs"),
+                 F.first("keep_id").alias("keep_id"),
+                 F.sort_array(F.collect_list("_id")).alias("doc_ids")))
 
 
 # ---------------------------------------------------------------------------
@@ -135,40 +157,111 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     band_cols = [F.struct(
         F.lit(b).alias("band"),
         band_key(b).alias("key")) for b in range(bands)]
-    banded = sig.select("_id", "_sh", F.explode(F.array(*band_cols)).alias("bk")) \
-        .select("_id", "_sh", "bk.band", "bk.key")
+    # the band exchange carries ONLY (_id, band, key) — shuffling the
+    # shingle arrays here would duplicate the corpus text bands× through
+    # the shuffle (the round-1 scale bug); shingles are re-joined below
+    # for the (tiny) surviving candidate-pair set instead
+    banded = sig.select("_id", F.explode(F.array(*band_cols)).alias("bk")) \
+        .select("_id", "bk.band", "bk.key")
 
     # bucket join: candidates are pairs sharing any band bucket.  Cap
-    # bucket size to bound the quadratic pair expansion per reducer.
+    # bucket size to bound the quadratic pair expansion per reducer
+    # (over-cap buckets are dropped; count them with
+    # minhash_lsh_bucket_stats).
     buckets = (banded.groupBy("band", "key")
-               .agg(F.collect_list(F.struct("_id", "_sh")).alias("members"))
+               .agg(F.collect_list("_id").alias("members"))
                .filter(F.size("members").between(2, max_bucket)))
-    pairs = (buckets
-             .select(F.explode(F.expr(
-                 "filter(flatten(transform(members, a -> "
-                 "transform(members, b -> struct(a, b)))), "
-                 "p -> p.a._id < p.b._id)")).alias("p"))
-             .select(F.col("p.a._id").alias("id_a"),
-                     F.col("p.b._id").alias("id_b"),
-                     F.col("p.a._sh").alias("sh_a"),
-                     F.col("p.b._sh").alias("sh_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+    cand = (buckets
+            .select(F.explode(F.expr(
+                "filter(flatten(transform(members, a -> "
+                "transform(members, b -> struct(a, b)))), "
+                "p -> p.a < p.b)")).alias("p"))
+            .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    # exact-Jaccard verify: join the candidate pairs back to the shingle
+    # projection.  The pair set is ≪ corpus, so AQE broadcasts it (or a
+    # shuffled join moves only candidate rows) — either way the full
+    # corpus text crosses the wire at most once, not bands× over.
+    sh = sig.select("_id", "_sh")
+    pairs = (cand
+             .join(sh.select(F.col("_id").alias("id_a"),
+                             F.col("_sh").alias("sh_a")), on="id_a")
+             .join(sh.select(F.col("_id").alias("id_b"),
+                             F.col("_sh").alias("sh_b")), on="id_b"))
     jac = (F.size(F.array_intersect("sh_a", "sh_b")) /
            F.size(F.array_union("sh_a", "sh_b")))
     return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= jaccard_threshold))
 
 
+def minhash_lsh_bucket_stats(df: DataFrame, *, text_col: str = "text",
+                             id_col: str = "doc_id", num_hashes: int = 16,
+                             bands: int = 4, shingle_n: int = 3,
+                             max_bucket: int = 64,
+                             hash_family: str = "xxhash64") -> DataFrame:
+    """Audit the recall loss of :func:`minhash_lsh_pairs`' bucket cap:
+    one row with (n_buckets, n_candidate_buckets, n_dropped_buckets,
+    n_dropped_docs, largest_bucket) for the same banding parameters —
+    the no-silent-truncation companion to the capped pair join."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    fast = hash_family == "xxhash64"
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    base = base.filter(F.size("_sh") > 0)
+    sig = base.select(
+        "_id", minhash_signature(F.col("_sh"), num_hashes,
+                                 hash_family=hash_family).alias("_sig"))
+
+    def band_key(b: int):
+        joined = F.concat_ws(
+            ",", *[F.element_at("_sig", b * rows_per_band + r + 1)
+                   .cast("string") for r in range(rows_per_band)])
+        if fast:
+            return F.xxhash64(joined)
+        return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+
+    band_cols = [F.struct(F.lit(b).alias("band"),
+                          band_key(b).alias("key")) for b in range(bands)]
+    sizes = (sig.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
+             .groupBy("bk.band", "bk.key")
+             .agg(F.count(F.lit(1)).alias("n")))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("n").between(2, max_bucket).cast("long"))
+        .alias("n_candidate_buckets"),
+        F.sum((F.col("n") > max_bucket).cast("long"))
+        .alias("n_dropped_buckets"),
+        F.coalesce(F.sum(F.when(F.col("n") > max_bucket, F.col("n"))),
+                   F.lit(0)).alias("n_dropped_docs"),
+        F.max("n").alias("largest_bucket"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", group_col: str,
                         shingle_n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_block: Optional[int] = None) -> DataFrame:
     """Exact n-gram Jaccard over all pairs *within a grouping column*
     (blocking key, e.g. (source, lang)) — the quadratic stays inside
-    blocks.  Returns (id_a, id_b, jaccard)."""
+    blocks.  Returns (id_a, id_b, jaccard).
+
+    The within-block join is inherently O(block²): a 1M-doc block is
+    5·10¹¹ pairs on one key.  At scale, EITHER choose a blocking key
+    whose blocks are provably small, OR set ``max_block`` — blocks
+    larger than the cap are dropped (recall loss, never a hang), and
+    :func:`block_size_stats` counts exactly what was dropped."""
     base = df.select(F.col(group_col).alias("_g"),
                      F.col(id_col).alias("_id"),
                      word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    if max_block is not None:
+        sizes = (base.groupBy("_g")
+                 .agg(F.count(F.lit(1)).alias("_bn"))
+                 .filter(F.col("_bn") <= max_block)
+                 .drop("_bn"))
+        base = base.join(sizes, on="_g")
     a = base.select(F.col("_g"), F.col("_id").alias("id_a"),
                     F.col("_sh").alias("sh_a"))
     b = base.select(F.col("_g"), F.col("_id").alias("id_b"),
@@ -178,6 +271,21 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
            F.size(F.array_union("sh_a", "sh_b")))
     return (joined.select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def block_size_stats(df: DataFrame, *, group_col: str,
+                     max_block: int) -> DataFrame:
+    """Dropped-block audit for :func:`ngram_jaccard_pairs`: one row with
+    (n_blocks, n_dropped_blocks, n_dropped_docs, largest_block)."""
+    sizes = df.groupBy(F.col(group_col).alias("_g")) \
+        .agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum((F.col("n") > max_block).cast("long"))
+        .alias("n_dropped_blocks"),
+        F.coalesce(F.sum(F.when(F.col("n") > max_block, F.col("n"))),
+                   F.lit(0)).alias("n_dropped_docs"),
+        F.max("n").alias("largest_block"))
 
 
 # ---------------------------------------------------------------------------
@@ -261,13 +369,25 @@ def simhash_near_dups(df: DataFrame, *, text_col: str = "text",
 def embedding_near_dups(df: DataFrame, *, vec_col: str = "embedding",
                         id_col: str = "vec_id", dim: int,
                         threshold: float = 0.95, bits: int = 12,
-                        seed: int = 42) -> DataFrame:
+                        seed: int = 42,
+                        max_bucket: int = 1024) -> DataFrame:
     """Pairs with cosine ≥ threshold, blocked by random-hyperplane
     signature buckets (deterministic planes; equi-join on the signature
-    replaces the cross product).  Recall trades off with ``bits``."""
+    replaces the cross product).  Recall trades off with ``bits``.
+
+    ``max_bucket`` bounds the within-bucket quadratic: a degenerate
+    signature bucket (e.g. zero vectors all hashing to one signature)
+    would otherwise re-create the cross join on a single reducer.
+    Over-cap buckets are dropped; audit with :func:`block_size_stats`
+    over the signature column."""
     sig = simhash_signature(F.col(vec_col), dim, bits=bits, seed=seed)
     base = df.select(F.col(id_col).alias("_id"),
                      F.col(vec_col).alias("_v"), sig.alias("_sig"))
+    sizes = (base.groupBy("_sig")
+             .agg(F.count(F.lit(1)).alias("_bn"))
+             .filter(F.col("_bn").between(2, max_bucket))
+             .drop("_bn"))
+    base = base.join(sizes, on="_sig")
     a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
                     "_sig")
     b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),

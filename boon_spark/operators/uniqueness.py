@@ -6,7 +6,12 @@ j] }``, ``src/lib.rs:503-505``); at table scale we report *every* occurrence
 of every duplicated key, each violation naming the duplicate count and the
 other occurrences' row ids — strictly more information, same contract.
 
-Scale notes: one hash shuffle on the key (map-side partial count first).
+Scale notes: one hash shuffle on the key.  Counting and example
+collection run as window functions over that exchange, so only the first
+``max_examples`` row ids per key ever enter an aggregation buffer — a
+pathological hot key (the all-NULL key at web scale) sorts and spills
+instead of materializing millions of ids in one reducer (the follow-up
+groupBy reuses the window's partitioning: still one shuffle total).
 doc_id-style keys are high-cardinality → naturally well-distributed; no
 salting needed here (contrast drift.py).
 """
@@ -17,6 +22,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def check_unique(df: DataFrame, cols: list[str], *,
@@ -32,13 +38,17 @@ def check_unique(df: DataFrame, cols: list[str], *,
                              for c in cols])
     kw_loc = "/x-unique/" + ",".join(cols)
     ids = F.col(row_id) if row_id else F.col(cols[0])
-    grouped = (df
-               .select(key.alias("_key"), ids.cast("string").alias("_rid"))
-               .groupBy("_key")
-               .agg(F.count(F.lit(1)).alias("dup_count"),
-                    F.slice(F.collect_list("_rid"), 1, max_examples)
-                    .alias("_rids"))
-               .filter(F.col("dup_count") > 1))
+    w = Window.partitionBy("_key")
+    wo = w.orderBy("_rid")
+    ranked = (df
+              .select(key.alias("_key"), ids.cast("string").alias("_rid"))
+              .withColumn("dup_count", F.count(F.lit(1)).over(w))
+              .withColumn("_rn", F.row_number().over(wo))
+              .filter((F.col("dup_count") > 1)
+                      & (F.col("_rn") <= max_examples)))
+    grouped = (ranked.groupBy("_key")
+               .agg(F.first("dup_count").alias("dup_count"),
+                    F.sort_array(F.collect_list("_rid")).alias("_rids")))
     return grouped.select(
         F.concat(F.lit("/"), F.col("_key")).alias("instance_location"),
         F.lit(kw_loc).alias("keyword_location"),

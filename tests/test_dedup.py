@@ -115,3 +115,73 @@ def test_lsh_topk_recall_vs_exact(spark):
     # the approximate result must be a plausible subset, not garbage
     assert recall >= 0.25, f"recall {recall:.2f} too low"
     assert all(q < 10 for q, _ in approx)
+
+
+# ---------------------------------------------------------------------------
+# degenerate-input scale guards (bounded buffers, capped quadratics)
+# ---------------------------------------------------------------------------
+
+def test_exact_duplicates_bounds_example_list(spark):
+    # a pathological hot key (identical content) must not accumulate all
+    # ids — only max_examples reach the collect_list buffer, while n_docs
+    # still reports the TRUE count
+    rows = [(f"d{i:03d}", "same text here") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    g = exact_duplicates(df, max_examples=7).collect()
+    assert len(g) == 1
+    assert g[0].n_docs == 200
+    assert len(g[0].doc_ids) == 7
+    assert g[0].keep_id == "d000"
+    assert g[0].doc_ids == [f"d{i:03d}" for i in range(7)]
+
+
+def test_check_unique_bounds_example_list(spark):
+    from boon_spark.operators.uniqueness import check_unique
+    rows = [(i, "hot") for i in range(500)] + [(999, "cold")]
+    df = spark.createDataFrame(rows, "rid int, k string")
+    out = check_unique(df, ["k"], row_id="rid", max_examples=3).collect()
+    assert len(out) == 1
+    assert out[0].dup_count == 500
+    # error message names only the first 3 examples
+    assert "(e.g. rows 0, 1, 10)" in out[0].error
+
+
+def test_ngram_jaccard_max_block_drops_and_counts(spark):
+    from boon_spark.operators.dedup import block_size_stats
+    rows = [(f"h{i}", "the same text repeated again and again", "hot")
+            for i in range(50)]
+    rows += [("c1", "cold block text one two three", "cold"),
+             ("c2", "cold block text one two three", "cold")]
+    df = spark.createDataFrame(rows, "doc_id string, text string, blk string")
+    pairs = ngram_jaccard_pairs(df, group_col="blk", threshold=0.5,
+                                max_block=10).collect()
+    # hot block (50 docs) dropped; cold block pair survives
+    assert {(r.id_a, r.id_b) for r in pairs} == {("c1", "c2")}
+    stats = block_size_stats(df, group_col="blk", max_block=10).collect()[0]
+    assert stats.n_blocks == 2
+    assert stats.n_dropped_blocks == 1
+    assert stats.n_dropped_docs == 50
+    assert stats.largest_block == 50
+
+
+def test_embedding_near_dups_max_bucket_caps_degenerate(spark):
+    # 40 identical vectors all land in ONE signature bucket; cap at 8
+    # members drops the bucket entirely (no quadratic), while a small
+    # bucket below the cap still yields its pair
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    rows += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = embedding_near_dups(df, dim=4, threshold=0.9, bits=8,
+                              max_bucket=8).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs)  # degenerate bucket dropped
+
+
+def test_minhash_bucket_stats(spark, docs):
+    from boon_spark.operators.dedup import minhash_lsh_bucket_stats
+    s = minhash_lsh_bucket_stats(docs, num_hashes=16, bands=8,
+                                 max_bucket=64).collect()[0]
+    assert s.n_buckets > 0
+    assert s.n_dropped_buckets == 0
+    assert s.largest_bucket <= 64

@@ -85,3 +85,30 @@ def test_topk_partial_aggregates_before_exchange(spark):
     # the query side is broadcast — the corpus never shuffles pre-agg
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_band_exchange_carries_no_shingles(spark):
+    # round-1 scale bug: the band groupBy shuffled struct(_id, _sh), i.e.
+    # every document's shingle set crossed the wire once per band (bands×
+    # the corpus text).  The fix shuffles only (_id, band, key) and joins
+    # shingles back for the candidate-pair set — pin it.
+    from boon_spark.operators.dedup import minhash_lsh_pairs
+    docs = spark.createDataFrame([("a", "x y z w"), ("b", "x y z w")],
+                                 "doc_id string, text string")
+    plan = _plan(minhash_lsh_pairs(docs, num_hashes=8, bands=4))
+    agg_lines = [ln for ln in plan.splitlines() if "collect_list" in ln]
+    assert agg_lines, "bucket aggregation missing from plan"
+    assert all("_sh" not in ln for ln in agg_lines)
+    # map-side partial aggregation of the id list still happens
+    assert any("partial_collect_list" in ln for ln in agg_lines)
+
+
+def test_check_unique_is_single_shuffle(spark):
+    # bounded-example rework must not add a second exchange: the window
+    # and the follow-up groupBy share hashpartitioning(_key)
+    import re
+    from boon_spark.operators.uniqueness import check_unique
+    df = spark.range(100).select(
+        F.col("id").alias("rid"), (F.col("id") % 3).alias("k"))
+    plan = _plan(check_unique(df, ["k"], row_id="rid"))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
