@@ -114,6 +114,22 @@ def q_logic_ifthen(spark, sf_dir):
     return eng.annotate(df).select("doc_id", "valid")
 
 
+def q_unevaluated_dynamic(spark, sf_dir):
+    """unevaluatedProperties:false under if/then/else (SURVEY §2.2,
+    runtime annotation flow — boon validator.rs:930-968): evaluated
+    names depend on which branch validates per row."""
+    return _violations(
+        _docs(spark, sf_dir),
+        {"properties": {"doc_id": {"type": "integer"},
+                        "text": {"type": "string"}},
+         "if": {"properties": {"lang": {"const": "en"}},
+                "required": ["lang"]},
+         "then": {"properties": {"n_chars": {"maximum": 400}}},
+         "else": {"properties": {"source": {"pattern": "^src[0-9]$"}}},
+         "unevaluatedProperties": False},
+        "doc_id")
+
+
 def q_flag_documents(spark, sf_dir):
     """flag output (boon src/output.rs:33-35): whole-table verdict for a
     3-keyword suite."""
@@ -404,6 +420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logic_combo": q_logic_combo,
     "const_exclusive": q_const_exclusive,
     "format_date": q_format_date,
+    "unevaluated_dynamic": q_unevaluated_dynamic,
     "content_json_events": q_content_json_events,
     "flag_documents": q_flag_documents,
     "summary_documents": q_summary_documents,
@@ -566,6 +583,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT '/' || CAST(o_orderkey AS VARCHAR) || '/d_str' AS instance_location,
                    '/properties/d_str/format' AS keyword_location
             FROM orders WHERE o_orderkey % 10 = 0
+        """,
+        "unevaluated_dynamic": """
+            WITH d AS (
+              SELECT '/' || COALESCE(CAST(doc_id AS VARCHAR), '?') AS iloc,
+                     lang, source, n_chars,
+                     COALESCE(lang = 'en', FALSE) AS cond
+              FROM documents)
+            SELECT iloc || '/n_chars' AS instance_location,
+                   '/then/properties/n_chars/maximum' AS keyword_location
+            FROM d WHERE cond AND n_chars > 400
+            UNION ALL
+            SELECT iloc || '/source', '/else/properties/source/pattern'
+            FROM d WHERE NOT cond AND source IS NOT NULL
+                     AND NOT regexp_matches(source, '^src[0-9]$')
+            UNION ALL
+            SELECT iloc, '/unevaluatedProperties'
+            FROM d WHERE lang IS NOT NULL AND NOT cond
+            UNION ALL
+            SELECT iloc, '/unevaluatedProperties'
+            FROM d WHERE n_chars IS NOT NULL
+                     AND NOT (cond AND COALESCE(n_chars <= 400, FALSE))
+            UNION ALL
+            SELECT iloc, '/unevaluatedProperties'
+            FROM d WHERE source IS NOT NULL
+                     AND NOT (NOT cond AND
+                              COALESCE(regexp_matches(source, '^src[0-9]$'),
+                                       FALSE))
         """,
         "content_json_events": """
             WITH checks AS (

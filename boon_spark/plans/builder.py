@@ -376,30 +376,77 @@ class PlanBuilder:
             viols.append(F.when(fail, per_elem).otherwise(empty_viols()))
 
         if node.unevaluated_items is not None and node.items is None:
-            # static index arithmetic (SURVEY §2.3): prefix length is the
-            # evaluated count; `items` present ⇒ everything evaluated
-            if node.contains is not None:
-                raise CompileError(
-                    f"{node.loc}: unevaluatedItems alongside contains "
-                    f"needs runtime annotation flow — unsupported")
-            rest = value if npfx == 0 else F.slice(
-                value, npfx + 1, F.greatest(sz - npfx, F.lit(0)))
+            # runtime annotation flow (2020-12; boon's Uneval merge,
+            # src/validator.rs:930-968): evaluated items = own prefix +
+            # per-branch prefix/items contributions (gated on the branch
+            # validating) + elements matched by contains schemas.  `items`
+            # present ⇒ everything evaluated (outer guard).
             sub = node.unevaluated_items
-            if sub is False:
-                add(sz <= npfx, "unevaluatedItems", F.concat(
-                    F.lit("last "), (sz - npfx).cast("string"),
-                    F.lit(" unevaluatedItems not allowed")))
-            elif isinstance(sub, Node) and not sub.is_trivial_true():
-                fast = _range_only_valid(sub, et, rest)
-                if fast is not None:
-                    u_ok = fast
-                else:
+            alls, pfxs, conts = self._evaluated_items_terms(
+                node, dtype, value, iloc, own=True)
+            static_all = any(c is True for c, _ in alls)
+            cond_pfx = [(c, p) for c, p in pfxs if c is not True]
+            dynamic = bool(alls or conts or cond_pfx)
+            if static_all:
+                pass  # everything evaluated — keyword can never fail
+            elif not dynamic:
+                # static index arithmetic — the codegen-friendly path
+                # (npfx is this node's own prefixItems count)
+                rest = value if npfx == 0 else F.slice(
+                    value, npfx + 1, F.greatest(sz - npfx, F.lit(0)))
+                if sub is False:
+                    add(sz <= npfx, "unevaluatedItems", F.concat(
+                        F.lit("last "), (sz - npfx).cast("string"),
+                        F.lit(" unevaluatedItems not allowed")))
+                elif isinstance(sub, Node) and not sub.is_trivial_true():
+                    fast = _range_only_valid(sub, et, rest)
+                    if fast is not None:
+                        u_ok = fast
+                    else:
+                        self._lambda_depth += 1
+                        u_ok = F.forall(rest, lambda x: F.coalesce(
+                            self.build(sub, et, x, iloc)[0], F.lit(False)))
+                        self._lambda_depth -= 1
+                    add(u_ok, "unevaluatedItems",
+                        F.lit("unevaluated items do not match schema"))
+            else:
+                static_pfx = max([p for c, p in pfxs if c is True],
+                                 default=0)
+                pfx_col = F.lit(static_pfx)
+                if cond_pfx:
+                    pfx_col = F.greatest(pfx_col, *[
+                        F.when(c, F.lit(p)).otherwise(F.lit(0))
+                        for c, p in cond_pfx])
+                rest = F.slice(value, pfx_col + F.lit(1),
+                               F.greatest(sz - pfx_col, F.lit(0)))
+                all_ev = (reduce(or_, [c for c, _ in alls])
+                          if alls else F.lit(False))
+
+                def ev_elem(x):
+                    preds = []
+                    for c, cn in conts:
+                        pv = F.coalesce(self.build(cn, et, x, iloc)[0],
+                                        F.lit(False))
+                        preds.append(pv if c is True else (c & pv))
+                    return reduce(or_, preds) if preds else F.lit(False)
+
+                if sub is False:
                     self._lambda_depth += 1
-                    u_ok = F.forall(rest, lambda x: F.coalesce(
+                    n_uneval = (F.size(F.filter(rest, lambda x: ~ev_elem(x)))
+                                if conts else F.size(rest))
+                    self._lambda_depth -= 1
+                    ok = all_ev | (n_uneval <= 0)
+                    add(ok, "unevaluatedItems", F.concat(
+                        F.lit("last "), n_uneval.cast("string"),
+                        F.lit(" unevaluatedItems not allowed")))
+                elif isinstance(sub, Node) and not sub.is_trivial_true():
+                    self._lambda_depth += 1
+                    u_ok = F.forall(rest, lambda x: ev_elem(x) | F.coalesce(
                         self.build(sub, et, x, iloc)[0], F.lit(False)))
                     self._lambda_depth -= 1
-                add(u_ok, "unevaluatedItems",
-                    F.lit("unevaluated items do not match schema"))
+                    ok = all_ev | F.coalesce(u_ok, F.lit(True))
+                    add(ok, "unevaluatedItems",
+                        F.lit("unevaluated items do not match schema"))
 
         if node.contains is not None:
             pred_valid = lambda x: F.coalesce(  # noqa: E731
@@ -500,7 +547,127 @@ class PlanBuilder:
                 F.lit("contentSchema failed")))
 
     # ---------------------------------------------------------- unevaluated
-    # (helpers live at module level: _static_evaluated_names)
+    def _evaluated_prop(self, node: Node, nm: str, fields: dict, dtype,
+                        value: Optional[Column], iloc: Column, get,
+                        *, own: bool = False):
+        """True | False | boolean Column — is property ``nm`` evaluated
+        at ``node`` for ``unevaluatedProperties`` (2020-12 annotation
+        flow; boon's runtime ``Uneval`` merge,
+        ``src/validator.rs:930-968``).
+
+        Keywords in the same schema object (properties /
+        patternProperties / additionalProperties) contribute statically;
+        an in-place applicator branch contributes its annotations iff the
+        branch itself validates against the instance (annotations from
+        failed subschemas are dropped, per spec).  ``not`` contributes
+        nothing.  ``own=True`` marks the node whose unevaluated* keyword
+        is being lowered — its own unevaluated* must not pre-evaluate
+        names for itself, while a *branch* carrying unevaluated* covers
+        everything.  Returned Columns are never NULL (branch validity is
+        coalesced)."""
+        if node.boolean is not None:
+            return False
+        if node.properties and nm in node.properties:
+            return True
+        for pat in (node.pattern_properties or {}):
+            if re.compile(pat).search(nm):
+                return True
+        if node.additional_properties is not None:
+            # additionalProperties applies to every name not matched by
+            # properties/patternProperties — so every name is evaluated
+            return True
+        if not own and node.unevaluated_properties is not None:
+            return True
+
+        terms: list[Column] = []
+
+        def sub_valid(s: Node) -> Column:
+            return F.coalesce(self.build(s, dtype, value, iloc)[0],
+                              F.lit(False))
+
+        def add_branch(s: Node, gate: Optional[Column] = None):
+            ev = self._evaluated_prop(s, nm, fields, dtype, value, iloc, get)
+            if ev is False:
+                return
+            t = sub_valid(s)
+            if ev is not True:
+                t = t & ev
+            if gate is not None:
+                t = gate & t
+            terms.append(t)
+
+        for s in (node.all_of or []) + (node.any_of or []) + \
+                 (node.one_of or []):
+            add_branch(s)
+        if node.if_ is not None:
+            # `if` keeps its annotations whenever it matches, regardless
+            # of then/else outcomes; then/else contribute under the
+            # matching arm only
+            add_branch(node.if_)
+            cond = sub_valid(node.if_)
+            if node.then is not None:
+                add_branch(node.then, gate=cond)
+            if node.else_ is not None:
+                add_branch(node.else_, gate=~cond)
+        for prop, s in (node.dependent_schemas or {}).items():
+            if prop in fields:
+                add_branch(s, gate=get(prop).isNotNull())
+        if not terms:
+            return False
+        return reduce(or_, terms)
+
+    def _evaluated_items_terms(self, node: Node, dtype, value: Column,
+                               iloc: Column, *, own: bool = False):
+        """Flattened annotation terms for ``unevaluatedItems`` at
+        ``node``: ``(all_terms, pfx_terms, contains_terms)``, each a list
+        of ``(cond, payload)`` where cond is ``True`` (unconditional) or
+        a non-null boolean Column.  all_terms: every element evaluated
+        (payload None); pfx_terms: leading ``payload`` elements evaluated
+        (prefixItems); contains_terms: elements matching the payload
+        contains-Node evaluated.  Branch terms are gated on the branch
+        validating (annotations come only from successful subschemas)."""
+        if node.boolean is not None:
+            return [], [], []
+        alls: list = []
+        pfxs: list = []
+        conts: list = []
+        if node.prefix_items:
+            pfxs.append((True, len(node.prefix_items)))
+        if not own and (node.items is not None
+                        or node.unevaluated_items is not None):
+            alls.append((True, None))
+        if node.contains is not None:
+            conts.append((True, node.contains))
+
+        def gate_terms(s: Node, gate: Optional[Column]):
+            b_alls, b_pfxs, b_conts = self._evaluated_items_terms(
+                s, dtype, value, iloc)
+            if not (b_alls or b_pfxs or b_conts):
+                return
+            bv = F.coalesce(self.build(s, dtype, value, iloc)[0],
+                            F.lit(False))
+            g = bv if gate is None else gate & bv
+            for c, p in b_alls:
+                alls.append((g if c is True else g & c, p))
+            for c, p in b_pfxs:
+                pfxs.append((g if c is True else g & c, p))
+            for c, p in b_conts:
+                conts.append((g if c is True else g & c, p))
+
+        for s in (node.all_of or []) + (node.any_of or []) + \
+                 (node.one_of or []):
+            gate_terms(s, None)
+        if node.if_ is not None:
+            gate_terms(node.if_, None)
+            cond = F.coalesce(self.build(node.if_, dtype, value, iloc)[0],
+                              F.lit(False))
+            if node.then is not None:
+                gate_terms(node.then, cond)
+            if node.else_ is not None:
+                gate_terms(node.else_, ~cond)
+        # dependentSchemas triggers on object properties — an array value
+        # has none, so it contributes no item annotations
+        return alls, pfxs, conts
 
     # ---------------------------------------------------------- objects
     def _object_checks(self, node: Node, dtype, value: Optional[Column],
@@ -600,20 +767,24 @@ class PlanBuilder:
                         viols.extend(guard_viols(x) for x in vs)
 
         if node.unevaluated_properties is not None:
-            # static annotation flow (SURVEY §2.2): the evaluated-name set
-            # is computed at compile from properties/patternProperties of
-            # this schema and its allOf descendants.  Applicators whose
-            # evaluated set is runtime-dependent (anyOf/oneOf/if/
-            # dependentSchemas — boon's Uneval runtime merge,
-            # src/validator.rs:930-968) are rejected, not approximated.
-            evaluated = _static_evaluated_names(node, set(fields))
-            extra = [nm for nm in fields if nm not in evaluated]
+            # runtime annotation flow (2020-12; boon's Uneval merge,
+            # src/validator.rs:930-968): over a static column set each
+            # property's evaluated-flag is a pure boolean column — the OR
+            # of static matches (properties / patternProperties /
+            # additionalProperties here) and, per in-place applicator
+            # branch, (branch validates AND branch evaluates the name).
             sub = node.unevaluated_properties
-            for nm in extra:
+            for nm in fields:
+                ev = self._evaluated_prop(node, nm, fields, dtype, value,
+                                          iloc, get, own=True)
+                if ev is True:
+                    continue
+                not_ev = F.lit(True) if ev is False else ~ev
                 if sub is False:
                     present = get(nm).isNotNull()
+                    core = present & not_ev
                     fail = F.coalesce(
-                        present if is_row else value.isNotNull() & present,
+                        core if is_row else value.isNotNull() & core,
                         F.lit(False))
                     valids.append(~fail)
                     viols.append(self._viol(
@@ -622,8 +793,12 @@ class PlanBuilder:
                 elif isinstance(sub, Node) and not sub.is_trivial_true():
                     c_iloc = F.concat(iloc, F.lit(f"/{nm}"))
                     v2, vs2 = self.build(sub, fields[nm], get(nm), c_iloc)
-                    valids.append(F.coalesce(guard(v2), F.lit(False)))
-                    viols.extend(guard_viols(x) for x in vs2)
+                    ok = F.when(not_ev, F.coalesce(v2, F.lit(False))) \
+                        .otherwise(F.lit(True))
+                    valids.append(F.coalesce(guard(ok), F.lit(False)))
+                    viols.extend(
+                        guard_viols(F.when(not_ev, x).otherwise(empty_viols()))
+                        for x in vs2)
 
         if node.dependent_schemas:
             # if prop present → subschema applies to the whole object
@@ -778,27 +953,6 @@ class PlanBuilder:
             e_arr = (F.concat(*else_vs) if len(else_vs) > 1
                      else (else_vs[0] if else_vs else empty_viols()))
             viols.append(F.when(cond, t_arr).otherwise(e_arr))
-
-
-def _static_evaluated_names(node: Node, fields: set) -> set:
-    """Compile-time evaluated-property set for unevaluatedProperties:
-    properties + patternProperties matches here and in allOf descendants.
-    Runtime-dependent applicators are a CompileError, mirroring the
-    honest-subset policy (boon's Uneval flow is runtime,
-    src/validator.rs:930-968)."""
-    if node.any_of or node.one_of or node.if_ is not None \
-            or node.dependent_schemas or node.not_ is not None:
-        raise CompileError(
-            f"{node.loc}: unevaluatedProperties alongside anyOf/oneOf/if/"
-            f"not/dependentSchemas needs runtime annotation flow — "
-            f"unsupported; restructure with allOf")
-    out = set(node.properties or {})
-    for pat in (node.pattern_properties or {}):
-        rx = re.compile(pat)
-        out |= {f for f in fields if rx.search(f)}
-    for sub in node.all_of or []:
-        out |= _static_evaluated_names(sub, fields)
-    return out
 
 
 def _ddl_from_schema(node: Node) -> str:

@@ -97,11 +97,15 @@ def test_http_schema_loading(tmp_path):
     assert got == doc
 
 
-def test_unevaluated_with_dynamic_applicator_is_compile_error(spark):
+def test_unevaluated_with_dynamic_applicator(spark):
+    # round 1 rejected this shape at compile; round 2 implements the
+    # runtime annotation flow (boon's Uneval merge,
+    # validator.rs:930-968) — `a` is evaluated by the anyOf branch iff
+    # the branch validates, so only `b` is unevaluated
     from boon_spark import Engine
     eng = Engine.from_schema({
         "anyOf": [{"properties": {"a": {"type": "string"}}}],
         "unevaluatedProperties": False})
-    df = spark.createDataFrame([("x", "y")], "a string, b string")
-    with pytest.raises(CompileError, match="runtime annotation flow"):
-        eng.annotate(df)
+    df = spark.createDataFrame([("x", "y"), ("x", None)],
+                               "a string, b string")
+    assert [r.valid for r in eng.annotate(df).collect()] == [False, True]
