@@ -383,11 +383,14 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """LSH-bucketed cosine near-dup pairs over embeddings — rows-only
-    (hyperplane constants not SQL-expressible)."""
-    from boon_spark.operators.dedup import embedding_near_dups
+    """LSH-bucketed near-dup pairs over embeddings, integer-exact
+    variant: quantized coordinates + integer hyperplanes + squared-cosine
+    verify (cos >= 2/5), so the DuckDB oracle reproduces it bit-for-bit
+    (8 pairs at sf0.01 — the round-1 float gate returned 0 rows)."""
+    from boon_spark.operators.dedup import embedding_near_dups_quantized
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(emb, dim=64, threshold=0.5, bits=4) \
+    return embedding_near_dups_quantized(
+        emb, dim=64, threshold_num=2, threshold_den=5, bits=4, seed=42) \
         .select("id_a", "id_b")
 
 
@@ -467,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the embedding oracle inlines integer-quantized hyperplane constants
+    # generated from the same deterministic function the Spark path uses
+    from boon_spark.operators.dedup import embedding_near_dups_oracle_sql
     return {
         "range_nchars": """
             SELECT '/' || CAST(doc_id AS VARCHAR) || '/n_chars' AS instance_location,
@@ -865,6 +871,8 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE u END AS BIGINT) AS fp
             FROM tot
         """,
+        "embedding_near_dups": embedding_near_dups_oracle_sql(
+            dim=64, threshold_num=2, threshold_den=5, bits=4, seed=42),
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 5),

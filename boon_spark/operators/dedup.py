@@ -366,6 +366,135 @@ def simhash_near_dups(df: DataFrame, *, text_col: str = "text",
 # embedding near-dup
 # ---------------------------------------------------------------------------
 
+def quantized_planes(dim: int, bits: int, seed: int,
+                     q_bits: int = 10) -> list[list[int]]:
+    """Integer-quantized hyperplanes: ``floor(p · 2^q_bits)`` of the
+    deterministic float planes — identical constants on the driver, in
+    every executor, and in the DuckDB oracle SQL."""
+    import math
+
+    from .similarity import _hyperplane
+    return [[int(math.floor(p * (1 << q_bits))) for p in _hyperplane(dim, b, seed)]
+            for b in range(bits)]
+
+
+def embedding_near_dups_quantized(df: DataFrame, *,
+                                  vec_col: str = "embedding",
+                                  id_col: str = "vec_id", dim: int,
+                                  threshold_num: int = 2,
+                                  threshold_den: int = 5,
+                                  bits: int = 4, seed: int = 42,
+                                  q_bits: int = 10,
+                                  max_bucket: int = 64) -> DataFrame:
+    """Integer-exact variant of :func:`embedding_near_dups` — every step
+    is int64 arithmetic, so the result is bit-identical across engines
+    (the float variant risks sign-flips on near-zero hyperplane
+    projections and threshold-boundary cosines; this one is the
+    oracle-pairable gate path).
+
+    Pipeline: quantize each coordinate to ``floor(x·2^q_bits)``
+    (multiplication by a power of two is EXACT in binary floating point,
+    so the quantization itself is engine-independent); signature bits are
+    signs of integer dot products with integer-quantized hyperplanes;
+    candidate pairs share a signature bucket (capped at ``max_bucket``);
+    the verify is the squared-cosine inequality
+    ``dot>0 AND den²·dot² ≥ num²·‖a‖²·‖b‖²`` — cosine ≥ num/den without
+    ever dividing or square-rooting.  Bounds: |x|≤1, dim≤128, q_bits≤10
+    keep ``den²·dot²`` under 2^63 for den ≤ 5."""
+    planes = quantized_planes(dim, bits, seed, q_bits)
+    scale = 1 << q_bits
+    qv = F.transform(F.col(vec_col),
+                     lambda x: F.floor(x * F.lit(scale)).cast("long"))
+    base = df.select(F.col(id_col).alias("_id"), qv.alias("_qv"))
+
+    def proj(b: int) -> Column:
+        pl = F.array(*[F.lit(p).cast("long") for p in planes[b]])
+        return F.aggregate(
+            F.zip_with(F.col("_qv"), pl, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    sig = None
+    for b in range(bits):
+        term = F.when(proj(b) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    base = base.select("_id", "_qv", sig.cast("long").alias("_sig"))
+
+    sizes = (base.groupBy("_sig")
+             .agg(F.count(F.lit(1)).alias("_bn"))
+             .filter(F.col("_bn").between(2, max_bucket))
+             .drop("_bn"))
+    capped = base.join(sizes, on="_sig")
+    a = capped.select(F.col("_id").alias("id_a"),
+                      F.col("_qv").alias("qa"), "_sig")
+    b_ = capped.select(F.col("_id").alias("id_b"),
+                       F.col("_qv").alias("qb"), "_sig")
+    joined = a.join(b_, on="_sig").filter(F.col("id_a") < F.col("id_b"))
+
+    def idot(x: Column, y: Column) -> Column:
+        return F.aggregate(F.zip_with(x, y, lambda u, v: u * v),
+                           F.lit(0).cast("long"), lambda acc, u: acc + u)
+
+    dot = idot(F.col("qa"), F.col("qb"))
+    na = idot(F.col("qa"), F.col("qa"))
+    nb = idot(F.col("qb"), F.col("qb"))
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    return (joined
+            .select("id_a", "id_b", dot.alias("_dot"),
+                    na.alias("_na"), nb.alias("_nb"))
+            .filter((F.col("_dot") > 0) &
+                    (F.lit(den2) * F.col("_dot") * F.col("_dot") >=
+                     F.lit(num2) * F.col("_na") * F.col("_nb")))
+            .select("id_a", "id_b"))
+
+
+def embedding_near_dups_oracle_sql(*, dim: int, threshold_num: int = 2,
+                                   threshold_den: int = 5, bits: int = 4,
+                                   seed: int = 42, q_bits: int = 10,
+                                   max_bucket: int = 64,
+                                   table: str = "embeddings",
+                                   vec_col: str = "embedding",
+                                   id_col: str = "vec_id") -> str:
+    """DuckDB SQL reproducing :func:`embedding_near_dups_quantized`
+    bit-for-bit — the hyperplane constants are inlined as integer
+    literals, so the projection signs and the squared-cosine verify are
+    exact integer arithmetic in both engines."""
+    planes = quantized_planes(dim, bits, seed, q_bits)
+    scale = 1 << q_bits
+
+    def proj_sql(b: int) -> str:
+        terms = " + ".join(f"qv[{j + 1}]*({planes[b][j]})"
+                           for j in range(dim))
+        return f"(CASE WHEN {terms} >= 0 THEN {1 << b} ELSE 0 END)"
+
+    sig_sql = " + ".join(proj_sql(b) for b in range(bits))
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    return f"""
+        WITH q AS (
+          SELECT {id_col} AS vid,
+                 list_transform({vec_col},
+                                x -> CAST(floor(x * {scale}) AS BIGINT)) AS qv
+          FROM {table}),
+        s AS (SELECT vid, qv, {sig_sql} AS sig FROM q),
+        b AS (SELECT sig FROM s GROUP BY sig
+              HAVING count(*) BETWEEN 2 AND {max_bucket}),
+        cand AS (
+          SELECT x.vid AS id_a, y.vid AS id_b, x.qv AS qa, y.qv AS qb
+          FROM s x JOIN b USING (sig)
+          JOIN s y ON y.sig = x.sig AND x.vid < y.vid),
+        m AS (
+          SELECT id_a, id_b,
+                 list_sum(list_transform(range(1, {dim + 1}),
+                                         j -> qa[j]*qb[j])) AS dot,
+                 list_sum(list_transform(qa, x -> x*x)) AS na,
+                 list_sum(list_transform(qb, x -> x*x)) AS nb
+          FROM cand)
+        SELECT id_a, id_b FROM m
+        WHERE dot > 0 AND {den2}*dot*dot >= {num2}*na*nb
+    """
+
+
 def embedding_near_dups(df: DataFrame, *, vec_col: str = "embedding",
                         id_col: str = "vec_id", dim: int,
                         threshold: float = 0.95, bits: int = 12,

@@ -185,3 +185,24 @@ def test_minhash_bucket_stats(spark, docs):
     assert s.n_buckets > 0
     assert s.n_dropped_buckets == 0
     assert s.largest_bucket <= 64
+
+
+def test_embedding_near_dups_quantized_integer_exact(spark):
+    # the quantized variant must agree bit-for-bit with its generated
+    # DuckDB oracle (integer signs + squared-cosine verify, no floats)
+    import duckdb
+    from boon_spark.operators.dedup import (embedding_near_dups_oracle_sql,
+                                            embedding_near_dups_quantized)
+    rows = [(1, [0.5, 0.5, 0.0, 0.1]), (2, [0.5, 0.45, 0.05, 0.1]),
+            (3, [-0.5, 0.5, 0.3, -0.2]), (4, [0.1, -0.4, 0.5, -0.5]),
+            (5, [0.5, 0.44, 0.06, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {(r.id_a, r.id_b) for r in embedding_near_dups_quantized(
+        df, dim=4, threshold_num=9, threshold_den=10, bits=2).collect()}
+    assert (2, 5) in got  # near-parallel vectors sharing a bucket
+    con = duckdb.connect()
+    con.register("embeddings", df.toPandas())
+    sql = embedding_near_dups_oracle_sql(dim=4, threshold_num=9,
+                                         threshold_den=10, bits=2)
+    want = {(a, b) for a, b in con.execute(sql).fetchall()}
+    assert got == want
