@@ -264,10 +264,13 @@ class PlanBuilder:
                     F.lit(f"length must be <={node.max_length}, but got "),
                     slen.cast("string")))
             if node.pattern is not None:
-                # unanchored, like boon's is_match (src/validator.rs:470-474)
+                # unanchored, like boon's is_match (src/validator.rs:470-474);
+                # node.pattern is the ECMA→Java translation, the message
+                # shows the schema author's original source
+                src = node.pattern_src or node.pattern
                 add(sval.rlike(node.pattern), "pattern", F.concat(
                     F.lit('"'), sval,
-                    F.lit(f'" does not match pattern "{node.pattern}"')))
+                    F.lit(f'" does not match pattern "{src}"')))
 
         # ---- content* (src/validator.rs:481-514)
         if sval is not None and (node.content_encoding or
@@ -981,7 +984,8 @@ def _py_string_check(node: Node, s: str) -> bool:
     if node.types is not None:
         ok &= "string" in node.types
     if node.pattern is not None:
-        ok &= re.search(node.pattern, s) is not None
+        # driver-side check → the Python-flavor translation
+        ok &= re.search(node.pattern_py or node.pattern, s) is not None
     if node.min_length is not None:
         ok &= len(s) >= node.min_length
     if node.max_length is not None:

@@ -76,7 +76,9 @@ class Node:
 
     min_length: Optional[int] = None
     max_length: Optional[int] = None
-    pattern: Optional[str] = None      # validated ECMA-compatible regex source
+    pattern: Optional[str] = None      # Java-translated regex (for rlike)
+    pattern_py: Optional[str] = None   # Python-flavor probe (driver checks)
+    pattern_src: Optional[str] = None  # original source (error messages)
 
     min_items: Optional[int] = None
     max_items: Optional[int] = None
@@ -141,18 +143,25 @@ def _nonneg_int(v: Any, kw: str, loc: str) -> int:
     return v
 
 
-def _check_regex(pat: str, loc: str) -> str:
-    """Validate pattern compiles.  boon translates ECMA→Rust regex
-    (src/ecma.rs:8-153); Java regex (Spark ``rlike``) shares the common
-    subset we accept — Python ``re`` is a good structural validity proxy,
-    and we reject constructs with known Python/Java divergence."""
+def _check_regex(pat: str, loc: str) -> tuple[str, str]:
+    """Translate ECMA-262 pattern → (java, python_probe) and validate.
+
+    The Java direction of boon's ECMA→Rust translator
+    (``src/ecma.rs:8-153``): \\d/\\w/\\s become explicit ASCII/ECMA
+    classes, \\cX folds to the control character, \\a is rejected, and
+    ^/$ become input-only anchors (Java ``$`` would match before a final
+    newline; ECMA's does not).  The Python probe (``\\Z`` instead of
+    ``\\z``) validates structure at compile and drives the compile-time
+    name matching for patternProperties/propertyNames."""
+    from .functions.ecma import translate
+    java, py = translate(pat, loc)
     try:
-        re.compile(pat)
+        re.compile(py)
     except re.error as e:
         raise CompileError(f"{loc}/pattern: invalid regex {pat!r}: {e}") from e
     if "(?P<" in pat:
         raise CompileError(f"{loc}/pattern: named groups not portable to Java regex")
-    return pat
+    return java, py
 
 
 class Compiler:
@@ -306,7 +315,8 @@ class Compiler:
         if "maxLength" in v:
             n.max_length = _nonneg_int(v["maxLength"], "maxLength", loc)
         if "pattern" in v:
-            n.pattern = _check_regex(v["pattern"], loc)
+            n.pattern, n.pattern_py = _check_regex(v["pattern"], loc)
+            n.pattern_src = v["pattern"]
 
         if "minItems" in v:
             n.min_items = _nonneg_int(v["minItems"], "minItems", loc)
@@ -339,8 +349,10 @@ class Compiler:
                 k: self.compile_value(s, f"{loc}/properties/{k}")
                 for k, s in v["properties"].items()}
         if "patternProperties" in v:
+            # keys are matched against STATIC column names on the driver
+            # (Python re) — store the Python-flavor translation
             n.pattern_properties = {
-                _check_regex(k, loc): self.compile_value(
+                _check_regex(k, loc)[1]: self.compile_value(
                     s, f"{loc}/patternProperties/{k}")
                 for k, s in v["patternProperties"].items()}
         if "additionalProperties" in v:
