@@ -117,6 +117,8 @@ def main(argv=None) -> int:
                     "instanceLocation": r.instance_location,
                     "errors": [{"instanceLocation": e.instance_location,
                                 "keywordLocation": e.keyword_location,
+                                "absoluteKeywordLocation":
+                                    e.absolute_keyword_location,
                                 "error": e.error} for e in r.errors]}))
         elif args.format == "basic":
             for r in res.violations().limit(args.limit).collect():
@@ -124,6 +126,7 @@ def main(argv=None) -> int:
                     "valid": False,
                     "instanceLocation": r.instance_location,
                     "keywordLocation": r.keyword_location,
+                    "absoluteKeywordLocation": r.absolute_keyword_location,
                     "error": r.error}))
         else:
             for r in res.summary().orderBy("keyword_location").collect():

@@ -51,7 +51,8 @@ class Engine:
         for embedding checks into a caller's own select().  Hoisting is
         disabled (no staging projection exists to carry prelude columns);
         prefer :meth:`annotate` for content-heavy schemas."""
-        pb = PlanBuilder(df.schema, row_id=self.row_id, allow_hoist=False)
+        pb = PlanBuilder(df.schema, row_id=self.row_id, allow_hoist=False,
+                         base_uri=self.compiled.base_uri)
         valid, viol_arrays = pb.build(
             self.compiled.root, None, None, pb.root_iloc())
         if viol_arrays:
@@ -83,7 +84,8 @@ class Engine:
         whole validity expression three times, uncollapsible because
         lambda variables defeat subexpression elimination).
         """
-        pb = PlanBuilder(df.schema, row_id=self.row_id)
+        pb = PlanBuilder(df.schema, row_id=self.row_id,
+                         base_uri=self.compiled.base_uri)
         valid, viol_arrays = pb.build(
             self.compiled.root, None, None, pb.root_iloc())
         cap = self.max_violations_per_row
@@ -131,6 +133,7 @@ class ValidationResult:
                     F.lit(False).alias("valid"),
                     F.col("v.instance_location"),
                     F.col("v.keyword_location"),
+                    F.col("v.absolute_keyword_location"),
                     F.col("v.error")))
 
     def flag(self, by: Optional[list[str]] = None) -> DataFrame:

@@ -33,7 +33,8 @@ from ..functions.formats import format_predicate
 from ..schema import Node
 
 VIOL_STRUCT = ("struct<instance_location:string,"
-               "keyword_location:string,error:string>")
+               "keyword_location:string,"
+               "absolute_keyword_location:string,error:string>")
 VIOL_ARRAY = f"array<{VIOL_STRUCT}>"
 
 _TRUE = None  # sentinel meaning "statically always valid" — lets us prune
@@ -85,9 +86,14 @@ class PlanBuilder:
     """
 
     def __init__(self, df_schema: T.StructType, row_id: Optional[str] = None,
-                 *, allow_hoist: bool = True):
+                 *, allow_hoist: bool = True, base_uri: str = ""):
         self.df_schema = df_schema
         self.row_id = row_id
+        self.base_uri = base_uri
+        # (loc, abs_loc) of the node currently being lowered — build()
+        # pushes/pops so _viol can rewrite keyword locations into their
+        # dereferenced absoluteKeywordLocation form
+        self._node_stack: list[tuple[str, str]] = [("", "")]
         # prelude: expensive shared subexpressions (JSON parses) hoisted
         # into their own projection so the (interpreted, lambda-bearing)
         # violation stage references a column instead of re-evaluating —
@@ -114,12 +120,21 @@ class PlanBuilder:
                 F.coalesce(F.col(self.row_id).cast("string"), F.lit("?")))
         return F.lit("")
 
-    @staticmethod
-    def _viol(fail: Column, kw_loc: str, iloc: Column, msg: Column) -> Column:
-        """One scalar check → array with a single (nullable) struct."""
+    def _viol(self, fail: Column, kw_loc: str, iloc: Column,
+              msg: Column) -> Column:
+        """One scalar check → array with a single (nullable) struct.
+        ``absoluteKeywordLocation`` (boon ``src/output.rs:416-445``) is
+        the dereferenced keyword pointer — the use-site prefix of the
+        current node swapped for its definition-site pointer — prefixed
+        with the schema resource URI (root ``$id``) when one exists."""
+        cur_loc, cur_abs = self._node_stack[-1]
+        abs_kw = cur_abs + kw_loc[len(cur_loc):] \
+            if cur_loc and kw_loc.startswith(cur_loc) else kw_loc
         return F.array(F.when(fail, F.struct(
             iloc.alias("instance_location"),
             F.lit(kw_loc).alias("keyword_location"),
+            F.lit(f"{self.base_uri}#{abs_kw}")
+            .alias("absolute_keyword_location"),
             msg.alias("error"))))
 
     @staticmethod
@@ -149,6 +164,15 @@ class PlanBuilder:
 
         ``dtype`` is None only for the root row (treated as a JSON object).
         """
+        self._node_stack.append((node.loc, node.abs_loc or node.loc))
+        try:
+            return self._build(node, dtype, value, iloc)
+        finally:
+            self._node_stack.pop()
+
+    def _build(self, node: Node, dtype: Optional[T.DataType],
+               value: Optional[Column], iloc: Column
+               ) -> tuple[Column, list[Column]]:
         if node.boolean is not None:
             if node.boolean:
                 return F.lit(True), []

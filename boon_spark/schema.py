@@ -60,6 +60,11 @@ class Node:
     (src/lib.rs:198-268), with keyword args pre-parsed."""
 
     loc: str = ""                      # keyword location, e.g. "/properties/n_tok"
+    # dereferenced schema pointer for absoluteKeywordLocation (boon
+    # src/output.rs:416-445): equals ``loc`` except below an inlined
+    # $ref, where it points into the defining resource (e.g.
+    # loc "/properties/x/$ref/minimum" → abs_loc "/$defs/pos/minimum")
+    abs_loc: str = ""
     boolean: Optional[bool] = None     # `true` / `false` schema
 
     types: Optional[list[str]] = None
@@ -124,6 +129,8 @@ class CompiledSchema:
 
     root: Node
     source: dict = field(default_factory=dict)
+    # resource URI for absoluteKeywordLocation output (root $id if any)
+    base_uri: str = ""
     # table-level (cross-row) extensions — boon has no cross-row checks;
     # these are the Spark-native additions of SURVEY.md §2.6:
     unique: list[list[str]] = field(default_factory=list)
@@ -176,6 +183,11 @@ class Compiler:
         self._anchors: dict[str, Any] = {}
         self._resources: dict[str, Any] = {}
         self._collect_anchors(doc)
+        # (loc_prefix, abs_prefix) for absoluteKeywordLocation: below an
+        # inlined pointer-$ref the dereferenced location substitutes the
+        # use-site prefix with the definition pointer
+        self._loc_prefix = ""
+        self._abs_prefix = ""
 
     def _collect_anchors(self, v: Any) -> None:
         """Pre-pass collecting ``$anchor`` names and ``$id`` resource
@@ -230,9 +242,14 @@ class Compiler:
                 raise CompileError(f"$ref {ref!r}: cannot resolve token {tok!r}")
         return val
 
+    def _abs(self, loc: str) -> str:
+        if self._loc_prefix and loc.startswith(self._loc_prefix):
+            return self._abs_prefix + loc[len(self._loc_prefix):]
+        return loc
+
     def compile_value(self, v: Any, loc: str) -> Node:
         if isinstance(v, bool):
-            return Node(loc=loc, boolean=v)
+            return Node(loc=loc, abs_loc=self._abs(loc), boolean=v)
         if not isinstance(v, dict):
             raise CompileError(f"{loc}: schema must be boolean or object")
         for kw in v:
@@ -251,19 +268,29 @@ class Compiler:
                 node = self._ref_cache[ref]
             else:
                 self._ref_stack.append(ref)
+                # dereferenced prefix: pointer refs resolve into the
+                # defining resource; anchors/embedded-$id keep the
+                # use-site location (no stable pointer form)
+                frag = ref[1:] if ref.startswith("#") else ""
+                old = (self._loc_prefix, self._abs_prefix)
+                if frag.startswith("/"):
+                    from urllib.parse import unquote
+                    self._loc_prefix = loc + "/$ref"
+                    self._abs_prefix = unquote(frag)
                 try:
                     node = self.compile_value(self._resolve_pointer(ref), loc + "/$ref")
                 finally:
                     self._ref_stack.pop()
+                    self._loc_prefix, self._abs_prefix = old
                 self._ref_cache[ref] = node
             siblings = {k: s for k, s in v.items() if k != "$ref"}
             if not siblings:
                 return node
             # draft 2019+ semantics: $ref + siblings = allOf(ref, siblings)
             sib = self.compile_value(siblings, loc)
-            return Node(loc=loc, all_of=[node, sib])
+            return Node(loc=loc, abs_loc=self._abs(loc), all_of=[node, sib])
 
-        n = Node(loc=loc)
+        n = Node(loc=loc, abs_loc=self._abs(loc))
 
         if "type" in v:
             t = v["type"]
@@ -445,8 +472,12 @@ def compile_schema(doc: Any) -> CompiledSchema:
     if root is None:
         raise CompileError("schema must be a dict or boolean")
     unique = [[c] if isinstance(c, str) else list(c) for c in extra.get("unique", [])]
+    base = ""
+    if isinstance(schema_doc, dict) and isinstance(schema_doc.get("$id"), str):
+        base = schema_doc["$id"]
     return CompiledSchema(
         root=root,
+        base_uri=base,
         source=doc if isinstance(doc, dict) else {},
         unique=unique,
         references=list(extra.get("references", [])),

@@ -74,3 +74,25 @@ def test_contains_reports_matching_indices(spark):
     v = eng.validate(df).violations().collect()
     assert v[0].error == ("minimum 2 items required to match contains "
                           "schema, but found 1 items at 1")
+
+
+def test_absolute_keyword_location_plain(res):
+    # no $id, no $ref: dereferenced location == keyword location with a
+    # bare-fragment prefix (boon output.rs:416-445)
+    r = res.violations().collect()[0]
+    assert r.absolute_keyword_location == "#/properties/n_tok/maximum"
+
+
+def test_absolute_keyword_location_through_ref(spark):
+    eng = Engine.from_schema({
+        "$id": "https://example.com/doc.schema.json",
+        "$defs": {"pos": {"minimum": 1}},
+        "properties": {"n": {"$ref": "#/$defs/pos"}},
+    }, row_id="k")
+    df = spark.createDataFrame([("a", 0)], "k string, n int")
+    r = eng.validate(df).violations().collect()[0]
+    # keywordLocation walks the use site; absoluteKeywordLocation is the
+    # dereferenced definition pointer under the resource URI
+    assert r.keyword_location == "/properties/n/$ref/minimum"
+    assert r.absolute_keyword_location == \
+        "https://example.com/doc.schema.json#/$defs/pos/minimum"
