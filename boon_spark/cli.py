@@ -38,6 +38,29 @@ def load_schema(path: str):
     return json.loads(text)
 
 
+def make_ref_loader(schema_path: str):
+    """Cross-document $ref loader — boon ``FileLoader``/``UrlLoader``
+    parity (src/loader.rs:23-72): http(s) URIs load remotely; anything
+    else resolves as a file path relative to the schema document."""
+    import os
+    http = schema_path.startswith(("http://", "https://"))
+    base = (schema_path.rsplit("/", 1)[0] + "/") if http \
+        else os.path.dirname(os.path.abspath(schema_path))
+
+    def load(uri: str):
+        if uri.startswith(("http://", "https://")):
+            return load_schema(uri)
+        if http:
+            from urllib.parse import urljoin
+            return load_schema(urljoin(base, uri))
+        p = uri[7:] if uri.startswith("file://") else uri
+        if not os.path.isabs(p):
+            p = os.path.join(base, p)
+        return load_schema(p)
+
+    return load
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="boon_spark",
@@ -67,9 +90,12 @@ def main(argv=None) -> int:
 
     from .schema import compile_schema
 
+    ref_loader = make_ref_loader(args.schema)
     try:
         spec = load_schema(args.schema)
-        compile_schema(spec)  # fail fast before starting a session
+        # fail fast before starting a session; the loader resolves
+        # cross-document $refs relative to the schema's own location
+        compile_schema(spec, loader=ref_loader)
     except Exception as e:  # schema I/O, YAML/JSON parse, compile errors
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -104,7 +130,8 @@ def main(argv=None) -> int:
             return 2 if any_invalid else 0
 
         from .engine import Engine
-        res = Engine.from_schema(spec, row_id=args.row_id).validate(df)
+        res = Engine.from_schema(
+            spec, row_id=args.row_id, loader=ref_loader).validate(df)
         flag = res.flag().collect()[0]
         if args.format == "flag":
             print(json.dumps({"valid": flag.valid, "n_rows": flag.n_rows,

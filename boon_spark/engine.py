@@ -41,8 +41,14 @@ class Engine:
 
     @classmethod
     def from_schema(cls, schema_doc, *, row_id: Optional[str] = None,
-                    max_violations_per_row: int = 100) -> "Engine":
-        return cls(compile_schema(schema_doc), row_id=row_id,
+                    max_violations_per_row: int = 100,
+                    resources: Optional[dict] = None,
+                    loader=None) -> "Engine":
+        """``resources``/``loader`` feed cross-document $ref resolution
+        (boon add_resource / SchemeUrlLoader parity)."""
+        return cls(compile_schema(schema_doc, resources=resources,
+                                  loader=loader),
+                   row_id=row_id,
                    max_violations_per_row=max_violations_per_row)
 
     # ------------------------------------------------------------------

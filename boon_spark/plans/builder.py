@@ -130,11 +130,13 @@ class PlanBuilder:
         cur_loc, cur_abs = self._node_stack[-1]
         abs_kw = cur_abs + kw_loc[len(cur_loc):] \
             if cur_loc and kw_loc.startswith(cur_loc) else kw_loc
+        # cross-resource pointers already carry their "uri#/ptr" form;
+        # bare pointers get the root resource URI prefixed
+        full = abs_kw if "#" in abs_kw else f"{self.base_uri}#{abs_kw}"
         return F.array(F.when(fail, F.struct(
             iloc.alias("instance_location"),
             F.lit(kw_loc).alias("keyword_location"),
-            F.lit(f"{self.base_uri}#{abs_kw}")
-            .alias("absolute_keyword_location"),
+            F.lit(full).alias("absolute_keyword_location"),
             msg.alias("error"))))
 
     @staticmethod

@@ -174,64 +174,103 @@ def _check_regex(pat: str, loc: str) -> tuple[str, str]:
 class Compiler:
     """Worklist-free recursive compiler (our schemas are trees after $ref
     inlining; boon needs a FIFO queue, src/compiler.rs:937-985, because it
-    supports cyclic refs — we forbid cycles over fixed-width rows)."""
+    supports cyclic refs — we forbid cycles over fixed-width rows).
 
-    def __init__(self, doc: dict):
+    Cross-document references mirror boon's resource model: pre-supplied
+    resources are ``add_resource`` parity (``src/compiler.rs:182-187``),
+    the optional ``loader`` callable is ``UrlLoader``/``FileLoader``
+    parity (``src/loader.rs:23-72``) — it receives the resolved absolute
+    URI and returns the raw document.  Refs inside a loaded resource
+    resolve in THAT resource's context (its own anchors, its own base
+    URI for further relative refs)."""
+
+    def __init__(self, doc: dict, *, resources: Optional[dict] = None,
+                 base_uri: str = "", loader=None):
         self.doc = doc
-        self._ref_stack: list[str] = []
-        self._ref_cache: dict[str, Node] = {}
-        self._anchors: dict[str, Any] = {}
-        self._resources: dict[str, Any] = {}
-        self._collect_anchors(doc)
+        self.loader = loader
+        root_id = doc.get("$id") if isinstance(doc, dict) else None
+        root_base = root_id if isinstance(root_id, str) else base_uri
+        self.resources: dict[str, Any] = dict(resources or {})
+        if root_base:
+            self.resources.setdefault(root_base, doc)
+        self._ref_stack: list[tuple[str, str]] = []
+        self._ref_cache: dict[tuple[str, str], Node] = {}
+        self._scans: dict[int, tuple[dict, dict]] = {}  # id(doc) → maps
+        # resource-context stack: (document, base URI) — "#..." refs and
+        # relative URIs resolve against the TOP of this stack
+        self._ctx: list[tuple[Any, str]] = [(doc, root_base)]
+        self._scan_resource(doc)
         # (loc_prefix, abs_prefix) for absoluteKeywordLocation: below an
         # inlined pointer-$ref the dereferenced location substitutes the
         # use-site prefix with the definition pointer
         self._loc_prefix = ""
         self._abs_prefix = ""
 
-    def _collect_anchors(self, v: Any) -> None:
-        """Pre-pass collecting ``$anchor`` names and ``$id`` resource
-        URIs → subschema, mirroring boon's resource/anchor collection
-        (src/draft.rs:239-297, src/root.rs:112-117)."""
-        if isinstance(v, dict):
-            a = v.get("$anchor")
-            if isinstance(a, str):
-                if a in self._anchors:
-                    raise CompileError(f"duplicate $anchor {a!r}")
-                self._anchors[a] = v
-            rid = v.get("$id")
-            if isinstance(rid, str) and v is not self.doc:
-                self._resources[rid] = v
-            for sub in v.values():
-                self._collect_anchors(sub)
-        elif isinstance(v, list):
-            for sub in v:
-                self._collect_anchors(sub)
+    def _scan_resource(self, doc: Any) -> tuple[dict, dict]:
+        """Anchor names and embedded ``$id`` resources of one document,
+        mirroring boon's resource/anchor collection
+        (src/draft.rs:239-297, src/root.rs:112-117).  Cached per doc."""
+        key = id(doc)
+        if key in self._scans:
+            return self._scans[key]
+        anchors: dict[str, Any] = {}
+        embedded: dict[str, Any] = {}
+
+        def walk(v: Any):
+            if isinstance(v, dict):
+                a = v.get("$anchor")
+                if isinstance(a, str):
+                    if a in anchors:
+                        raise CompileError(f"duplicate $anchor {a!r}")
+                    anchors[a] = v
+                rid = v.get("$id")
+                if isinstance(rid, str) and v is not doc:
+                    embedded[rid] = v
+                for sub in v.values():
+                    walk(sub)
+            elif isinstance(v, list):
+                for sub in v:
+                    walk(sub)
+
+        walk(doc)
+        self._scans[key] = (anchors, embedded)
+        return anchors, embedded
 
     def compile(self) -> Node:
         return self.compile_value(self.doc, "")
 
     # -- $ref resolution (compile-time inlining; cycle → CompileError,
     #    mirroring boon's RefCycle, src/validator.rs:999-1011) --
-    def _resolve_pointer(self, ref: str) -> Any:
-        if not ref.startswith("#"):
-            # embedded $id resources resolve by full URI
-            # (boon src/roots.rs:37-43)
-            if ref in self._resources:
-                return self._resources[ref]
-            raise CompileError(
-                f"$ref {ref!r}: only local '#...' refs and embedded $id "
-                f"resources supported (no remote loading)")
-        frag = ref[1:]
-        val: Any = self.doc
+    def _find_resource(self, uri: str) -> Any:
+        """Locate a resource document by absolute (or as-written) URI:
+        pre-supplied resources first, then embedded ``$id`` subschemas of
+        every scanned document, then the loader."""
+        if uri in self.resources:
+            return self.resources[uri]
+        for _anchors, embedded in self._scans.values():
+            if uri in embedded:
+                return embedded[uri]
+        if self.loader is not None:
+            got = self.loader(uri)
+            if got is not None:
+                self.resources[uri] = got
+                self._scan_resource(got)
+                return got
+        raise CompileError(
+            f"$ref: cannot resolve resource {uri!r} (supply it via "
+            f"resources={{uri: doc}} or a loader)")
+
+    def _walk_fragment(self, doc: Any, frag: str, ref: str) -> Any:
         if frag in ("", "/"):
-            return val
+            return doc
         from urllib.parse import unquote
         frag = unquote(frag)  # percent-decode, like boon src/util.rs:161-176
-        if not frag.startswith("/"):  # "#name" = $anchor reference
-            if frag in self._anchors:
-                return self._anchors[frag]
+        if not frag.startswith("/"):  # "name" = $anchor reference
+            anchors, _ = self._scan_resource(doc)
+            if frag in anchors:
+                return anchors[frag]
             raise CompileError(f"$ref {ref!r}: no $anchor named {frag!r}")
+        val = doc
         for raw in frag.lstrip("/").split("/"):
             tok = raw.replace("~1", "/").replace("~0", "~")
             if isinstance(val, dict) and tok in val:
@@ -241,6 +280,34 @@ class Compiler:
             else:
                 raise CompileError(f"$ref {ref!r}: cannot resolve token {tok!r}")
         return val
+
+    def _resolve_ref(self, ref: str):
+        """ref → (value, target_doc, target_uri, pointer_frag_or_None).
+
+        ``target_doc``/``target_uri`` describe the resource the value
+        lives in (pushed as context while compiling the target, so its
+        internal refs resolve locally); ``pointer_frag`` drives
+        absoluteKeywordLocation substitution for pointer refs."""
+        cur_doc, cur_base = self._ctx[-1]
+        uri_part, frag = (ref.split("#", 1) + [""])[:2] if "#" in ref \
+            else (ref, "")
+        if uri_part == "":
+            doc = cur_doc
+            uri = cur_base
+        else:
+            from urllib.parse import urljoin
+            uri = urljoin(cur_base, uri_part) if cur_base else uri_part
+            try:
+                doc = self._find_resource(uri)
+            except CompileError:
+                if uri != uri_part:
+                    doc = self._find_resource(uri_part)
+                    uri = uri_part
+                else:
+                    raise
+        val = self._walk_fragment(doc, frag, ref)
+        ptr = frag if frag.startswith("/") or frag == "" else None
+        return val, doc, uri, ptr
 
     def _abs(self, loc: str) -> str:
         if self._loc_prefix and loc.startswith(self._loc_prefix):
@@ -260,29 +327,35 @@ class Compiler:
 
         if "$ref" in v:
             ref = v["$ref"]
-            if ref in self._ref_stack:
+            cur_base = self._ctx[-1][1]
+            key = (cur_base, ref)
+            if key in self._ref_stack:
                 raise CompileError(
                     f"{loc}/$ref: reference cycle through {ref!r} "
-                    f"(stack: {' -> '.join(self._ref_stack)})")
-            if ref in self._ref_cache:
-                node = self._ref_cache[ref]
+                    f"(stack: {' -> '.join(r for _, r in self._ref_stack)})")
+            if key in self._ref_cache:
+                node = self._ref_cache[key]
             else:
-                self._ref_stack.append(ref)
-                # dereferenced prefix: pointer refs resolve into the
-                # defining resource; anchors/embedded-$id keep the
-                # use-site location (no stable pointer form)
-                frag = ref[1:] if ref.startswith("#") else ""
+                self._ref_stack.append(key)
+                target, t_doc, t_uri, ptr = self._resolve_ref(ref)
+                # dereferenced prefix: pointer refs substitute the
+                # definition pointer (cross-resource ones carry their
+                # resource URI); anchor refs keep the use-site location
                 old = (self._loc_prefix, self._abs_prefix)
-                if frag.startswith("/"):
+                if ptr is not None:
                     from urllib.parse import unquote
                     self._loc_prefix = loc + "/$ref"
-                    self._abs_prefix = unquote(frag)
+                    self._abs_prefix = (f"{t_uri}#{unquote(ptr)}"
+                                        if t_uri != self._ctx[0][1]
+                                        else unquote(ptr))
+                self._ctx.append((t_doc, t_uri))
                 try:
-                    node = self.compile_value(self._resolve_pointer(ref), loc + "/$ref")
+                    node = self.compile_value(target, loc + "/$ref")
                 finally:
+                    self._ctx.pop()
                     self._ref_stack.pop()
                     self._loc_prefix, self._abs_prefix = old
-                self._ref_cache[ref] = node
+                self._ref_cache[key] = node
             siblings = {k: s for k, s in v.items() if k != "$ref"}
             if not siblings:
                 return node
@@ -455,11 +528,17 @@ class Compiler:
         return n
 
 
-def compile_schema(doc: Any) -> CompiledSchema:
+def compile_schema(doc: Any, *, resources: Optional[dict] = None,
+                   loader=None) -> CompiledSchema:
     """Compile a constraint document.  Accepts either a bare JSON-Schema
     dict or a table-spec dict ``{"schema": {...}, "unique": [...],
     "references": [...], "invariants": [...]}`` carrying the cross-row
-    extensions of SURVEY.md §2.6."""
+    extensions of SURVEY.md §2.6.
+
+    ``resources`` maps URI → raw schema document for cross-document
+    ``$ref`` targets (boon ``add_resource``, src/compiler.rs:182-187);
+    ``loader`` is a ``uri → doc`` callable consulted for anything not
+    pre-supplied (boon ``UrlLoader``/``FileLoader``, src/loader.rs:23-72)."""
     if isinstance(doc, dict) and "schema" in doc and not (
             set(doc) & (SUPPORTED - {"$schema", "$id"})):
         schema_doc = doc["schema"]
@@ -467,7 +546,8 @@ def compile_schema(doc: Any) -> CompiledSchema:
     else:
         schema_doc = doc
         extra = {}
-    root = Compiler(schema_doc if not isinstance(schema_doc, bool) else schema_doc).compile() \
+    root = Compiler(schema_doc, resources=resources,
+                    loader=loader).compile() \
         if isinstance(schema_doc, (dict, bool)) else None
     if root is None:
         raise CompileError("schema must be a dict or boolean")

@@ -58,3 +58,27 @@ def test_yaml_schema_and_basic_format(tmp_path):
              if x.startswith("{")]
     assert len(lines) == 2
     assert lines[0]["keywordLocation"] == "/properties/lang/enum"
+
+
+def test_cli_cross_file_ref(tmp_path):
+    # split-across-files schema suite: $ref into a sibling document
+    # (boon FileLoader parity, src/loader.rs:31-41)
+    import json as _json
+    import subprocess
+    import sys as _sys
+    (tmp_path / "lib.json").write_text(
+        _json.dumps({"$defs": {"bounded": {"minimum": 0, "maximum": 300}}}))
+    (tmp_path / "main.json").write_text(_json.dumps(
+        {"properties": {"n_chars": {"$ref": "lib.json#/$defs/bounded"}}}))
+    r = subprocess.run(
+        [_sys.executable, "-m", "boon_spark",
+         "--table", "/root/testdata/sf0.001/documents.parquet",
+         "--schema", str(tmp_path / "main.json"),
+         "--row-id", "doc_id", "--format", "basic", "--limit", "1"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 2
+    import json as _j
+    unit = _j.loads(r.stdout.splitlines()[0])
+    assert unit["keywordLocation"] == "/properties/n_chars/$ref/maximum"
+    assert unit["absoluteKeywordLocation"] == \
+        "lib.json#/$defs/bounded/maximum"

@@ -109,3 +109,120 @@ def test_unevaluated_with_dynamic_applicator(spark):
     df = spark.createDataFrame([("x", "y"), ("x", None)],
                                "a string, b string")
     assert [r.valid for r in eng.annotate(df).collect()] == [False, True]
+
+
+# ---------------------------------------------------------------------------
+# cross-document $ref (boon add_resource / loader parity,
+# reference tests/examples.rs:8-123, src/compiler.rs:182-187)
+# ---------------------------------------------------------------------------
+
+def test_ref_into_supplied_resource(spark):
+    # add_resource parity: an absolute-URI ref resolves into a
+    # pre-supplied document (examples.rs example_from_strings)
+    lib = {"$id": "https://example.com/lib.json",
+           "$defs": {"pos": {"minimum": 1}}}
+    eng = Engine.from_schema(
+        {"properties": {"n": {"$ref": "https://example.com/lib.json#/$defs/pos"}}},
+        row_id="k", resources={"https://example.com/lib.json": lib})
+    df = spark.createDataFrame([("a", 0), ("b", 2)], "k string, n int")
+    got = [r.valid for r in eng.annotate(df).collect()]
+    assert got == [False, True]
+
+
+def test_relative_ref_resolved_against_root_id(spark):
+    lib = {"$defs": {"small": {"maximum": 10}}}
+    eng = Engine.from_schema(
+        {"$id": "https://example.com/schemas/main.json",
+         "properties": {"n": {"$ref": "lib.json#/$defs/small"}}},
+        row_id="k",
+        resources={"https://example.com/schemas/lib.json": lib})
+    df = spark.createDataFrame([("a", 5), ("b", 50)], "k string, n int")
+    assert [r.valid for r in eng.annotate(df).collect()] == [True, False]
+
+
+def test_refs_inside_foreign_resource_resolve_locally(spark):
+    # a ref inside lib.json ("#/$defs/base") must resolve within
+    # lib.json, not within the root document
+    lib = {"$id": "https://example.com/lib.json",
+           "$defs": {"base": {"minimum": 100},
+                     "derived": {"$ref": "#/$defs/base"}}}
+    root = {"$defs": {"base": {"minimum": -1}},  # decoy in root
+            "properties": {"n": {
+                "$ref": "https://example.com/lib.json#/$defs/derived"}}}
+    eng = Engine.from_schema(root, row_id="k",
+                             resources={"https://example.com/lib.json": lib})
+    df = spark.createDataFrame([("a", 5)], "k string, n int")
+    assert [r.valid for r in eng.annotate(df).collect()] == [False]
+
+
+def test_anchor_in_foreign_resource(spark):
+    lib = {"$id": "https://example.com/lib.json",
+           "$defs": {"p": {"$anchor": "positive", "exclusiveMinimum": 0}}}
+    eng = Engine.from_schema(
+        {"properties": {"n": {
+            "$ref": "https://example.com/lib.json#positive"}}},
+        row_id="k", resources={"https://example.com/lib.json": lib})
+    df = spark.createDataFrame([("a", 0), ("b", 1)], "k string, n int")
+    assert [r.valid for r in eng.annotate(df).collect()] == [False, True]
+
+
+def test_loader_fallback_called_for_unknown_uri(spark):
+    # SchemeUrlLoader parity: the loader receives the resolved URI
+    seen = []
+
+    def loader(uri):
+        seen.append(uri)
+        return {"$defs": {"pos": {"minimum": 1}}}
+
+    eng = Engine.from_schema(
+        {"properties": {"n": {"$ref": "https://x.test/l.json#/$defs/pos"}}},
+        row_id="k", loader=loader)
+    df = spark.createDataFrame([("a", 0)], "k string, n int")
+    assert [r.valid for r in eng.annotate(df).collect()] == [False]
+    assert seen == ["https://x.test/l.json"]
+
+
+def test_unresolvable_resource_is_compile_error():
+    with pytest.raises(CompileError, match="cannot resolve resource"):
+        Engine.from_schema(
+            {"properties": {"n": {"$ref": "https://nowhere.test/x.json"}}})
+
+
+def test_cross_resource_cycle_is_compile_error():
+    a = {"$id": "https://example.com/a.json",
+         "$ref": "https://example.com/b.json"}
+    b = {"$id": "https://example.com/b.json",
+         "$ref": "https://example.com/a.json"}
+    with pytest.raises(CompileError, match="cycle"):
+        Engine.from_schema(a, resources={
+            "https://example.com/a.json": a,
+            "https://example.com/b.json": b})
+
+
+def test_cross_resource_absolute_keyword_location(spark):
+    lib = {"$id": "https://example.com/lib.json",
+           "$defs": {"pos": {"minimum": 1}}}
+    eng = Engine.from_schema(
+        {"$id": "https://example.com/main.json",
+         "properties": {"n": {
+             "$ref": "https://example.com/lib.json#/$defs/pos"}}},
+        row_id="k", resources={"https://example.com/lib.json": lib})
+    df = spark.createDataFrame([("a", 0)], "k string, n int")
+    r = eng.validate(df).violations().collect()[0]
+    assert r.keyword_location == "/properties/n/$ref/minimum"
+    assert r.absolute_keyword_location == \
+        "https://example.com/lib.json#/$defs/pos/minimum"
+
+
+def test_cli_file_loader_resolves_sibling_schema(tmp_path, spark):
+    import json as _json
+    from boon_spark.cli import make_ref_loader
+    (tmp_path / "lib.json").write_text(
+        _json.dumps({"$defs": {"pos": {"minimum": 1}}}))
+    main = {"properties": {"n": {"$ref": "lib.json#/$defs/pos"}}}
+    (tmp_path / "main.json").write_text(_json.dumps(main))
+    eng = Engine.from_schema(
+        main, row_id="k",
+        loader=make_ref_loader(str(tmp_path / "main.json")))
+    df = spark.createDataFrame([("a", 0), ("b", 3)], "k string, n int")
+    assert [r.valid for r in eng.annotate(df).collect()] == [False, True]
