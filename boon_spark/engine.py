@@ -130,11 +130,18 @@ class ValidationResult:
 
     def violations(self) -> DataFrame:
         """Basic-output units as rows (boon ``basic_output``,
-        ``src/output.rs:38-86``), exploded only for failing rows —
-        Catalyst prunes the filter before the generate."""
+        ``src/output.rs:38-86``).  Passing rows carry an EMPTY violations
+        array, so the explode alone prunes them.  ``explode_outer`` +
+        post-generate null filter is deliberate: plain ``explode`` makes
+        Catalyst infer ``size(violations) > 0`` (InferFiltersFromGenerate)
+        and predicate pushdown re-inlines the whole violation expression
+        — prelude JSON parses included, once per alias reference — into a
+        scan-side condition, blowing generated-code size and its janino
+        compile time ~4x (pinned by
+        test_plans.test_content_schema_plan_is_lean)."""
         return (self.annotated
-                .filter(~F.col("valid"))
-                .select(F.explode("violations").alias("v"))
+                .select(F.explode_outer("violations").alias("v"))
+                .filter(F.col("v").isNotNull())
                 .select(
                     F.lit(False).alias("valid"),
                     F.col("v.instance_location"),
@@ -174,10 +181,12 @@ class ValidationResult:
                         F.col("violation_count")))
 
     def summary(self) -> DataFrame:
-        """Per-keyword failure counts — map-side partial agg, one shuffle."""
+        """Per-keyword failure counts — map-side partial agg, one shuffle.
+        explode_outer + null filter, see :meth:`violations` for the
+        inferred-filter pushdown-blowup rationale."""
         return (self.annotated
-                .filter(~F.col("valid"))
-                .select(F.explode("violations").alias("v"))
+                .select(F.explode_outer("violations").alias("v"))
+                .filter(F.col("v").isNotNull())
                 .groupBy(F.col("v.keyword_location").alias("keyword_location"))
                 .agg(F.count(F.lit(1)).alias("n_violations")))
 

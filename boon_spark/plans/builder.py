@@ -516,12 +516,19 @@ class PlanBuilder:
         on parseable ones (mirroring boon's early-outs)."""
         from ..functions.content import ENCODINGS, MEDIA_TYPES
 
-        # `target_inline` is the full expression (usable inside other
-        # hoisted prelude expressions — prelude aliases cannot reference
-        # each other within one projection); `target` is the cheap
-        # post-prelude reference used by the check/violation stages.
+        # `*_inline` are full expressions (usable inside other hoisted
+        # prelude expressions — prelude aliases cannot reference each
+        # other within one projection); the post-prelude stages reference
+        # ONLY hoisted boolean/string columns.  Hoisting the FINAL
+        # booleans (not the parsed struct) matters: Catalyst's predicate
+        # pushdown and single-reference projection collapse re-inline
+        # aliases into consumers, so a hoisted *struct* would be expanded
+        # into one from_json per downstream field reference — blowing the
+        # generated-code size (and its janino compile time ~5x).  A
+        # hoisted *boolean* inlines as one parse, CSE'd at runtime.
         target_inline = sval
         target = sval
+        enc_ok_inline = F.lit(True)
         enc_ok = F.lit(True)
         if node.content_encoding is not None:
             enc = node.content_encoding.lower()
@@ -529,16 +536,16 @@ class PlanBuilder:
                 raise CompileError(
                     f"{node.loc}/contentEncoding: unknown encoding "
                     f"{enc!r}; register_content_encoding() it first")
-            # hoist the decode: downstream checks reference the prelude
-            # column; the codegen'd prelude projection CSEs duplicates
             target_inline = ENCODINGS[enc](sval)
             target = self._hoist("decoded", target_inline)
+            enc_ok_inline = target_inline.isNotNull()
             enc_ok = target.isNotNull()
             fail = F.coalesce(value.isNotNull() & ~enc_ok, F.lit(False))
             valids.append(~fail)
             viols.append(self._viol(
                 fail, f"{node.loc}/contentEncoding", iloc,
                 F.lit(f"value is not '{enc}' encoded")))
+        parse_ok_inline = F.lit(True)
         parse_ok = F.lit(True)
         if node.content_media_type is not None:
             mt = node.content_media_type.lower()
@@ -546,7 +553,8 @@ class PlanBuilder:
                 raise CompileError(
                     f"{node.loc}/contentMediaType: unknown media type "
                     f"{mt!r}; register_content_media_type() it first")
-            parse_ok = self._hoist("parse_ok", MEDIA_TYPES[mt](target_inline))
+            parse_ok_inline = MEDIA_TYPES[mt](target_inline)
+            parse_ok = self._hoist("parse_ok", parse_ok_inline)
             ok = F.when(~enc_ok, F.lit(True)).otherwise(parse_ok)
             fail = F.coalesce(value.isNotNull() & ~ok, F.lit(False))
             valids.append(~fail)
@@ -559,16 +567,18 @@ class PlanBuilder:
         if node.content_schema is not None and \
                 node.content_media_type is not None:
             ddl = _ddl_from_schema(node.content_schema)
-            parsed = self._hoist("parsed", F.from_json(target_inline, ddl))
+            parsed_inline = F.from_json(target_inline, ddl)
             sub_dtype = T._parse_datatype_string(ddl)
-            sub_valid, sub_viols = self.build(
-                node.content_schema, sub_dtype, parsed, iloc)
+            sub_valid, _sub_viols = self.build(
+                node.content_schema, sub_dtype, parsed_inline, iloc)
             # applicability: an object-keyword contentSchema only judges
             # JSON *objects* — arrays/scalars pass (suite: '[]' is valid)
-            is_object = F.ltrim(target).startswith("{")
-            ok = F.when(~enc_ok | ~parse_ok | ~is_object | parsed.isNull(),
-                        F.lit(True)) \
+            is_object = F.ltrim(target_inline).startswith("{")
+            ok_inline = F.when(
+                ~enc_ok_inline | ~parse_ok_inline | ~is_object
+                | parsed_inline.isNull(), F.lit(True)) \
                 .otherwise(F.coalesce(sub_valid, F.lit(False)))
+            ok = self._hoist("cs_ok", ok_inline)
             fail = F.coalesce(value.isNotNull() & ~ok, F.lit(False))
             valids.append(~fail)
             viols.append(self._viol(

@@ -138,8 +138,10 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
     ann = eng.annotate(sub)
 
     if violations_path:
-        (ann.filter(~F.col("valid"))
-            .select(partition_col, F.explode("violations").alias("v"))
+        # explode_outer + null filter prunes passing rows (empty arrays)
+        # without the inferred-filter pushdown blowup (engine.violations)
+        (ann.select(partition_col, F.explode_outer("violations").alias("v"))
+            .filter(F.col("v").isNotNull())
             .select(partition_col, "v.instance_location",
                     "v.keyword_location", "v.error")
             .write.mode("overwrite")

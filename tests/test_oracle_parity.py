@@ -70,5 +70,5 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     n = df.count()
     assert n >= 0
-    assert df.columns == ["valid", "instance_location",
-                          "keyword_location", "error"]
+    assert df.columns == ["valid", "instance_location", "keyword_location",
+                          "absolute_keyword_location", "error"]

@@ -112,3 +112,31 @@ def test_check_unique_is_single_shuffle(spark):
         F.col("id").alias("rid"), (F.col("id") % 3).alias("k"))
     plan = _plan(check_unique(df, ["k"], row_id="rid"))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_content_schema_plan_is_lean(spark):
+    # content_json_events cost pin (round-1 bench: 13.5s, 32% of suite).
+    # The wall time was NOT parse work — it was one-time janino
+    # compilation of generated code bloated by two optimizer rewrites
+    # that re-inline the hoisted JSON parse once per alias reference:
+    # (a) InferFiltersFromGenerate's size(violations)>0 filter pushed to
+    # the scan (avoided by explode_outer in violations()/summary()),
+    # (b) hoisting the parsed STRUCT instead of final booleans (each
+    # downstream field access re-expanded to its own from_json).
+    # Pin: parse count in the optimized plan stays construction-bounded
+    # (~9: one hoisted boolean's internal refs) and never appears in a
+    # pushed-down Filter.
+    from pyspark.sql import functions as F
+    from boon_spark import Engine
+    ev = spark.createDataFrame([(1, '{"k": 3}'), (2, 'not json')],
+                               "event_id int, props string")
+    eng = Engine.from_schema({"properties": {"props": {
+        "contentMediaType": "application/json",
+        "contentSchema": {"properties": {
+            "k": {"type": "integer", "minimum": 0, "maximum": 50}},
+            "required": ["k"]}}}}, row_id="event_id")
+    s = eng.validate(ev).summary()
+    plan = s._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("from_json") <= 12
+    filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln]
+    assert all("from_json" not in ln for ln in filter_lines)
