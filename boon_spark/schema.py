@@ -53,6 +53,60 @@ UNSUPPORTED = {
     "$recursiveRef", "$recursiveAnchor", "$dynamicRef", "$dynamicAnchor",
 }
 
+# ---------------------------------------------------------------------------
+# draft dispatch (boon src/draft.rs:202-235 keyword tables, 427-437 $schema
+# resolution).  A declared $schema selects the draft; keywords the draft
+# does not define are IGNORED as annotations (per spec — they are plain
+# unknown keywords there), exactly like boon's per-draft keyword sets.
+# Without $schema the engine stays permissive (union of all drafts).
+# ---------------------------------------------------------------------------
+
+DRAFT_URIS = {
+    "json-schema.org/draft-04/schema": 4,
+    "json-schema.org/draft-06/schema": 6,
+    "json-schema.org/draft-07/schema": 7,
+    "json-schema.org/draft/2019-09/schema": 2019,
+    "json-schema.org/draft/2020-12/schema": 2020,
+}
+
+# keyword → draft that introduced it (unlisted supported keywords: draft 4)
+KEYWORD_INTRODUCED = {
+    "const": 6, "contains": 6, "propertyNames": 6,
+    "if": 7, "then": 7, "else": 7,
+    "contentEncoding": 7, "contentMediaType": 7,
+    "$anchor": 2019, "dependentRequired": 2019, "dependentSchemas": 2019,
+    "unevaluatedProperties": 2019, "unevaluatedItems": 2019,
+    "minContains": 2019, "maxContains": 2019, "contentSchema": 2019,
+    "$recursiveRef": 2019, "$recursiveAnchor": 2019,
+    "prefixItems": 2020, "$dynamicRef": 2020, "$dynamicAnchor": 2020,
+}
+
+# keyword → first draft where it is no longer defined
+KEYWORD_REMOVED = {
+    "dependencies": 2019,
+    "additionalItems": 2020,
+    "$recursiveRef": 2020, "$recursiveAnchor": 2020,
+}
+
+# standard vocabulary URI prefixes of 2019-09/2020-12 — anything else
+# marked required=true in a custom metaschema's $vocabulary is an
+# UnsupportedVocabulary error (boon src/compiler.rs:808-809)
+KNOWN_VOCAB_PREFIXES = (
+    "https://json-schema.org/draft/2019-09/vocab/",
+    "https://json-schema.org/draft/2020-12/vocab/",
+)
+
+
+def draft_of_uri(uri: str) -> Optional[int]:
+    """Known-draft number of a $schema URI (scheme- and fragment-
+    insensitive), or None for custom metaschemas."""
+    u = uri.strip().rstrip("#")
+    for scheme in ("http://", "https://"):
+        if u.startswith(scheme):
+            u = u[len(scheme):]
+            break
+    return DRAFT_URIS.get(u)
+
 
 @dataclass
 class Node:
@@ -196,15 +250,53 @@ class Compiler:
         self._ref_stack: list[tuple[str, str]] = []
         self._ref_cache: dict[tuple[str, str], Node] = {}
         self._scans: dict[int, tuple[dict, dict]] = {}  # id(doc) → maps
-        # resource-context stack: (document, base URI) — "#..." refs and
-        # relative URIs resolve against the TOP of this stack
-        self._ctx: list[tuple[Any, str]] = [(doc, root_base)]
+        # resource-context stack: (document, base URI, draft) — "#..."
+        # refs and relative URIs resolve against the TOP of this stack;
+        # each resource's $schema selects its own draft gating
+        self._ctx: list[tuple[Any, str, Optional[int]]] = []
         self._scan_resource(doc)
         # (loc_prefix, abs_prefix) for absoluteKeywordLocation: below an
         # inlined pointer-$ref the dereferenced location substitutes the
         # use-site prefix with the definition pointer
         self._loc_prefix = ""
         self._abs_prefix = ""
+        self._ctx.append((doc, root_base, self._draft_for_doc(doc)))
+
+    def _draft_for_doc(self, doc: Any, *, _depth: int = 0) -> Optional[int]:
+        """Draft selected by a resource's ``$schema`` (boon
+        ``src/draft.rs:427-437``).  Standard URIs map directly; a custom
+        metaschema is resolved like any resource, its ``$vocabulary`` is
+        checked (unknown required vocabulary → CompileError, boon's
+        UnsupportedVocabulary), and the draft is inherited from ITS
+        ``$schema``.  No ``$schema`` → None = permissive union of all
+        drafts (this engine's default)."""
+        if not isinstance(doc, dict):
+            return None
+        s = doc.get("$schema")
+        if not isinstance(s, str):
+            return None
+        d = draft_of_uri(s)
+        if d is not None:
+            return d
+        if _depth >= 3:
+            raise CompileError(f"$schema {s!r}: metaschema chain too deep")
+        try:
+            meta = self._find_resource(s.rstrip("#"))
+        except CompileError:
+            raise CompileError(
+                f"$schema {s!r}: unknown metaschema — use a standard "
+                f"draft URI or supply the metaschema document via "
+                f"resources={{uri: doc}} or a loader") from None
+        if isinstance(meta, dict):
+            vocab = meta.get("$vocabulary")
+            if isinstance(vocab, dict):
+                for uri, required in vocab.items():
+                    if required and not str(uri).startswith(
+                            KNOWN_VOCAB_PREFIXES):
+                        raise CompileError(
+                            f"$schema {s!r}: unsupported required "
+                            f"vocabulary {uri!r}")
+        return self._draft_for_doc(meta, _depth=_depth + 1)
 
     def _scan_resource(self, doc: Any) -> tuple[dict, dict]:
         """Anchor names and embedded ``$id`` resources of one document,
@@ -288,7 +380,7 @@ class Compiler:
         lives in (pushed as context while compiling the target, so its
         internal refs resolve locally); ``pointer_frag`` drives
         absoluteKeywordLocation substitution for pointer refs."""
-        cur_doc, cur_base = self._ctx[-1]
+        cur_doc, cur_base, _cur_draft = self._ctx[-1]
         uri_part, frag = (ref.split("#", 1) + [""])[:2] if "#" in ref \
             else (ref, "")
         if uri_part == "":
@@ -314,11 +406,28 @@ class Compiler:
             return self._abs_prefix + loc[len(self._loc_prefix):]
         return loc
 
+    @staticmethod
+    def _keyword_active(kw: str, draft: Optional[int]) -> bool:
+        """Is ``kw`` defined in ``draft``?  Keywords a draft does not
+        define are plain unknown keywords there → ignored as annotations
+        (boon's per-draft keyword sets, src/draft.rs:202-235).  draft
+        None = permissive union."""
+        if draft is None:
+            return True
+        if draft < KEYWORD_INTRODUCED.get(kw, 4):
+            return False
+        removed = KEYWORD_REMOVED.get(kw)
+        return removed is None or draft < removed
+
     def compile_value(self, v: Any, loc: str) -> Node:
         if isinstance(v, bool):
             return Node(loc=loc, abs_loc=self._abs(loc), boolean=v)
         if not isinstance(v, dict):
             raise CompileError(f"{loc}: schema must be boolean or object")
+        draft = self._ctx[-1][2]
+        if draft is not None:
+            v = {k: s for k, s in v.items()
+                 if self._keyword_active(k, draft)}
         for kw in v:
             if kw in UNSUPPORTED:
                 raise UnsupportedKeyword(
@@ -348,7 +457,12 @@ class Compiler:
                     self._abs_prefix = (f"{t_uri}#{unquote(ptr)}"
                                         if t_uri != self._ctx[0][1]
                                         else unquote(ptr))
-                self._ctx.append((t_doc, t_uri))
+                # a foreign resource's own $schema selects its draft;
+                # a resource without one inherits the referrer's
+                t_draft = self._draft_for_doc(t_doc)
+                if t_draft is None:
+                    t_draft = self._ctx[-1][2]
+                self._ctx.append((t_doc, t_uri, t_draft))
                 try:
                     node = self.compile_value(target, loc + "/$ref")
                 finally:
@@ -357,9 +471,11 @@ class Compiler:
                     self._loc_prefix, self._abs_prefix = old
                 self._ref_cache[key] = node
             siblings = {k: s for k, s in v.items() if k != "$ref"}
-            if not siblings:
+            # draft ≤7: $ref REPLACES the whole schema object — siblings
+            # are ignored (boon src/draft.rs draft7 ref behavior);
+            # 2019+ (and permissive): $ref + siblings = allOf(ref, sib)
+            if not siblings or (draft is not None and draft <= 7):
                 return node
-            # draft 2019+ semantics: $ref + siblings = allOf(ref, siblings)
             sib = self.compile_value(siblings, loc)
             return Node(loc=loc, abs_loc=self._abs(loc), all_of=[node, sib])
 
@@ -427,6 +543,10 @@ class Compiler:
         items = v.get("items")
         prefix = v.get("prefixItems")
         if isinstance(items, list):  # draft<=2019 tuple form
+            if draft is not None and draft >= 2020:
+                raise CompileError(
+                    f"{loc}/items: the array form was removed in "
+                    f"2020-12 — use prefixItems")
             prefix = items
             items = v.get("additionalItems")
         if prefix is not None:

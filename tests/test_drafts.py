@@ -1,0 +1,133 @@
+"""Draft dispatch / $vocabulary gating (boon ``src/draft.rs:202-235``
+keyword tables, ``427-437`` $schema resolution): a declared ``$schema``
+selects the draft, and keywords the draft does not define are ignored as
+annotations — exactly what an unknown keyword is in that draft.  Without
+``$schema`` the engine stays permissive (union of all drafts)."""
+
+import pytest
+
+from boon_spark import CompileError, Engine
+from boon_spark.schema import compile_schema, draft_of_uri
+
+D4 = "http://json-schema.org/draft-04/schema#"
+D7 = "http://json-schema.org/draft-07/schema#"
+D2019 = "https://json-schema.org/draft/2019-09/schema"
+D2020 = "https://json-schema.org/draft/2020-12/schema"
+
+
+def test_draft_uri_table():
+    assert draft_of_uri(D4) == 4
+    assert draft_of_uri(D7) == 7
+    assert draft_of_uri(D2019) == 2019
+    assert draft_of_uri(D2020) == 2020
+    assert draft_of_uri("https://example.com/meta") is None
+
+
+def test_draft7_ignores_2019_keywords(spark):
+    # unevaluatedProperties does not exist in draft 7 → plain unknown
+    # keyword → annotation, never a failed check
+    eng = Engine.from_schema({
+        "$schema": D7,
+        "properties": {"a": {"type": "string"}},
+        "unevaluatedProperties": False})
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    assert [r.valid for r in eng.annotate(df).collect()] == [True]
+
+
+def test_draft4_ignores_const(spark):
+    eng = Engine.from_schema({
+        "$schema": D4,
+        "properties": {"a": {"const": "nope",
+                             "exclusiveMinimum": True, "minimum": 5}}})
+    df = spark.createDataFrame([(5,), (6,)], "a int")
+    # const introduced in draft 6 → ignored; draft-4 boolean
+    # exclusiveMinimum folds minimum 5 into a strict bound
+    assert [r.valid for r in eng.annotate(df).collect()] == [False, True]
+
+
+def test_2020_rejects_tuple_items():
+    with pytest.raises(CompileError, match="prefixItems"):
+        compile_schema({"$schema": D2020,
+                        "properties": {"xs": {"items": [{"type": "string"}]}}})
+
+
+def test_2019_keeps_tuple_items_and_ignores_prefix_items(spark):
+    eng = Engine.from_schema({
+        "$schema": D2019,
+        "properties": {"xs": {"items": [{"const": 1}],
+                              "additionalItems": {"minimum": 10}}}})
+    df = spark.createDataFrame([([1, 11],), ([1, 2],)], "xs array<int>")
+    assert [r.valid for r in eng.annotate(df).collect()] == [True, False]
+
+
+def test_draft7_ref_replaces_siblings(spark):
+    # in draft ≤7, $ref siblings are ignored; 2019+ folds them as allOf
+    doc = {"$defs": {"pos": {"minimum": 1}},
+           "properties": {"n": {"$ref": "#/$defs/pos", "maximum": 5}}}
+    df = spark.createDataFrame([(7,)], "n int")
+    d7 = Engine.from_schema({**doc, "$schema": D7})
+    assert [r.valid for r in d7.annotate(df).collect()] == [True]
+    d2020 = Engine.from_schema({**doc, "$schema": D2020})
+    assert [r.valid for r in d2020.annotate(df).collect()] == [False]
+
+
+def test_permissive_default_accepts_all_drafts(spark):
+    # no $schema → union: const (6), if/then (7), unevaluated* (2019),
+    # prefixItems (2020) all active at once
+    eng = Engine.from_schema({
+        "properties": {"a": {"const": "x"},
+                       "xs": {"prefixItems": [{"const": 1}]}},
+        "unevaluatedProperties": True})
+    df = spark.createDataFrame([("x", [1])], "a string, xs array<int>")
+    assert [r.valid for r in eng.annotate(df).collect()] == [True]
+
+
+def test_unknown_metaschema_is_compile_error():
+    with pytest.raises(CompileError, match="unknown metaschema"):
+        compile_schema({"$schema": "https://example.com/my-meta",
+                        "properties": {"a": {"type": "string"}}})
+
+
+def test_custom_metaschema_inherits_draft_and_checks_vocabulary(spark):
+    meta = {"$schema": D7,
+            "$vocabulary": {
+                "https://json-schema.org/draft/2020-12/vocab/core": True}}
+    # NOTE: $vocabulary is only meaningful in 2019+, but boon checks the
+    # declared set regardless; the DRAFT comes from the metaschema chain
+    eng = Engine.from_schema(
+        {"$schema": "https://example.com/meta",
+         "properties": {"a": {"type": "string"}},
+         "unevaluatedProperties": False},   # draft-7-gated → ignored
+        resources={"https://example.com/meta": meta})
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    assert [r.valid for r in eng.annotate(df).collect()] == [True]
+
+
+def test_unsupported_required_vocabulary_is_compile_error():
+    meta = {"$schema": D2020,
+            "$vocabulary": {"https://example.com/vocab/custom": True}}
+    with pytest.raises(CompileError, match="unsupported required vocabulary"):
+        compile_schema({"$schema": "https://example.com/meta"},
+                       resources={"https://example.com/meta": meta})
+
+
+def test_optional_vocabulary_is_fine():
+    meta = {"$schema": D2020,
+            "$vocabulary": {"https://example.com/vocab/custom": False}}
+    compile_schema({"$schema": "https://example.com/meta",
+                    "properties": {"a": {"type": "string"}}},
+                   resources={"https://example.com/meta": meta})
+
+
+def test_foreign_resource_uses_its_own_draft(spark):
+    # lib declares draft 7 → its unevaluatedProperties is ignored even
+    # though the referring root is 2020-12
+    lib = {"$id": "https://example.com/lib.json", "$schema": D7,
+           "$defs": {"obj": {"properties": {"a": {"type": "string"}},
+                             "unevaluatedProperties": False}}}
+    eng = Engine.from_schema(
+        {"$schema": D2020,
+         "$ref": "https://example.com/lib.json#/$defs/obj"},
+        resources={"https://example.com/lib.json": lib})
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    assert [r.valid for r in eng.annotate(df).collect()] == [True]
