@@ -192,6 +192,18 @@ class CompiledSchema:
     invariants: list[dict] = field(default_factory=list)
 
 
+def _expect(cond: bool, loc: str, kw: str, want: str, got: Any) -> None:
+    """Metaschema-shape assertion — the compile-time analogue of boon's
+    schema-against-metaschema validation (``src/roots.rs:86-94``): a
+    malformed keyword payload fails with a precise message naming the
+    keyword, the expected shape, and what was found."""
+    if not cond:
+        kind = type(got).__name__
+        kind = {"dict": "object", "list": "array", "str": "string",
+                "bool": "boolean", "NoneType": "null"}.get(kind, kind)
+        raise CompileError(f"{loc}/{kw}: expected {want}, got {kind}")
+
+
 def _num(v: Any, kw: str, loc: str) -> float:
     if isinstance(v, bool) or not isinstance(v, (int, float)):
         raise CompileError(f"{loc}/{kw}: expected number, got {type(v).__name__}")
@@ -436,6 +448,7 @@ class Compiler:
 
         if "$ref" in v:
             ref = v["$ref"]
+            _expect(isinstance(ref, str), loc, "$ref", "string (URI)", ref)
             cur_base = self._ctx[-1][1]
             key = (cur_base, ref)
             if key in self._ref_stack:
@@ -531,6 +544,8 @@ class Compiler:
         if "maxLength" in v:
             n.max_length = _nonneg_int(v["maxLength"], "maxLength", loc)
         if "pattern" in v:
+            _expect(isinstance(v["pattern"], str), loc, "pattern",
+                    "string (regex)", v["pattern"])
             n.pattern, n.pattern_py = _check_regex(v["pattern"], loc)
             n.pattern_src = v["pattern"]
 
@@ -538,6 +553,9 @@ class Compiler:
             n.min_items = _nonneg_int(v["minItems"], "minItems", loc)
         if "maxItems" in v:
             n.max_items = _nonneg_int(v["maxItems"], "maxItems", loc)
+        if "uniqueItems" in v:
+            _expect(isinstance(v["uniqueItems"], bool), loc, "uniqueItems",
+                    "boolean", v["uniqueItems"])
         n.unique_items = bool(v.get("uniqueItems", False))
 
         items = v.get("items")
@@ -550,6 +568,9 @@ class Compiler:
             prefix = items
             items = v.get("additionalItems")
         if prefix is not None:
+            _expect(isinstance(prefix, list), loc,
+                    "prefixItems" if "prefixItems" in v else "items",
+                    "array of subschemas", prefix)
             n.prefix_items = [
                 self.compile_value(s, f"{loc}/prefixItems/{i}")
                 for i, s in enumerate(prefix)]
@@ -563,12 +584,20 @@ class Compiler:
                 n.max_contains = _nonneg_int(v["maxContains"], "maxContains", loc)
 
         if "required" in v:
+            _expect(isinstance(v["required"], list) and
+                    all(isinstance(r, str) for r in v["required"]),
+                    loc, "required", "array of strings", v["required"])
             n.required = list(v["required"])
         if "properties" in v:
+            _expect(isinstance(v["properties"], dict), loc, "properties",
+                    "object of subschemas", v["properties"])
             n.properties = {
                 k: self.compile_value(s, f"{loc}/properties/{k}")
                 for k, s in v["properties"].items()}
         if "patternProperties" in v:
+            _expect(isinstance(v["patternProperties"], dict), loc,
+                    "patternProperties", "object of subschemas",
+                    v["patternProperties"])
             # keys are matched against STATIC column names on the driver
             # (Python re) — store the Python-flavor translation
             n.pattern_properties = {
@@ -580,6 +609,15 @@ class Compiler:
             n.additional_properties = (
                 ap if isinstance(ap, bool)
                 else self.compile_value(ap, loc + "/additionalProperties"))
+        for kw in ("dependentRequired", "dependencies", "dependentSchemas"):
+            if kw in v:
+                _expect(isinstance(v[kw], dict), loc, kw, "object", v[kw])
+        if "dependentRequired" in v:
+            for prop, deps in v["dependentRequired"].items():
+                _expect(isinstance(deps, list) and
+                        all(isinstance(d, str) for d in deps),
+                        loc, f"dependentRequired/{prop}",
+                        "array of strings", deps)
         dep_req = dict(v.get("dependentRequired", {}))
         dep_sch = {}
         for prop, dep in v.get("dependencies", {}).items():  # draft<=7 form
@@ -599,8 +637,12 @@ class Compiler:
             n.property_names = self.compile_value(
                 v["propertyNames"], loc + "/propertyNames")
         if "contentEncoding" in v:
+            _expect(isinstance(v["contentEncoding"], str), loc,
+                    "contentEncoding", "string", v["contentEncoding"])
             n.content_encoding = v["contentEncoding"]
         if "contentMediaType" in v:
+            _expect(isinstance(v["contentMediaType"], str), loc,
+                    "contentMediaType", "string", v["contentMediaType"])
             n.content_media_type = v["contentMediaType"]
         if "contentSchema" in v:
             n.content_schema = self.compile_value(
