@@ -172,3 +172,103 @@ def test_engine_matches_python_evaluator(_spark, spec, rows):
     got = [r.valid for r in eng.annotate(df).select("valid").collect()]
     want = [eval_row(spec, r, int_cols={"n", "xs"}) for r in rows]
     assert got == want, f"spec={spec} rows={rows}"
+
+
+# ---------------------------------------------------------------------------
+# dynamic unevaluatedProperties (runtime annotation flow, round 2)
+# ---------------------------------------------------------------------------
+
+def _branch_valid(sub: dict, row: dict) -> bool:
+    ok = True
+    for r in sub.get("required", []):
+        ok &= row.get(r) is not None
+    for nm, s in sub.get("properties", {}).items():
+        ok &= eval_value(s, row.get(nm), is_int_col=(nm == "n"))
+    return bool(ok)
+
+
+def eval_uneval_row(spec: dict, row: dict) -> bool:
+    """Independent evaluator of 2020-12 annotation semantics: a branch
+    contributes its evaluated names iff the branch validates."""
+    valid = True
+    evaluated = set(spec.get("properties", {}))
+    for nm, s in spec.get("properties", {}).items():
+        valid &= eval_value(s, row.get(nm), is_int_col=(nm == "n"))
+    for comb in ("anyOf", "oneOf"):
+        if comb in spec:
+            bvs = [_branch_valid(b, row) for b in spec[comb]]
+            valid &= any(bvs) if comb == "anyOf" else (sum(bvs) == 1)
+            for b, bv in zip(spec[comb], bvs):
+                if bv:
+                    evaluated |= set(b.get("properties", {}))
+    if "if" in spec:
+        cond = _branch_valid(spec["if"], row)
+        if cond:
+            evaluated |= set(spec["if"].get("properties", {}))
+            if "then" in spec:
+                tv = _branch_valid(spec["then"], row)
+                valid &= tv
+                if tv:
+                    evaluated |= set(spec["then"].get("properties", {}))
+        elif "else" in spec:
+            ev = _branch_valid(spec["else"], row)
+            valid &= ev
+            if ev:
+                evaluated |= set(spec["else"].get("properties", {}))
+    u = spec["unevaluatedProperties"]
+    # every DataFrame column is a property of the row object — including
+    # the row-id column k (always present, so always subject to uneval)
+    for nm in ("k", "a", "b", "n"):
+        if nm in evaluated or row.get(nm) is None:
+            continue  # evaluated, or absent (SQL NULL = absent)
+        if u is False:
+            valid = False
+        else:
+            valid &= eval_value(u, row.get(nm),
+                                is_int_col=nm in ("k", "n"))
+    return bool(valid)
+
+
+_branch_st = st.fixed_dictionaries({}, optional={
+    "properties": st.fixed_dictionaries({}, optional={
+        "a": st.sampled_from([{"const": "x"}, {"minLength": 1}, {}]),
+        "b": st.sampled_from([{"const": "y"}, {"maxLength": 2}, {}]),
+        "n": st.sampled_from([{"minimum": 0}, {"maximum": 5}, {}]),
+    }),
+    "required": st.lists(st.sampled_from(["a", "b", "n"]), unique=True),
+})
+
+uneval_spec_st = st.fixed_dictionaries({
+    "unevaluatedProperties": st.sampled_from([False, {"maximum": 3},
+                                              {"minLength": 2}]),
+}, optional={
+    "properties": st.fixed_dictionaries({}, optional={
+        "a": st.sampled_from([{"minLength": 0}, {}])}),
+    "anyOf": st.lists(_branch_st, min_size=1, max_size=2),
+    "oneOf": st.lists(_branch_st, min_size=1, max_size=2),
+    "if": _branch_st,
+    "then": _branch_st,
+    "else": _branch_st,
+})
+
+uneval_row_st = st.fixed_dictionaries({
+    "k": st.integers(0, 10**6),
+    "a": st.one_of(st.none(), st.sampled_from(["x", "xx", "q"])),
+    "b": st.one_of(st.none(), st.sampled_from(["y", "yyy", ""])),
+    "n": st.one_of(st.none(), st.integers(-3, 8)),
+})
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(spec=uneval_spec_st, rows=st.lists(uneval_row_st, min_size=1,
+                                          max_size=6))
+def test_dynamic_unevaluated_matches_python_evaluator(_spark, spec, rows):
+    df = _spark.createDataFrame(
+        [(r["k"], r["a"], r["b"], r["n"]) for r in rows],
+        "k bigint, a string, b string, n bigint")
+    eng = Engine.from_schema(spec, row_id="k")
+    got = [r.valid for r in eng.annotate(df).select("valid").collect()]
+    want = [eval_uneval_row(spec, r) for r in rows]
+    assert got == want, f"spec={spec} rows={rows}"
