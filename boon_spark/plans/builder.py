@@ -609,7 +609,7 @@ class PlanBuilder:
         if node.properties and nm in node.properties:
             return True
         for pat in (node.pattern_properties or {}):
-            if re.compile(pat).search(nm):
+            if re.compile(node.pattern_translations[pat][1]).search(nm):
                 return True
         if node.additional_properties is not None:
             # additionalProperties applies to every name not matched by
@@ -714,10 +714,11 @@ class PlanBuilder:
         is_row = value is None
         is_map = isinstance(dtype, T.MapType)
         if is_map:
-            if node.pattern_properties or node.additional_properties is not None:
+            if node.unevaluated_properties is not None:
                 raise CompileError(
-                    f"{node.loc}: patternProperties/additionalProperties "
-                    f"on map columns not supported")
+                    f"{node.loc}: unevaluatedProperties on map columns "
+                    f"needs runtime key-annotation flow — unsupported; "
+                    f"use additionalProperties (runtime keys supported)")
             self._map_checks(node, dtype, value, iloc, valids, viols)
             return
 
@@ -772,7 +773,7 @@ class PlanBuilder:
                 viols.extend(guard_viols(x) for x in vs)
         if node.pattern_properties:
             for pat, sub in node.pattern_properties.items():
-                rx = re.compile(pat)
+                rx = re.compile(node.pattern_translations[pat][1])
                 for name, ft in fields.items():
                     if rx.search(name):
                         matched.add(name)
@@ -936,6 +937,77 @@ class PlanBuilder:
                 valids.append(F.coalesce(guard(v), F.lit(False)))
                 viols.extend(F.when(value.isNotNull(), x)
                              .otherwise(empty_viols()) for x in vs)
+        # map keys are RUNTIME values — patternProperties/
+        # additionalProperties/propertyNames become higher-order-function
+        # checks over map_keys/map_filter (SURVEY §2.2 map mappings),
+        # unlike the compile-time name matching on struct columns
+        if node.pattern_properties:
+            for pat, sub in node.pattern_properties.items():
+                jpat = node.pattern_translations[pat][0]
+                if not sub.is_trivial_true():
+                    self._lambda_depth += 1
+                    ok = F.forall(
+                        F.map_values(F.map_filter(
+                            value, lambda k, _v: k.rlike(jpat))),
+                        lambda mv: F.coalesce(
+                            self.build(sub, vt, mv, iloc)[0], F.lit(False)))
+                    self._lambda_depth -= 1
+                    fail = F.coalesce(value.isNotNull() & ~ok, F.lit(False))
+                    valids.append(~fail)
+                    viols.append(self._viol(
+                        fail, f"{node.loc}/patternProperties", iloc,
+                        F.lit(f"values for keys matching '{pat}' "
+                              f"do not match schema")))
+        if node.additional_properties is not None:
+            known = list(node.properties or {})
+            pats = list(node.pattern_properties or {})
+
+            def unmatched(k: Column) -> Column:
+                cond = F.lit(True)
+                if known:
+                    cond = cond & ~k.isin(known)
+                for p in pats:
+                    cond = cond & ~k.rlike(node.pattern_translations[p][0])
+                return cond
+
+            ap = node.additional_properties
+            if ap is False:
+                self._lambda_depth += 1
+                extra_keys = F.filter(F.map_keys(value),
+                                      lambda k: unmatched(k))
+                self._lambda_depth -= 1
+                ok = F.size(extra_keys) == 0
+                fail = F.coalesce(value.isNotNull() & ~ok, F.lit(False))
+                valids.append(~fail)
+                viols.append(self._viol(
+                    fail, f"{node.loc}/additionalProperties", iloc,
+                    F.concat(F.lit("additionalProperties "),
+                             F.array_join(extra_keys, ", "),
+                             F.lit(" not allowed"))))
+            elif isinstance(ap, Node) and not ap.is_trivial_true():
+                self._lambda_depth += 1
+                ok = F.forall(
+                    F.map_values(F.map_filter(
+                        value, lambda k, _v: unmatched(k))),
+                    lambda mv: F.coalesce(
+                        self.build(ap, vt, mv, iloc)[0], F.lit(False)))
+                self._lambda_depth -= 1
+                fail = F.coalesce(value.isNotNull() & ~ok, F.lit(False))
+                valids.append(~fail)
+                viols.append(self._viol(
+                    fail, f"{node.loc}/additionalProperties", iloc,
+                    F.lit("additional property values do not match schema")))
+        if node.property_names is not None:
+            pn = node.property_names
+            self._lambda_depth += 1
+            ok = F.forall(F.map_keys(value), lambda k: F.coalesce(
+                self.build(pn, T.StringType(), k, iloc)[0], F.lit(False)))
+            self._lambda_depth -= 1
+            fail = F.coalesce(value.isNotNull() & ~ok, F.lit(False))
+            valids.append(~fail)
+            viols.append(self._viol(
+                fail, f"{node.loc}/propertyNames", iloc,
+                F.lit("invalid property name")))
         for bound, kw, word in ((node.min_properties, "minProperties", ">="),
                                 (node.max_properties, "maxProperties", "<=")):
             if bound is None:

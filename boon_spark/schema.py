@@ -150,7 +150,9 @@ class Node:
 
     required: Optional[list[str]] = None
     properties: Optional[dict[str, "Node"]] = None
-    pattern_properties: Optional[dict[str, "Node"]] = None
+    pattern_properties: Optional[dict[str, "Node"]] = None  # keyed by source
+    # source pattern → (java, python_probe) translations for the keys
+    pattern_translations: Optional[dict[str, tuple[str, str]]] = None
     additional_properties: Any = None  # None | bool | Node
     dependent_required: Optional[dict[str, list[str]]] = None
     dependent_schemas: Optional[dict[str, "Node"]] = None
@@ -598,12 +600,15 @@ class Compiler:
             _expect(isinstance(v["patternProperties"], dict), loc,
                     "patternProperties", "object of subschemas",
                     v["patternProperties"])
-            # keys are matched against STATIC column names on the driver
-            # (Python re) — store the Python-flavor translation
+            # keys are kept by SOURCE; translations carry both flavors —
+            # struct columns match names driver-side (Python re), map
+            # columns match runtime keys executor-side (Java rlike)
             n.pattern_properties = {
-                _check_regex(k, loc)[1]: self.compile_value(
-                    s, f"{loc}/patternProperties/{k}")
+                k: self.compile_value(s, f"{loc}/patternProperties/{k}")
                 for k, s in v["patternProperties"].items()}
+            n.pattern_translations = {
+                k: _check_regex(k, loc)
+                for k in v["patternProperties"]}
         if "additionalProperties" in v:
             ap = v["additionalProperties"]
             n.additional_properties = (
