@@ -278,6 +278,39 @@ def q_validate_table_docs(spark, sf_dir):
 # training-data pipeline ops (prompt mandate: dedup/similarity/text)
 # --------------------------------------------------------------------------
 
+def q_equality_docs(spark, sf_dir):
+    """per-row equality vs a reference table (boon deep `equals`,
+    util.rs:348-388, lifted to table scale): the reference is documents
+    with a deterministic perturbation (n_chars+1 on doc_id%17==0) and
+    deterministic missing rows (doc_id%97==0)."""
+    from boon_spark.operators.equality import check_equality
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars", "lang")
+    ref = (_docs(spark, sf_dir)
+           .filter(F.col("doc_id") % 97 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 17 == 0, F.col("n_chars") + 1)
+                   .otherwise(F.col("n_chars")).alias("n_chars"),
+                   "lang"))
+    return check_equality(docs, ref, key="doc_id") \
+        .select("instance_location", "keyword_location")
+
+
+def q_skew_stats(spark, sf_dir):
+    """two-stage salted aggregation over the skewed source column —
+    result identical to a direct groupBy (the oracle IS the direct
+    groupBy), but no reducer sees more than ~1/16 of the hottest key."""
+    from boon_spark.operators.skew import salted_stats
+    out = salted_stats(_docs(spark, sf_dir), ["source"], "n_chars",
+                       salt_buckets=16, salt_col="doc_id")
+    return out.select(
+        "source",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_chars_sum").cast("bigint").alias("n_chars_sum"),
+        F.col("n_chars_min").cast("bigint").alias("n_chars_min"),
+        F.col("n_chars_max").cast("bigint").alias("n_chars_max"),
+        F.col("n_chars_nulls").cast("bigint").alias("n_chars_nulls"))
+
+
 def q_drift_nchars(spark, sf_dir):
     """distribution drift (KS + PSI over width_bucket histograms,
     SURVEY §2.6) between en and de documents' n_chars."""
@@ -433,6 +466,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "invariant_nchars": q_invariant_nchars,
     "validate_table_docs": q_validate_table_docs,
     "drift_nchars": q_drift_nchars,
+    "equality_docs": q_equality_docs,
+    "skew_stats": q_skew_stats,
     "dedup_exact": q_dedup_exact,
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
@@ -711,6 +746,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT '/x-invariants/n_chars_len', CAST(count(*) AS BIGINT)
               FROM documents WHERE NOT coalesce(n_chars = length(text), FALSE))
             SELECT * FROM cats WHERE n_violations > 0
+        """,
+        "equality_docs": """
+            WITH ref AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 0 THEN n_chars + 1
+                          ELSE n_chars END AS n_chars,
+                     lang
+              FROM documents WHERE doc_id % 97 <> 0)
+            SELECT '/' || CAST(d.doc_id AS VARCHAR) || '/n_chars'
+                     AS instance_location,
+                   '/x-equality/n_chars' AS keyword_location
+            FROM documents d LEFT JOIN ref r ON d.doc_id = r.doc_id
+            WHERE d.n_chars IS DISTINCT FROM r.n_chars
+            UNION ALL
+            SELECT '/' || CAST(d.doc_id AS VARCHAR) || '/lang',
+                   '/x-equality/lang'
+            FROM documents d LEFT JOIN ref r ON d.doc_id = r.doc_id
+            WHERE d.lang IS DISTINCT FROM r.lang
+        """,
+        "skew_stats": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+                   CAST(min(n_chars) AS BIGINT) AS n_chars_min,
+                   CAST(max(n_chars) AS BIGINT) AS n_chars_max,
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_chars_nulls
+            FROM documents GROUP BY source
         """,
         "dedup_exact": """
             SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
