@@ -427,6 +427,26 @@ def q_embedding_near_dups(spark, sf_dir):
         .select("id_a", "id_b")
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """multimodal decode plumbing end-to-end: documents.text encoded to a
+    binary payload column, decoded via mapInPandas with the deterministic
+    fake kernel (real kernels need image libs absent from this container;
+    the Arrow batch shape, schema, and byte handling are what's tested).
+    The oracle reproduces the byte arithmetic with hex(encode(text))."""
+    from boon_spark.operators.multimodal import (decode_images,
+                                                 deterministic_fake_decoder)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "UTF-8").alias("payload"))
+    out = decode_images(docs, decoder=deterministic_fake_decoder)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("channels").cast("bigint").alias("channels"),
+        F.size("features").cast("bigint").alias("n_features"))
+
+
 def q_embedding_topk(spark, sf_dir):
     """brute-force cosine top-k: 3 nearest neighbors for vec_id < 5.
 
@@ -473,6 +493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "quality_counts": q_quality_counts,
     "embedding_topk": q_embedding_topk,
+    "multimodal_decode": q_multimodal_decode,
     "lang_id_counts": q_lang_id_counts,
     "token_count_bpe": q_token_count_bpe,
     "minhash_head": q_minhash_head,
@@ -936,6 +957,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dups": embedding_near_dups_oracle_sql(
             dim=64, threshold_num=2, threshold_den=5, bits=4, seed=42),
+        "multimodal_decode": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN COALESCE(octet_length(encode(text)), 0) < 4
+                        THEN 0
+                        ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2))
+                                  AS BIGINT) + 1 END AS width,
+                   CASE WHEN COALESCE(octet_length(encode(text)), 0) < 4
+                        THEN 0
+                        ELSE CAST(('0x' || substr(hex(encode(text)), 3, 2))
+                                  AS BIGINT) + 1 END AS height,
+                   CASE WHEN COALESCE(octet_length(encode(text)), 0) < 4
+                        THEN 0 ELSE 3 END AS channels,
+                   CAST(8 AS BIGINT) AS n_features
+            FROM documents
+        """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 5),
