@@ -103,13 +103,19 @@ def _safe(s) -> str:
 def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
                          partition_col: str, manifest_path: str, *,
                          violations_path: Optional[str] = None,
-                         row_id: Optional[str] = None) -> dict:
+                         row_id: Optional[str] = None,
+                         max_partitions: int = 100_000) -> dict:
     """Validate all pending partitions of ``df`` in one job; returns
     ``{"pending": [...], "skipped": [...], "metrics": {partition: {...}}}``.
 
     Rerunning after a partial failure (or after
     ``ValidationManifest.invalidate(p)``) recomputes only the partitions
     without a matching manifest entry.
+
+    ``max_partitions`` guards the driver-side collect of distinct
+    partition values: a manifest keyed by a high-cardinality column
+    (someone passing ``doc_id``) would otherwise OOM the driver and
+    produce a useless million-entry manifest — fail loudly instead.
     """
     from ..engine import Engine
 
@@ -121,7 +127,13 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
     # recorded like any other partition (isin() never matches SQL NULL)
     pkey = F.coalesce(F.col(partition_col).cast("string"),
                       F.lit(NULL_PARTITION))
-    all_parts = [r[0] for r in df.select(pkey.alias("_p")).distinct().collect()]
+    all_parts = [r[0] for r in df.select(pkey.alias("_p")).distinct()
+                 .limit(max_partitions + 1).collect()]
+    if len(all_parts) > max_partitions:
+        raise ValueError(
+            f"partition column {partition_col!r} has more than "
+            f"{max_partitions} distinct values — not a partition column; "
+            f"pick a coarser column or raise max_partitions")
     pending = sorted(set(all_parts) - done)
     skipped = sorted(set(all_parts) & done)
     if not pending:

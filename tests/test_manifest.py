@@ -70,3 +70,16 @@ def test_manifest_entries_carry_metrics(spark, tmp_path):
     e = entries[0]
     assert e["status"] == "complete" and e["n_rows"] == 100
     assert e["spec_hash"] == spec_hash(SPEC)
+
+
+def test_partition_cardinality_guard(spark, tmp_path):
+    # a high-cardinality "partition" column must fail loudly instead of
+    # collecting millions of distinct values onto the driver
+    import pytest
+    from pyspark.sql import functions as F
+    from boon_spark.sources.manifest import validate_partitioned
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("p"))
+    with pytest.raises(ValueError, match="distinct values"):
+        validate_partitioned(spark, df, {"properties": {}}, "p",
+                             str(tmp_path / "m"), max_partitions=10)
