@@ -655,6 +655,52 @@ class PlanBuilder:
             return False
         return reduce(or_, terms)
 
+    def _evaluated_key(self, node: Node, k: Column, dtype, value: Column,
+                       iloc: Column, *, own: bool = False) -> Column:
+        """Boolean Column: is the runtime map key ``k`` evaluated at
+        ``node`` for unevaluatedProperties over a MapType column — the
+        key-as-Column analogue of :meth:`_evaluated_prop` (static names
+        become ``isin``/``rlike`` tests on ``k``; branch terms are gated
+        on the branch validating against the map value)."""
+        if node.boolean is not None:
+            return F.lit(False)
+        terms: list[Column] = []
+        if node.properties:
+            terms.append(k.isin(list(node.properties)))
+        for pat in (node.pattern_properties or {}):
+            terms.append(k.rlike(node.pattern_translations[pat][0]))
+        if node.additional_properties is not None:
+            terms.append(F.lit(True))
+        if not own and node.unevaluated_properties is not None:
+            terms.append(F.lit(True))
+
+        def sub_valid(s: Node) -> Column:
+            return F.coalesce(self.build(s, dtype, value, iloc)[0],
+                              F.lit(False))
+
+        def add_branch(s: Node, gate: Optional[Column] = None):
+            ev = self._evaluated_key(s, k, dtype, value, iloc)
+            t = sub_valid(s) & ev
+            if gate is not None:
+                t = gate & t
+            terms.append(t)
+
+        for s in (node.all_of or []) + (node.any_of or []) + \
+                 (node.one_of or []):
+            add_branch(s)
+        if node.if_ is not None:
+            add_branch(node.if_)
+            cond = sub_valid(node.if_)
+            if node.then is not None:
+                add_branch(node.then, gate=cond)
+            if node.else_ is not None:
+                add_branch(node.else_, gate=~cond)
+        for prop, s in (node.dependent_schemas or {}).items():
+            add_branch(s, gate=F.map_contains_key(value, F.lit(prop)))
+        if not terms:
+            return F.lit(False)
+        return reduce(or_, terms)
+
     def _evaluated_items_terms(self, node: Node, dtype, value: Column,
                                iloc: Column, *, own: bool = False):
         """Flattened annotation terms for ``unevaluatedItems`` at
@@ -714,11 +760,6 @@ class PlanBuilder:
         is_row = value is None
         is_map = isinstance(dtype, T.MapType)
         if is_map:
-            if node.unevaluated_properties is not None:
-                raise CompileError(
-                    f"{node.loc}: unevaluatedProperties on map columns "
-                    f"needs runtime key-annotation flow — unsupported; "
-                    f"use additionalProperties (runtime keys supported)")
             self._map_checks(node, dtype, value, iloc, valids, viols)
             return
 
@@ -1008,6 +1049,41 @@ class PlanBuilder:
             viols.append(self._viol(
                 fail, f"{node.loc}/propertyNames", iloc,
                 F.lit("invalid property name")))
+        if node.unevaluated_properties is not None:
+            # runtime KEY-annotation flow: map keys are runtime values, so
+            # the evaluated-flag becomes a per-key lambda — static matches
+            # (properties/patternProperties/additionalProperties here) OR
+            # branch terms gated on the branch validating, exactly like
+            # the struct-column _evaluated_prop
+            sub = node.unevaluated_properties
+            self._lambda_depth += 1
+            if sub is False:
+                uneval = F.filter(
+                    F.map_keys(value),
+                    lambda k: ~self._evaluated_key(node, k, dtype, value,
+                                                   iloc, own=True))
+                ok = F.size(uneval) == 0
+                msg = F.concat(F.lit("unevaluated properties "),
+                               F.array_join(uneval, ", "),
+                               F.lit(" not allowed"))
+            elif isinstance(sub, Node) and not sub.is_trivial_true():
+                ok = F.forall(
+                    F.map_entries(value),
+                    lambda e: self._evaluated_key(
+                        node, e.getField("key"), dtype, value, iloc,
+                        own=True)
+                    | F.coalesce(self.build(sub, vt, e.getField("value"),
+                                            iloc)[0], F.lit(False)))
+                msg = F.lit("unevaluated property values do not match "
+                            "schema")
+            else:
+                ok = None
+            self._lambda_depth -= 1
+            if ok is not None:
+                fail = F.coalesce(value.isNotNull() & ~ok, F.lit(False))
+                valids.append(~fail)
+                viols.append(self._viol(
+                    fail, f"{node.loc}/unevaluatedProperties", iloc, msg))
         for bound, kw, word in ((node.min_properties, "minProperties", ">="),
                                 (node.max_properties, "maxProperties", "<=")):
             if bound is None:
