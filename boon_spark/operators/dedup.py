@@ -331,13 +331,21 @@ def simhash64(text: Column, shingle_n: int = 3) -> Column:
 
 def simhash_near_dups(df: DataFrame, *, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      max_bucket: int = 4096) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Pigeonhole blocking: split the 64-bit fingerprint into
     ``max_hamming+1`` chunks; any pair within distance d agrees on ≥1
     chunk → candidates from d+1 equi-joins, verified exactly with
-    bit_count(xor)."""
+    bit_count(xor).
+
+    ``max_bucket`` bounds the per-chunk quadratic: a degenerate corpus
+    (e.g. millions of EXACT duplicates, which all share every chunk)
+    would otherwise square inside one join key.  Over-cap chunk buckets
+    are dropped — exact duplicates are ``exact_duplicates``' job, and
+    the other d chunks still catch genuine near-dups whose hot chunk
+    overflowed."""
     chunks = max_hamming + 1
     width = 64 // chunks
     fp = df.select(F.col(id_col).alias("_id"),
@@ -349,10 +357,16 @@ def simhash_near_dups(df: DataFrame, *, text_col: str = "text",
 
     cands = None
     for i in range(chunks):
-        a = fp.select(F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"),
-                      chunk(F.col("_fp"), i).alias("_ck"))
-        b = fp.select(F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"),
-                      chunk(F.col("_fp"), i).alias("_ck"))
+        keyed = fp.select("_id", "_fp", chunk(F.col("_fp"), i).alias("_ck"))
+        sizes = (keyed.groupBy("_ck")
+                 .agg(F.count(F.lit(1)).alias("_bn"))
+                 .filter(F.col("_bn").between(2, max_bucket))
+                 .drop("_bn"))
+        capped = keyed.join(sizes, on="_ck")
+        a = capped.select(F.col("_id").alias("id_a"),
+                          F.col("_fp").alias("fp_a"), "_ck")
+        b = capped.select(F.col("_id").alias("id_b"),
+                          F.col("_fp").alias("fp_b"), "_ck")
         c = a.join(b, on="_ck").filter(F.col("id_a") < F.col("id_b")) \
             .select("id_a", "id_b", "fp_a", "fp_b")
         cands = c if cands is None else cands.unionByName(c)

@@ -262,7 +262,7 @@ class Compiler:
         if root_base:
             self.resources.setdefault(root_base, doc)
         self._ref_stack: list[tuple[str, str]] = []
-        self._ref_cache: dict[tuple[str, str], Node] = {}
+        self._ref_cache: dict[tuple[str, str, str], Node] = {}
         self._scans: dict[int, tuple[dict, dict]] = {}  # id(doc) → maps
         # resource-context stack: (document, base URI, draft) — "#..."
         # refs and relative URIs resolve against the TOP of this stack;
@@ -452,15 +452,20 @@ class Compiler:
             ref = v["$ref"]
             _expect(isinstance(ref, str), loc, "$ref", "string (URI)", ref)
             cur_base = self._ctx[-1][1]
-            key = (cur_base, ref)
-            if key in self._ref_stack:
+            cycle_key = (cur_base, ref)
+            # cache per USE SITE (loc included): a shared cached node
+            # would bake the FIRST use site's keywordLocation into
+            # violations reported from every other use site.  Cycle
+            # detection stays per (base, ref) — location-independent.
+            key = (cur_base, ref, loc)
+            if cycle_key in self._ref_stack:
                 raise CompileError(
                     f"{loc}/$ref: reference cycle through {ref!r} "
                     f"(stack: {' -> '.join(r for _, r in self._ref_stack)})")
             if key in self._ref_cache:
                 node = self._ref_cache[key]
             else:
-                self._ref_stack.append(key)
+                self._ref_stack.append(cycle_key)
                 target, t_doc, t_uri, ptr = self._resolve_ref(ref)
                 # dereferenced prefix: pointer refs substitute the
                 # definition pointer (cross-resource ones carry their

@@ -206,3 +206,17 @@ def test_embedding_near_dups_quantized_integer_exact(spark):
                                          threshold_den=10, bits=2)
     want = {(a, b) for a, b in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_simhash_max_bucket_caps_degenerate(spark):
+    # 30 exact duplicates (of an unrelated text) share every chunk; cap 8
+    # drops those hot buckets (exact dups are exact_duplicates' job)
+    # while a genuine near-dup pair in small buckets still surfaces
+    rows = [(f"d{i}", OTHER) for i in range(30)]
+    rows += [("x1", BASE), ("x2", NEAR)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = simhash_near_dups(df, max_hamming=8, max_bucket=8).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert ("x1", "x2") in pairs
+    assert all(not (a.startswith("d") and b.startswith("d"))
+               for a, b in pairs)

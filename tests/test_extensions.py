@@ -226,3 +226,17 @@ def test_cli_file_loader_resolves_sibling_schema(tmp_path, spark):
         loader=make_ref_loader(str(tmp_path / "main.json")))
     df = spark.createDataFrame([("a", 0), ("b", 3)], "k string, n int")
     assert [r.valid for r in eng.annotate(df).collect()] == [False, True]
+
+
+def test_ref_keyword_location_per_use_site(spark):
+    # a $def referenced from TWO properties must report each use site's
+    # own keywordLocation (a shared cached node would bake in the first)
+    eng = Engine.from_schema({
+        "$defs": {"pos": {"minimum": 1}},
+        "properties": {"x": {"$ref": "#/$defs/pos"},
+                       "y": {"$ref": "#/$defs/pos"}}}, row_id="k")
+    df = spark.createDataFrame([("a", 0, 0)], "k string, x int, y int")
+    locs = sorted(r.keyword_location
+                  for r in eng.validate(df).violations().collect())
+    assert locs == ["/properties/x/$ref/minimum",
+                    "/properties/y/$ref/minimum"]
