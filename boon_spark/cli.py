@@ -94,8 +94,10 @@ def main(argv=None) -> int:
     try:
         spec = load_schema(args.schema)
         # fail fast before starting a session; the loader resolves
-        # cross-document $refs relative to the schema's own location
-        compile_schema(spec, loader=ref_loader)
+        # cross-document $refs relative to the schema's own location.
+        # The compiled result is REUSED below — recompiling would fetch
+        # every remote $ref target a second time.
+        compiled = compile_schema(spec, loader=ref_loader)
     except Exception as e:  # schema I/O, YAML/JSON parse, compile errors
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -130,8 +132,7 @@ def main(argv=None) -> int:
             return 2 if any_invalid else 0
 
         from .engine import Engine
-        res = Engine.from_schema(
-            spec, row_id=args.row_id, loader=ref_loader).validate(df)
+        res = Engine(compiled, row_id=args.row_id).validate(df)
         flag = res.flag().collect()[0]
         if args.format == "flag":
             print(json.dumps({"valid": flag.valid, "n_rows": flag.n_rows,

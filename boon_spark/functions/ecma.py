@@ -33,8 +33,13 @@ from __future__ import annotations
 
 from ..errors import CompileError
 
+import re as _re
+
 # boon's ECMA whitespace set (src/ecma.rs:103-110), as in-class chars
 _ECMA_SPACE = " \\t\\n\\r\\x0b\\x0c\\u00a0\\ufeff\\u2003\\u2029"
+
+# a real quantifier form: {n} {n,} {n,m}
+_QUANT = _re.compile(r"\{\d+(,\d*)?\}")
 
 
 def translate(pattern: str, loc: str = "") -> tuple[str, str]:
@@ -110,6 +115,24 @@ def translate(pattern: str, loc: str = "") -> tuple[str, str]:
         if c == "]" and in_class:
             in_class = False
             emit(c)
+            i += 1
+            continue
+        if in_class and c == "[":
+            # ECMA: a literal '[' inside a class; Java: opens a NESTED
+            # class ("Unclosed character class" or silent union) — escape
+            emit("\\[")
+            i += 1
+            continue
+        if in_class and c == "&":
+            # ECMA: literal '&'; Java: '&&' is class INTERSECTION —
+            # escaping every '&' keeps the literal semantics
+            emit("\\&")
+            i += 1
+            continue
+        if not in_class and c == "{" and not _QUANT.match(pattern, i):
+            # ECMA (Annex B): a '{' that does not start a quantifier is a
+            # literal; Java throws "Unclosed counted closure" — escape
+            emit("\\{")
             i += 1
             continue
         if not in_class and c == "^":

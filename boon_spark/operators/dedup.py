@@ -123,14 +123,15 @@ def minhash_signature(shingles: Column, num_hashes: int = 16, *,
     return F.array(*sigs)
 
 
-def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
-                      id_col: str = "doc_id", num_hashes: int = 16,
-                      bands: int = 4, shingle_n: int = 3,
-                      jaccard_threshold: float = 0.5,
-                      max_bucket: int = 64,
-                      hash_family: str = "xxhash64") -> DataFrame:
-    """Near-duplicate pairs via MinHash banding, verified with exact
-    shingle Jaccard.  Returns (id_a, id_b, jaccard) with id_a < id_b."""
+def _minhash_banded(df: DataFrame, *, text_col: str, id_col: str,
+                    num_hashes: int, bands: int, shingle_n: int,
+                    hash_family: str) -> tuple[DataFrame, DataFrame]:
+    """Shared shingle → signature → band-key pipeline: returns
+    ``(sig, banded)`` where sig = (_id, _sh, _sig) and banded =
+    (_id, band, key).  ONE implementation feeds both the capped pair
+    join and its recall-loss audit, so the two can never band
+    differently (a drifted copy would make the audit count buckets the
+    join never formed)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
@@ -159,10 +160,24 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
         band_key(b).alias("key")) for b in range(bands)]
     # the band exchange carries ONLY (_id, band, key) — shuffling the
     # shingle arrays here would duplicate the corpus text bands× through
-    # the shuffle (the round-1 scale bug); shingles are re-joined below
-    # for the (tiny) surviving candidate-pair set instead
+    # the shuffle (the round-1 scale bug); shingles are re-joined by the
+    # caller for the (tiny) surviving candidate-pair set instead
     banded = sig.select("_id", F.explode(F.array(*band_cols)).alias("bk")) \
         .select("_id", "bk.band", "bk.key")
+    return sig, banded
+
+
+def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.5,
+                      max_bucket: int = 64,
+                      hash_family: str = "xxhash64") -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    shingle Jaccard.  Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    sig, banded = _minhash_banded(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_n=shingle_n, hash_family=hash_family)
 
     # bucket join: candidates are pairs sharing any band bucket.  Cap
     # bucket size to bound the quadratic pair expansion per reducer
@@ -202,31 +217,12 @@ def minhash_lsh_bucket_stats(df: DataFrame, *, text_col: str = "text",
     """Audit the recall loss of :func:`minhash_lsh_pairs`' bucket cap:
     one row with (n_buckets, n_candidate_buckets, n_dropped_buckets,
     n_dropped_docs, largest_bucket) for the same banding parameters —
-    the no-silent-truncation companion to the capped pair join."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    fast = hash_family == "xxhash64"
-
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("_sh"))
-    base = base.filter(F.size("_sh") > 0)
-    sig = base.select(
-        "_id", minhash_signature(F.col("_sh"), num_hashes,
-                                 hash_family=hash_family).alias("_sig"))
-
-    def band_key(b: int):
-        joined = F.concat_ws(
-            ",", *[F.element_at("_sig", b * rows_per_band + r + 1)
-                   .cast("string") for r in range(rows_per_band)])
-        if fast:
-            return F.xxhash64(joined)
-        return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
-
-    band_cols = [F.struct(F.lit(b).alias("band"),
-                          band_key(b).alias("key")) for b in range(bands)]
-    sizes = (sig.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
-             .groupBy("bk.band", "bk.key")
+    the no-silent-truncation companion to the capped pair join (shares
+    ``_minhash_banded``, so the audited buckets ARE the join's buckets)."""
+    _sig, banded = _minhash_banded(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_n=shingle_n, hash_family=hash_family)
+    sizes = (banded.groupBy("band", "key")
              .agg(F.count(F.lit(1)).alias("n")))
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
@@ -419,7 +415,15 @@ def embedding_near_dups_quantized(df: DataFrame, *,
     scale = 1 << q_bits
     qv = F.transform(F.col(vec_col),
                      lambda x: F.floor(x * F.lit(scale)).cast("long"))
-    base = df.select(F.col(id_col).alias("_id"), qv.alias("_qv"))
+    # ragged/null-poisoned vectors must be EXCLUDED identically in both
+    # engines: Spark's zip_with pads short arrays with NULL and the
+    # integer dot then NULL-poisons (pair silently dropped), while
+    # DuckDB's list_sum SKIPS NULLs (partial dot that can pass) — the
+    # guard keeps the bit-identical contract on malformed rows
+    clean = (F.size(F.col(vec_col)) == dim) & \
+        (F.size(F.filter(F.col(vec_col), lambda x: x.isNull())) == 0)
+    base = df.filter(clean).select(F.col(id_col).alias("_id"),
+                                   qv.alias("_qv"))
 
     def proj(b: int) -> Column:
         pl = F.array(*[F.lit(p).cast("long") for p in planes[b]])
@@ -489,7 +493,9 @@ def embedding_near_dups_oracle_sql(*, dim: int, threshold_num: int = 2,
           SELECT {id_col} AS vid,
                  list_transform({vec_col},
                                 x -> CAST(floor(x * {scale}) AS BIGINT)) AS qv
-          FROM {table}),
+          FROM {table}
+          WHERE len({vec_col}) = {dim}
+            AND len(list_filter({vec_col}, x -> x IS NULL)) = 0),
         s AS (SELECT vid, qv, {sig_sql} AS sig FROM q),
         b AS (SELECT sig FROM s GROUP BY sig
               HAVING count(*) BETWEEN 2 AND {max_bucket}),

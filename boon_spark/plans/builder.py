@@ -90,10 +90,10 @@ class PlanBuilder:
         self.df_schema = df_schema
         self.row_id = row_id
         self.base_uri = base_uri
-        # (loc, abs_loc) of the node currently being lowered — build()
-        # pushes/pops so _viol can rewrite keyword locations into their
-        # dereferenced absoluteKeywordLocation form
-        self._node_stack: list[tuple[str, str]] = [("", "")]
+        # (loc, abs_loc, abs_uri) of the node currently being lowered —
+        # build() pushes/pops so _viol can rewrite keyword locations into
+        # their dereferenced absoluteKeywordLocation form
+        self._node_stack: list[tuple[str, str, str]] = [("", "", "")]
         # prelude: expensive shared subexpressions (JSON parses) hoisted
         # into their own projection so the (interpreted, lambda-bearing)
         # violation stage references a column instead of re-evaluating —
@@ -101,6 +101,13 @@ class PlanBuilder:
         self.prelude: dict[str, Column] = {}
         self._lambda_depth = 0
         self._allow_hoist = allow_hoist
+        # branch-validity memo for the unevaluated* annotation flows:
+        # (id(branch_node), id(value)) → Column.  The per-FIELD loop in
+        # _object_checks would otherwise rebuild every applicator
+        # branch's full validity tree once per column (O(fields ×
+        # branches) expression copies → generated-code blowup).  Values
+        # pin (node, value) refs so ids stay unique for the build's life.
+        self._bv_memo: dict[tuple[int, int], tuple] = {}
 
     def _hoist(self, name: str, expr: Column) -> Column:
         """Register an expression for the prelude projection and return a
@@ -127,12 +134,14 @@ class PlanBuilder:
         the dereferenced keyword pointer — the use-site prefix of the
         current node swapped for its definition-site pointer — prefixed
         with the schema resource URI (root ``$id``) when one exists."""
-        cur_loc, cur_abs = self._node_stack[-1]
+        cur_loc, cur_abs, cur_uri = self._node_stack[-1]
         abs_kw = cur_abs + kw_loc[len(cur_loc):] \
             if cur_loc and kw_loc.startswith(cur_loc) else kw_loc
-        # cross-resource pointers already carry their "uri#/ptr" form;
-        # bare pointers get the root resource URI prefixed
-        full = abs_kw if "#" in abs_kw else f"{self.base_uri}#{abs_kw}"
+        # cur_uri names the defining resource for cross-resource $ref
+        # targets; empty → the root document's base URI applies.  (An
+        # explicit flag, NOT a '#'-substring test — property names may
+        # legally contain '#'.)
+        full = f"{cur_uri or self.base_uri}#{abs_kw}"
         return F.array(F.when(fail, F.struct(
             iloc.alias("instance_location"),
             F.lit(kw_loc).alias("keyword_location"),
@@ -166,7 +175,8 @@ class PlanBuilder:
 
         ``dtype`` is None only for the root row (treated as a JSON object).
         """
-        self._node_stack.append((node.loc, node.abs_loc or node.loc))
+        self._node_stack.append((node.loc, node.abs_loc or node.loc,
+                                 node.abs_uri))
         try:
             return self._build(node, dtype, value, iloc)
         finally:
@@ -586,6 +596,36 @@ class PlanBuilder:
                 F.lit("contentSchema failed")))
 
     # ---------------------------------------------------------- unevaluated
+    def _branch_valid(self, s: Node, dtype, value: Optional[Column],
+                      iloc: Column) -> Column:
+        """Memoized (and prelude-hoisted when legal) branch validity for
+        the annotation flows — built once per (branch, value) pair no
+        matter how many fields/keys consult it."""
+        key = (id(s), id(value))
+        hit = self._bv_memo.get(key)
+        if hit is not None:
+            return hit[0]
+        col = F.coalesce(self.build(s, dtype, value, iloc)[0], F.lit(False))
+        col = self._hoist("bv", col)
+        self._bv_memo[key] = (col, s, value)
+        return col
+
+    @staticmethod
+    def _may_evaluate_keys(s: Node) -> bool:
+        """Static probe: can ``s`` possibly evaluate any map key?  Skips
+        dead branches in _evaluated_key (a branch with no object
+        applicators would only append `valid & false` noise)."""
+        if s.boolean is not None:
+            return False
+        if s.properties or s.pattern_properties \
+                or s.additional_properties is not None \
+                or s.unevaluated_properties is not None:
+            return True
+        subs = (s.all_of or []) + (s.any_of or []) + (s.one_of or []) + \
+            [x for x in (s.if_, s.then, s.else_) if x is not None] + \
+            list((s.dependent_schemas or {}).values())
+        return any(PlanBuilder._may_evaluate_keys(x) for x in subs)
+
     def _evaluated_prop(self, node: Node, nm: str, fields: dict, dtype,
                         value: Optional[Column], iloc: Column, get,
                         *, own: bool = False):
@@ -620,15 +660,11 @@ class PlanBuilder:
 
         terms: list[Column] = []
 
-        def sub_valid(s: Node) -> Column:
-            return F.coalesce(self.build(s, dtype, value, iloc)[0],
-                              F.lit(False))
-
         def add_branch(s: Node, gate: Optional[Column] = None):
             ev = self._evaluated_prop(s, nm, fields, dtype, value, iloc, get)
             if ev is False:
                 return
-            t = sub_valid(s)
+            t = self._branch_valid(s, dtype, value, iloc)
             if ev is not True:
                 t = t & ev
             if gate is not None:
@@ -643,7 +679,7 @@ class PlanBuilder:
             # of then/else outcomes; then/else contribute under the
             # matching arm only
             add_branch(node.if_)
-            cond = sub_valid(node.if_)
+            cond = self._branch_valid(node.if_, dtype, value, iloc)
             if node.then is not None:
                 add_branch(node.then, gate=cond)
             if node.else_ is not None:
@@ -674,13 +710,11 @@ class PlanBuilder:
         if not own and node.unevaluated_properties is not None:
             terms.append(F.lit(True))
 
-        def sub_valid(s: Node) -> Column:
-            return F.coalesce(self.build(s, dtype, value, iloc)[0],
-                              F.lit(False))
-
         def add_branch(s: Node, gate: Optional[Column] = None):
+            if not self._may_evaluate_keys(s):
+                return  # dead branch: would only add `valid & false`
             ev = self._evaluated_key(s, k, dtype, value, iloc)
-            t = sub_valid(s) & ev
+            t = self._branch_valid(s, dtype, value, iloc) & ev
             if gate is not None:
                 t = gate & t
             terms.append(t)
@@ -690,7 +724,7 @@ class PlanBuilder:
             add_branch(s)
         if node.if_ is not None:
             add_branch(node.if_)
-            cond = sub_valid(node.if_)
+            cond = self._branch_valid(node.if_, dtype, value, iloc)
             if node.then is not None:
                 add_branch(node.then, gate=cond)
             if node.else_ is not None:
@@ -729,8 +763,7 @@ class PlanBuilder:
                 s, dtype, value, iloc)
             if not (b_alls or b_pfxs or b_conts):
                 return
-            bv = F.coalesce(self.build(s, dtype, value, iloc)[0],
-                            F.lit(False))
+            bv = self._branch_valid(s, dtype, value, iloc)
             g = bv if gate is None else gate & bv
             for c, p in b_alls:
                 alls.append((g if c is True else g & c, p))
@@ -744,8 +777,7 @@ class PlanBuilder:
             gate_terms(s, None)
         if node.if_ is not None:
             gate_terms(node.if_, None)
-            cond = F.coalesce(self.build(node.if_, dtype, value, iloc)[0],
-                              F.lit(False))
+            cond = self._branch_valid(node.if_, dtype, value, iloc)
             if node.then is not None:
                 gate_terms(node.then, cond)
             if node.else_ is not None:

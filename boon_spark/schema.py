@@ -117,8 +117,11 @@ class Node:
     # dereferenced schema pointer for absoluteKeywordLocation (boon
     # src/output.rs:416-445): equals ``loc`` except below an inlined
     # $ref, where it points into the defining resource (e.g.
-    # loc "/properties/x/$ref/minimum" → abs_loc "/$defs/pos/minimum")
+    # loc "/properties/x/$ref/minimum" → abs_loc "/$defs/pos/minimum").
+    # abs_uri carries the defining resource's URI when that resource is
+    # not the root document (empty → the root's base URI applies).
     abs_loc: str = ""
+    abs_uri: str = ""
     boolean: Optional[bool] = None     # `true` / `false` schema
 
     types: Optional[list[str]] = None
@@ -269,11 +272,13 @@ class Compiler:
         # each resource's $schema selects its own draft gating
         self._ctx: list[tuple[Any, str, Optional[int]]] = []
         self._scan_resource(doc)
-        # (loc_prefix, abs_prefix) for absoluteKeywordLocation: below an
-        # inlined pointer-$ref the dereferenced location substitutes the
-        # use-site prefix with the definition pointer
+        # (loc_prefix, abs_prefix, abs_uri) for absoluteKeywordLocation:
+        # below an inlined pointer-$ref the dereferenced location
+        # substitutes the use-site prefix with the definition pointer,
+        # carrying the defining resource's URI when it is not the root
         self._loc_prefix = ""
         self._abs_prefix = ""
+        self._abs_uri = ""
         self._ctx.append((doc, root_base, self._draft_for_doc(doc)))
 
     def _draft_for_doc(self, doc: Any, *, _depth: int = 0) -> Optional[int]:
@@ -357,7 +362,15 @@ class Compiler:
             if uri in embedded:
                 return embedded[uri]
         if self.loader is not None:
-            got = self.loader(uri)
+            # a failing loader (URLError offline, FileNotFoundError, …)
+            # must surface as CompileError so callers' fallbacks — the
+            # as-written-URI retry in _resolve_ref, _draft_for_doc's
+            # unknown-metaschema message — still run
+            try:
+                got = self.loader(uri)
+            except Exception as e:
+                raise CompileError(
+                    f"$ref: loader failed for {uri!r}: {e}") from e
             if got is not None:
                 self.resources[uri] = got
                 self._scan_resource(got)
@@ -420,6 +433,11 @@ class Compiler:
             return self._abs_prefix + loc[len(self._loc_prefix):]
         return loc
 
+    def _abs_uri_of(self, loc: str) -> str:
+        if self._loc_prefix and loc.startswith(self._loc_prefix):
+            return self._abs_uri
+        return ""
+
     @staticmethod
     def _keyword_active(kw: str, draft: Optional[int]) -> bool:
         """Is ``kw`` defined in ``draft``?  Keywords a draft does not
@@ -435,7 +453,8 @@ class Compiler:
 
     def compile_value(self, v: Any, loc: str) -> Node:
         if isinstance(v, bool):
-            return Node(loc=loc, abs_loc=self._abs(loc), boolean=v)
+            return Node(loc=loc, abs_loc=self._abs(loc),
+                        abs_uri=self._abs_uri_of(loc), boolean=v)
         if not isinstance(v, dict):
             raise CompileError(f"{loc}: schema must be boolean or object")
         draft = self._ctx[-1][2]
@@ -470,13 +489,13 @@ class Compiler:
                 # dereferenced prefix: pointer refs substitute the
                 # definition pointer (cross-resource ones carry their
                 # resource URI); anchor refs keep the use-site location
-                old = (self._loc_prefix, self._abs_prefix)
+                old = (self._loc_prefix, self._abs_prefix, self._abs_uri)
                 if ptr is not None:
                     from urllib.parse import unquote
                     self._loc_prefix = loc + "/$ref"
-                    self._abs_prefix = (f"{t_uri}#{unquote(ptr)}"
-                                        if t_uri != self._ctx[0][1]
-                                        else unquote(ptr))
+                    self._abs_prefix = unquote(ptr)
+                    self._abs_uri = (t_uri if t_uri != self._ctx[0][1]
+                                     else "")
                 # a foreign resource's own $schema selects its draft;
                 # a resource without one inherits the referrer's
                 t_draft = self._draft_for_doc(t_doc)
@@ -488,7 +507,8 @@ class Compiler:
                 finally:
                     self._ctx.pop()
                     self._ref_stack.pop()
-                    self._loc_prefix, self._abs_prefix = old
+                    (self._loc_prefix, self._abs_prefix,
+                     self._abs_uri) = old
                 self._ref_cache[key] = node
             siblings = {k: s for k, s in v.items() if k != "$ref"}
             # draft ≤7: $ref REPLACES the whole schema object — siblings
@@ -497,9 +517,11 @@ class Compiler:
             if not siblings or (draft is not None and draft <= 7):
                 return node
             sib = self.compile_value(siblings, loc)
-            return Node(loc=loc, abs_loc=self._abs(loc), all_of=[node, sib])
+            return Node(loc=loc, abs_loc=self._abs(loc),
+                        abs_uri=self._abs_uri_of(loc), all_of=[node, sib])
 
-        n = Node(loc=loc, abs_loc=self._abs(loc))
+        n = Node(loc=loc, abs_loc=self._abs(loc),
+                 abs_uri=self._abs_uri_of(loc))
 
         if "type" in v:
             t = v["type"]

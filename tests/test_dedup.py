@@ -195,7 +195,9 @@ def test_embedding_near_dups_quantized_integer_exact(spark):
                                             embedding_near_dups_quantized)
     rows = [(1, [0.5, 0.5, 0.0, 0.1]), (2, [0.5, 0.45, 0.05, 0.1]),
             (3, [-0.5, 0.5, 0.3, -0.2]), (4, [0.1, -0.4, 0.5, -0.5]),
-            (5, [0.5, 0.44, 0.06, 0.1])]
+            (5, [0.5, 0.44, 0.06, 0.1]),
+            (6, [0.5, 0.45]),                   # ragged: excluded both sides
+            (7, [0.5, None, 0.05, 0.1])]        # null-poisoned: excluded
     df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
     got = {(r.id_a, r.id_b) for r in embedding_near_dups_quantized(
         df, dim=4, threshold_num=9, threshold_den=10, bits=2).collect()}

@@ -49,3 +49,19 @@ def test_compile_integrates_translation():
     node = n.root.properties["s"]
     assert node.pattern.startswith("\\Aa[")
     assert node.pattern_src == r"^a\sb$"
+
+
+@pytest.mark.parametrize("src,want_java", [
+    # class-internal constructs where Java diverges from ECMA
+    (r"[[]", r"[\[]"),            # literal '[' in class: Java would throw
+    (r"[a&&b]", r"[a\&\&b]"),     # '&&' is Java class INTERSECTION
+    (r"a{2", r"a\{2"),            # dangling '{': Java 'Unclosed counted closure'
+    (r"a{2}", r"a{2}"),           # real quantifiers untouched
+    (r"a{2,}b{1,3}", r"a{2,}b{1,3}"),
+    (r"[{]", r"[{]"),             # '{' inside class is literal in both
+])
+def test_translate_java_class_escapes(src, want_java):
+    java, py = translate(src)
+    assert java == want_java
+    import re
+    re.compile(py)  # probe stays Python-valid
