@@ -775,15 +775,19 @@ def oracle_sql() -> dict[str, str]:
                           ELSE n_chars END AS n_chars,
                      lang
               FROM documents WHERE doc_id % 97 <> 0)
-            SELECT '/' || CAST(d.doc_id AS VARCHAR) || '/n_chars'
-                     AS instance_location,
-                   '/x-equality/n_chars' AS keyword_location
+            SELECT '/' || CAST(d.doc_id AS VARCHAR) AS instance_location,
+                   '/x-equality/_missing' AS keyword_location
             FROM documents d LEFT JOIN ref r ON d.doc_id = r.doc_id
+            WHERE r.doc_id IS NULL
+            UNION ALL
+            SELECT '/' || CAST(d.doc_id AS VARCHAR) || '/n_chars',
+                   '/x-equality/n_chars'
+            FROM documents d JOIN ref r ON d.doc_id = r.doc_id
             WHERE d.n_chars IS DISTINCT FROM r.n_chars
             UNION ALL
             SELECT '/' || CAST(d.doc_id AS VARCHAR) || '/lang',
                    '/x-equality/lang'
-            FROM documents d LEFT JOIN ref r ON d.doc_id = r.doc_id
+            FROM documents d JOIN ref r ON d.doc_id = r.doc_id
             WHERE d.lang IS DISTINCT FROM r.lang
         """,
         "skew_stats": """

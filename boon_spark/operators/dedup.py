@@ -75,7 +75,11 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     h = F.md5(normalized_text(F.col(text_col)))
     w = Window.partitionBy("content_hash")
     wo = w.orderBy("_id")
-    ranked = (df.select(h.alias("content_hash"), F.col(id_col).alias("_id"))
+    # NULL text hashes to NULL and the window would group every
+    # missing-text row into one bogus "duplicate" group — missing text
+    # is schema validation's finding, not a duplicate
+    ranked = (df.filter(F.col(text_col).isNotNull())
+              .select(h.alias("content_hash"), F.col(id_col).alias("_id"))
               .withColumn("n_docs", F.count(F.lit(1)).over(w))
               .withColumn("keep_id", F.min("_id").over(w))
               .withColumn("_rn", F.row_number().over(wo))
@@ -226,10 +230,10 @@ def minhash_lsh_bucket_stats(df: DataFrame, *, text_col: str = "text",
              .agg(F.count(F.lit(1)).alias("n")))
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(F.col("n").between(2, max_bucket).cast("long"))
-        .alias("n_candidate_buckets"),
-        F.sum((F.col("n") > max_bucket).cast("long"))
-        .alias("n_dropped_buckets"),
+        F.coalesce(F.sum(F.col("n").between(2, max_bucket).cast("long")),
+                   F.lit(0)).alias("n_candidate_buckets"),
+        F.coalesce(F.sum((F.col("n") > max_bucket).cast("long")),
+                   F.lit(0)).alias("n_dropped_buckets"),
         F.coalesce(F.sum(F.when(F.col("n") > max_bucket, F.col("n"))),
                    F.lit(0)).alias("n_dropped_docs"),
         F.max("n").alias("largest_bucket"))
@@ -349,6 +353,8 @@ def simhash_near_dups(df: DataFrame, *, text_col: str = "text",
     fp = fp.filter(F.col("_fp").isNotNull()).cache()
 
     def chunk(col: Column, i: int) -> Column:
+        if width >= 64:  # max_hamming=0: the single chunk IS the fp
+            return col
         return F.shiftrightunsigned(col, i * width) % F.lit(1 << width)
 
     cands = None

@@ -65,9 +65,12 @@ def drift_metrics(hist_a: DataFrame, hist_b: DataFrame, *,
     # mask real single-partition windows over big data)
     cdf_w = Window.partitionBy(F.lit(0)).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0)
+    # try_divide: an EMPTY side (na/nb = 0) must yield NULL metrics (the
+    # caller's verdict coalesces to False), not an ANSI DIVIDE_BY_ZERO
+    # crash of the whole job
     withp = (pivoted.crossJoin(F.broadcast(tot))
-             .withColumn("pa", F.col("a") / F.col("na"))
-             .withColumn("pb", F.col("b") / F.col("nb"))
+             .withColumn("pa", F.try_divide(F.col("a"), F.col("na")))
+             .withColumn("pb", F.try_divide(F.col("b"), F.col("nb")))
              .withColumn("cdfa", F.sum("pa").over(cdf_w))
              .withColumn("cdfb", F.sum("pb").over(cdf_w)))
     return withp.agg(
@@ -92,4 +95,6 @@ def drift_check(df_a: DataFrame, df_b: DataFrame, value_col: str, *,
     verdict = F.col("psi") <= psi_threshold
     if ks_threshold is not None:
         verdict = verdict & (F.col("ks_stat") <= ks_threshold)
-    return m.select("*", verdict.alias("valid"))
+    # an EMPTY side makes the metrics NULL (sum/0 divisions) — a dead
+    # input stream must fail the check loudly, not return valid=NULL
+    return m.select("*", F.coalesce(verdict, F.lit(False)).alias("valid"))

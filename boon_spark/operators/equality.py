@@ -19,16 +19,26 @@ from pyspark.sql import functions as F
 def check_equality(cur: DataFrame, ref: DataFrame, *, key: str = "doc_id",
                    columns: list[str] | None = None) -> DataFrame:
     """Violation rows where ``cur`` and ``ref`` disagree on ``columns``
-    (default: all shared non-key columns), plus keys missing from ``ref``."""
+    (default: all shared non-key columns), plus keys missing from ``ref``
+    (reported once per row as ``/x-equality/_missing`` — an explicit
+    ref-side marker, because ``~eqNullSafe(NULL, NULL)`` is false and a
+    missing row whose compared columns are all NULL would otherwise pass
+    silently)."""
     if columns is None:
         columns = [c for c in cur.columns
                    if c in set(ref.columns) and c != key]
-    r = ref.select(key, *[F.col(c).alias(f"_ref_{c}") for c in columns])
+    r = ref.select(key, F.lit(True).alias("_ref_present"),
+                   *[F.col(c).alias(f"_ref_{c}") for c in columns])
     joined = cur.select(key, *columns).join(r, on=key, how="left")
 
-    checks = []
+    present = F.col("_ref_present").isNotNull()
+    checks = [F.when(~present, F.struct(
+        F.concat(F.lit("/"), F.col(key).cast("string"))
+        .alias("instance_location"),
+        F.lit("/x-equality/_missing").alias("keyword_location"),
+        F.lit("key missing from reference").alias("error")))]
     for c in columns:
-        mismatch = ~F.col(c).eqNullSafe(F.col(f"_ref_{c}"))
+        mismatch = present & ~F.col(c).eqNullSafe(F.col(f"_ref_{c}"))
         checks.append(F.when(mismatch, F.struct(
             F.concat(F.lit("/"), F.col(key).cast("string"),
                      F.lit(f"/{c}")).alias("instance_location"),

@@ -70,17 +70,17 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
                .agg(F.slice(
                    F.sort_array(
                        F.collect_list(F.struct(
-                           F.col("cos"),
-                           # negate id so one descending sort yields
-                           # (cos desc, neighbor_id asc)
-                           (-F.col("neighbor_id").cast("long"))
-                           .alias("_nid"))),
-                       asc=False),
+                           # negate the COSINE (always numeric) so one
+                           # ascending sort yields (cos desc, id asc) —
+                           # negating the id would NULL out non-numeric
+                           # id columns (string doc_ids) via the cast
+                           (-F.col("cos")).alias("_nc"),
+                           F.col("neighbor_id").alias("_nid")))),
                    1, k).alias("_top")))
     cand = (partial
             .select("query_id", F.explode("_top").alias("t"))
-            .select("query_id", F.col("t.cos").alias("cos"),
-                    (-F.col("t._nid")).alias("neighbor_id")))
+            .select("query_id", (-F.col("t._nc")).alias("cos"),
+                    F.col("t._nid").alias("neighbor_id")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (cand

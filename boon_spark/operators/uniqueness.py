@@ -34,23 +34,31 @@ def check_unique(df: DataFrame, cols: list[str], *,
     """
     if isinstance(cols, str):
         cols = [cols]
-    key = F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit("␀"))
-                             for c in cols])
+    # GROUPING key: a struct of the raw values — collision-free (a
+    # concat_ws key would conflate ('x|y','z') with ('x','y|z'), and a
+    # NULL sentinel with the literal sentinel string).  The DISPLAY key
+    # keeps the readable joined form for instance_location only.
+    key = F.struct(*[F.col(c) for c in cols])
+    display = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("␀"))
+               for c in cols])
     kw_loc = "/x-unique/" + ",".join(cols)
     ids = F.col(row_id) if row_id else F.col(cols[0])
     w = Window.partitionBy("_key")
     wo = w.orderBy("_rid")
     ranked = (df
-              .select(key.alias("_key"), ids.cast("string").alias("_rid"))
+              .select(key.alias("_key"), display.alias("_disp"),
+                      ids.cast("string").alias("_rid"))
               .withColumn("dup_count", F.count(F.lit(1)).over(w))
               .withColumn("_rn", F.row_number().over(wo))
               .filter((F.col("dup_count") > 1)
                       & (F.col("_rn") <= max_examples)))
     grouped = (ranked.groupBy("_key")
-               .agg(F.first("dup_count").alias("dup_count"),
+               .agg(F.first("_disp").alias("_key_disp"),
+                    F.first("dup_count").alias("dup_count"),
                     F.sort_array(F.collect_list("_rid")).alias("_rids")))
     return grouped.select(
-        F.concat(F.lit("/"), F.col("_key")).alias("instance_location"),
+        F.concat(F.lit("/"), F.col("_key_disp")).alias("instance_location"),
         F.lit(kw_loc).alias("keyword_location"),
         F.concat(F.lit("duplicate key: "), F.col("dup_count").cast("string"),
                  F.lit(" rows share this key (e.g. rows "),

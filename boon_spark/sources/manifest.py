@@ -49,11 +49,18 @@ class ValidationManifest:
         self.path = path
         os.makedirs(path, exist_ok=True)
 
+    @staticmethod
+    def _is_entry(fname: str) -> bool:
+        # dotfiles are in-progress temp writes: a crash between write and
+        # rename must never leave a truncated file that entries() then
+        # chokes on forever
+        return fname.endswith(".parquet") and not fname.startswith(".")
+
     def entries(self) -> list[dict]:
         import pyarrow.parquet as pq
         out = []
         for f in sorted(os.listdir(self.path)):
-            if f.endswith(".parquet"):
+            if self._is_entry(f):
                 out.extend(pq.read_table(
                     os.path.join(self.path, f)).to_pylist())
         return out
@@ -75,7 +82,7 @@ class ValidationManifest:
             "valid": bool(metrics.get("valid", False)),
             "finished_at": time.time(),
         }
-        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.parquet")
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
         final = os.path.join(
             self.path, f"{_safe(partition)}-{uuid.uuid4().hex[:8]}.parquet")
         pq.write_table(pa.Table.from_pylist([row]), tmp)
@@ -85,7 +92,7 @@ class ValidationManifest:
         """Drop lineage for one partition (forces recompute on next run)."""
         import pyarrow.parquet as pq
         for f in list(os.listdir(self.path)):
-            if not f.endswith(".parquet"):
+            if not self._is_entry(f):
                 continue
             p = os.path.join(self.path, f)
             rows = pq.read_table(p).to_pylist()
@@ -100,11 +107,35 @@ def _safe(s) -> str:
     return "".join(c if c.isalnum() or c in "-_." else "_" for c in str(s))
 
 
+def _remove_stale_violations(violations_path: str, partition_col: str,
+                             pending: set) -> None:
+    """Delete existing violation output dirs for partitions about to be
+    re-validated — dynamic partition overwrite never touches a partition
+    that produces ZERO rows, so a now-clean partition would otherwise
+    keep its stale violation files forever.  Local-filesystem best
+    effort (object-store paths are left to the overwrite)."""
+    import shutil
+    from urllib.parse import unquote
+
+    if not os.path.isdir(violations_path):
+        return
+    prefix = f"{partition_col}="
+    for d in os.listdir(violations_path):
+        if not d.startswith(prefix):
+            continue
+        val = unquote(d[len(prefix):])
+        key = NULL_PARTITION if val == "__HIVE_DEFAULT_PARTITION__" else val
+        if key in pending:
+            shutil.rmtree(os.path.join(violations_path, d),
+                          ignore_errors=True)
+
+
 def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
                          partition_col: str, manifest_path: str, *,
                          violations_path: Optional[str] = None,
                          row_id: Optional[str] = None,
-                         max_partitions: int = 100_000) -> dict:
+                         max_partitions: int = 100_000,
+                         violations_mode: str = "overwrite") -> dict:
     """Validate all pending partitions of ``df`` in one job; returns
     ``{"pending": [...], "skipped": [...], "metrics": {partition: {...}}}``.
 
@@ -124,25 +155,32 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
     done = manifest.completed(shash)
 
     # NULL partition values get a sentinel key so they are validated and
-    # recorded like any other partition (isin() never matches SQL NULL)
+    # recorded like any other partition (isin() never matches SQL NULL).
+    # The RAW value is collected alongside the string key: the pruning
+    # filter must compare the column in its NATIVE type — an isin over
+    # cast-to-string does not convert to an Iceberg/hive partition
+    # predicate, so "skipped" partitions would be scanned and discarded
+    # row-by-row instead of pruned.
     pkey = F.coalesce(F.col(partition_col).cast("string"),
                       F.lit(NULL_PARTITION))
-    all_parts = [r[0] for r in df.select(pkey.alias("_p")).distinct()
-                 .limit(max_partitions + 1).collect()]
-    if len(all_parts) > max_partitions:
+    vrows = (df.select(F.col(partition_col).alias("_v"), pkey.alias("_p"))
+             .distinct().limit(max_partitions + 1).collect())
+    if len(vrows) > max_partitions:
         raise ValueError(
             f"partition column {partition_col!r} has more than "
             f"{max_partitions} distinct values — not a partition column; "
             f"pick a coarser column or raise max_partitions")
+    raw_of = {r._p: r._v for r in vrows}
+    all_parts = list(raw_of)
     pending = sorted(set(all_parts) - done)
     skipped = sorted(set(all_parts) & done)
     if not pending:
         return {"pending": [], "skipped": skipped, "metrics": {}}
 
     # partition-pruning filter: completed partitions are never scanned
-    # (`col IN (...)` + `IS NULL` both push to the scan)
-    cond = F.col(partition_col).cast("string").isin(
-        [p for p in pending if p != NULL_PARTITION])
+    # (native-typed `col IN (...)` + `IS NULL` both push to the scan)
+    cond = F.col(partition_col).isin(
+        [raw_of[p] for p in pending if p != NULL_PARTITION])
     if NULL_PARTITION in pending:
         cond = cond | F.col(partition_col).isNull()
     sub = df.filter(cond)
@@ -150,13 +188,23 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
     ann = eng.annotate(sub)
 
     if violations_path:
+        if violations_mode == "overwrite":
+            # dynamic overwrite only touches partitions that produce
+            # rows — a re-validated partition that is now CLEAN would
+            # keep its stale violation files, so pending partitions' old
+            # output is removed first (local-fs best effort; on object
+            # stores, downstream reads should treat the MANIFEST as the
+            # verdict source of truth)
+            _remove_stale_violations(violations_path, partition_col,
+                                     set(pending))
         # explode_outer + null filter prunes passing rows (empty arrays)
         # without the inferred-filter pushdown blowup (engine.violations)
         (ann.select(partition_col, F.explode_outer("violations").alias("v"))
             .filter(F.col("v").isNotNull())
             .select(partition_col, "v.instance_location",
                     "v.keyword_location", "v.error")
-            .write.mode("overwrite")
+            .write.mode("overwrite" if violations_mode == "overwrite"
+                        else "append")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
             .parquet(violations_path))

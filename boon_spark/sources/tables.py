@@ -55,25 +55,39 @@ def synthetic_sequences(spark: SparkSession, n_rows: int, *, seed: int = 42,
         spark.range(n_rows)
     i = F.col("id")
 
-    def mix(salt: int):
+    def mix(salt: int, idx=None):
         # deterministic per-row pseudo-random 63-bit value
-        return F.abs(F.xxhash64(i, F.lit(seed), F.lit(salt)))
+        return F.abs(F.xxhash64(i if idx is None else idx,
+                                F.lit(seed), F.lit(salt)))
 
-    pct = mix(1) % 100
-    source = (F.when(pct < _SOURCE_CUTS[0], F.lit("web"))
-              .when(pct < _SOURCE_CUTS[1], F.lit("books"))
-              .when(pct < _SOURCE_CUTS[2], F.lit("code"))
-              .otherwise(F.lit("wiki")))
-    # ~0.1% unknown source
-    source = F.when(mix(2) % 1000 == 0, F.lit("unknown-src")).otherwise(source)
+    def source_of(idx):
+        pct = mix(1, idx) % 100
+        s = (F.when(pct < _SOURCE_CUTS[0], F.lit("web"))
+             .when(pct < _SOURCE_CUTS[1], F.lit("books"))
+             .when(pct < _SOURCE_CUTS[2], F.lit("code"))
+             .otherwise(F.lit("wiki")))
+        # ~0.1% unknown source
+        return F.when(mix(2, idx) % 1000 == 0,
+                      F.lit("unknown-src")).otherwise(s)
 
-    # doc_id: "{source}-{i:012d}"; dupes copy the previous row's id
+    def doc_id_of(idx):
+        d = F.concat(source_of(idx), F.lit("-"),
+                     F.lpad(idx.cast("string"), 12, "0"))
+        return F.when(mix(4, idx) % 1000 == 0, F.lit(None).cast("string")) \
+            .otherwise(F.when(mix(5, idx) % 1000 == 1,
+                              F.concat(F.lit("BAD ID "), idx.cast("string")))
+                       .otherwise(d))
+
+    source = source_of(i)
+    # doc_id: "{source}-{i:012d}"; dupes copy the previous ROW's id —
+    # everything (its source, its null/BAD corruption) derives from the
+    # previous index, so the copy is a faithful duplicate (deriving only
+    # the index but keeping the current row's source made ~35% of
+    # injected "dupes" unique strings, silently undershooting the
+    # documented dup rate)
     dup = (mix(3) % 2000 == 0) & (i > 0)
     base_i = F.when(dup, i - 1).otherwise(i)
-    doc_id = F.concat(source, F.lit("-"), F.lpad(base_i.cast("string"), 12, "0"))
-    doc_id = F.when(mix(4) % 1000 == 0, F.lit(None).cast("string")) \
-        .otherwise(F.when(mix(5) % 1000 == 1, F.concat(F.lit("BAD ID "), i.cast("string")))
-                   .otherwise(doc_id))
+    doc_id = doc_id_of(base_i)
 
     n = (mix(6) % max_len + 1).cast("int")
     # tokens: deterministic per (row, position); sequence expression is

@@ -83,22 +83,45 @@ def stream_to_manifest(stream_df: DataFrame, spec, *, partition_col: str,
     so streaming ingestion lands in the SAME resumable manifest a batch
     backfill uses (one source of truth for per-partition verdicts).
 
+    A micro-batch carries only NEW rows of a partition, so per-partition
+    metrics ACCUMULATE across batches (sums of rows/invalid/violations,
+    AND of verdicts) and violations are APPENDED — replacing them with
+    the latest batch's slice would silently discard everything earlier
+    batches recorded about the partition.
+
     Returns the started StreamingQuery.
     """
-    from ..sources.manifest import ValidationManifest, validate_partitioned
+    from ..sources.manifest import (ValidationManifest, spec_hash,
+                                    validate_partitioned)
 
     def handle(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # a partition seen again in a later batch must re-validate:
-        # drop its lineage first, then validate the batch's partitions
         manifest = ValidationManifest(manifest_path)
-        for p in batch_partition_keys(batch_df, partition_col):
+        shash = spec_hash(spec)
+        seen = set(batch_partition_keys(batch_df, partition_col))
+        # capture prior cumulative metrics, then drop lineage so the
+        # batch's partitions re-validate
+        prior = {e["partition"]: e for e in manifest.entries()
+                 if e["spec_hash"] == shash and e["partition"] in seen}
+        for p in seen:
             manifest.invalidate(p)
-        validate_partitioned(spark, batch_df, spec, partition_col,
-                             manifest_path, violations_path=violations_path,
-                             row_id=row_id)
+        out = validate_partitioned(
+            spark, batch_df, spec, partition_col, manifest_path,
+            violations_path=violations_path, row_id=row_id,
+            violations_mode="append")
+        for p, m in out["metrics"].items():
+            old = prior.get(p)
+            if old is None:
+                continue
+            manifest.invalidate(p)
+            manifest.record(p, shash, {
+                "n_rows": old["n_rows"] + m["n_rows"],
+                "n_invalid": old["n_invalid"] + m["n_invalid"],
+                "n_violations": old["n_violations"] + m["n_violations"],
+                "valid": bool(old["valid"]) and bool(m["valid"]),
+            })
 
     return (stream_df.writeStream
             .foreachBatch(handle)

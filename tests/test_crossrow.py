@@ -124,3 +124,34 @@ def test_validate_table_end_to_end(spark):
     c1 = out["annotated"].filter("valid").count()
     c2 = out2["annotated"].filter("valid").count()
     assert c1 == c2
+
+
+def test_check_unique_composite_key_no_separator_collision(spark):
+    from boon_spark.operators.uniqueness import check_unique
+    # distinct tuples whose joined form collides ("x|y","z") vs ("x","y|z")
+    df = spark.createDataFrame(
+        [(1, "x|y", "z"), (2, "x", "y|z")], "rid int, a string, b string")
+    assert check_unique(df, ["a", "b"], row_id="rid").count() == 0
+    # NULL vs the literal sentinel must also stay distinct
+    df2 = spark.createDataFrame(
+        [(1, None), (2, "␀")], "rid int, a string")
+    assert check_unique(df2, ["a"], row_id="rid").count() == 0
+
+
+def test_check_equality_flags_missing_key_with_null_columns(spark):
+    from boon_spark.operators.equality import check_equality
+    cur = spark.createDataFrame([(5, None), (6, "x")],
+                                "doc_id int, t string")
+    ref = spark.createDataFrame([(6, "x")], "doc_id int, t string")
+    out = check_equality(cur, ref, key="doc_id").collect()
+    assert len(out) == 1
+    assert out[0].keyword_location == "/x-equality/_missing"
+    assert out[0].instance_location == "/5"
+
+
+def test_drift_empty_side_fails_loudly(spark):
+    from boon_spark.operators.drift import drift_check
+    a = spark.createDataFrame([], "v int")
+    b = spark.createDataFrame([(1,), (2,)], "v int")
+    row = drift_check(a, b, "v", lo=0, hi=10, buckets=4).collect()[0]
+    assert row.valid is False  # not NULL

@@ -222,3 +222,18 @@ def test_simhash_max_bucket_caps_degenerate(spark):
     assert ("x1", "x2") in pairs
     assert all(not (a.startswith("d") and b.startswith("d"))
                for a, b in pairs)
+
+
+def test_exact_duplicates_ignores_null_text(spark):
+    rows = [(f"n{i}", None) for i in range(5)] + [("a", "same"), ("b", "same")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    g = exact_duplicates(df).collect()
+    assert len(g) == 1 and sorted(g[0].doc_ids) == ["a", "b"]
+
+
+def test_simhash_max_hamming_zero(spark):
+    # width=64 single-chunk path must not overflow a long literal
+    df = spark.createDataFrame([("a", BASE), ("b", BASE), ("c", OTHER)],
+                               "doc_id string, text string")
+    out = simhash_near_dups(df, max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {("a", "b")}
