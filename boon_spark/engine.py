@@ -90,6 +90,12 @@ class Engine:
         whole validity expression three times, uncollapsible because
         lambda variables defeat subexpression elimination).
         """
+        reserved = {"valid", "violations", "violation_count", "_viols"}
+        clash = reserved & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"input columns {sorted(clash)} collide with the "
+                f"engine's output columns; rename them before validating")
         pb = PlanBuilder(df.schema, row_id=self.row_id,
                          base_uri=self.compiled.base_uri)
         valid, viol_arrays = pb.build(

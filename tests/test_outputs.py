@@ -96,3 +96,13 @@ def test_absolute_keyword_location_through_ref(spark):
     assert r.keyword_location == "/properties/n/$ref/minimum"
     assert r.absolute_keyword_location == \
         "https://example.com/doc.schema.json#/$defs/pos/minimum"
+
+
+def test_reserved_output_columns_rejected(spark):
+    # a table that already carries a `valid` column would silently
+    # shadow the verdict — fail loudly instead
+    eng = Engine.from_schema({"properties": {"x": {"minimum": 0}}})
+    df = spark.createDataFrame([(1, True)], "x int, valid boolean")
+    import pytest
+    with pytest.raises(ValueError, match="collide"):
+        eng.annotate(df)
