@@ -53,9 +53,11 @@ def make_session(cpus: int):
             # after a few large generated plans; once full, the JIT shuts
             # off and later queries run interpreted (measured 15x: the
             # content-schema query went 3.7s → 51s after one 8M-row job
-            # in the same session).  1g + flushing keeps the JIT alive.
+            # in the same session).  The FULL suite (~30 plans, several
+            # huge) still exhausts 1g by its tail — content fell back to
+            # 22-38s with 1g but holds 3.2s with 2g across the suite.
             .config("spark.driver.extraJavaOptions",
-                    "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
+                    "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing")
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.ui.enabled", "false")
             .getOrCreate())

@@ -60,10 +60,12 @@ def drift_metrics(hist_a: DataFrame, hist_b: DataFrame, *,
     tot = pivoted.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
     # the CDF window runs over the POST-AGGREGATION histogram — at most
     # buckets+2 rows regardless of input size, so a single partition is
-    # correct and bounded; partitionBy(lit(0)) declares that explicitly
-    # (and silences the "No Partition Defined" WARN that would otherwise
-    # mask real single-partition windows over big data)
-    cdf_w = Window.partitionBy(F.lit(0)).orderBy("bucket").rowsBetween(
+    # correct and bounded.  The partition key must be constant but NOT
+    # foldable (a bare lit gets constant-folded out of the window spec
+    # and the "No Partition Defined" WARN returns, masking real
+    # single-partition windows over big data elsewhere).
+    one_part = F.coalesce(F.col("bucket") * F.lit(0), F.lit(0))
+    cdf_w = Window.partitionBy(one_part).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0)
     # try_divide: an EMPTY side (na/nb = 0) must yield NULL metrics (the
     # caller's verdict coalesces to False), not an ANSI DIVIDE_BY_ZERO
