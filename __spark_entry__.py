@@ -573,13 +573,19 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "contains_embedding": """
+            -- a NULL array passes array keywords (absence convention)
             SELECT vec_id,
-                   len(list_filter(embedding, x -> x > 0.4)) >= 1 AS valid
+                   CASE WHEN embedding IS NULL THEN TRUE
+                        ELSE len(list_filter(embedding, x -> x > 0.4)) >= 1
+                   END AS valid
             FROM embeddings
         """,
         "logic_ifthen": """
+            -- the if-subschema is {properties:{lang:{const en}}} with no
+            -- "required": a NULL lang PASSES const (absence convention),
+            -- so NULL routes to the THEN branch, not else
             SELECT doc_id,
-                   CASE WHEN lang = 'en'
+                   CASE WHEN lang = 'en' OR lang IS NULL
                         THEN (n_chars IS NULL OR n_chars <= 400)
                         ELSE (n_chars IS NULL OR n_chars <= 300) END AS valid
             FROM documents

@@ -124,7 +124,8 @@ def main(argv=None) -> int:
             from .sources.manifest import validate_partitioned
             out = validate_partitioned(
                 spark, df, spec, args.partition_col, args.manifest,
-                violations_path=args.violations, row_id=args.row_id)
+                violations_path=args.violations, row_id=args.row_id,
+                loader=ref_loader)
             print(json.dumps({"pending": out["pending"],
                               "skipped": out["skipped"],
                               "metrics": out["metrics"]}, indent=2))
@@ -133,13 +134,21 @@ def main(argv=None) -> int:
 
         from .engine import Engine
         res = Engine(compiled, row_id=args.row_id).validate(df)
-        flag = res.flag().collect()[0]
+        # each format drives ONE full validation pass; the exit code is
+        # derived from that pass's own output (collecting flag() first
+        # would scan the table twice).  limit only truncates PRINTING —
+        # any violation at all yields at least one collected row.
+        invalid = False
         if args.format == "flag":
+            flag = res.flag().collect()[0]
+            invalid = not flag.valid
             print(json.dumps({"valid": flag.valid, "n_rows": flag.n_rows,
                               "n_invalid": flag.n_invalid,
                               "n_violations": flag.n_violations}))
         elif args.format == "detailed":
-            for r in res.detailed().limit(args.limit).collect():
+            rows = res.detailed().limit(max(args.limit, 1)).collect()
+            invalid = bool(rows)
+            for r in rows[:args.limit]:
                 print(json.dumps({
                     "valid": False,
                     "instanceLocation": r.instance_location,
@@ -149,7 +158,9 @@ def main(argv=None) -> int:
                                     e.absolute_keyword_location,
                                 "error": e.error} for e in r.errors]}))
         elif args.format == "basic":
-            for r in res.violations().limit(args.limit).collect():
+            rows = res.violations().limit(max(args.limit, 1)).collect()
+            invalid = bool(rows)
+            for r in rows[:args.limit]:
                 print(json.dumps({
                     "valid": False,
                     "instanceLocation": r.instance_location,
@@ -157,9 +168,11 @@ def main(argv=None) -> int:
                     "absoluteKeywordLocation": r.absolute_keyword_location,
                     "error": r.error}))
         else:
-            for r in res.summary().orderBy("keyword_location").collect():
+            rows = res.summary().orderBy("keyword_location").collect()
+            invalid = bool(rows)
+            for r in rows:
                 print(f"{r.keyword_location}\t{r.n_violations}")
-        return 2 if not flag.valid else 0
+        return 2 if invalid else 0
     except CompileError as e:  # plan-time compile errors (e.g. dynamic
         print(f"error: {e}", file=sys.stderr)  # unevaluated* sets)
         return 1

@@ -63,6 +63,33 @@ def json_type_of(dt: T.DataType) -> str:
     return "other"
 
 
+def _comparable(v, dt: Optional[T.DataType]) -> bool:
+    """Can JSON literal ``v`` be compared to a column of type ``dt``
+    without a cast that ANSI mode would abort on (and non-ANSI would
+    NULL out, silently passing the check)?  Type-mismatched enum/const
+    members are statically NOT-EQUAL instead of being compared."""
+    if v is None or dt is None:
+        return True
+    jt = json_type_of(dt)
+    if isinstance(v, bool):
+        return jt == "boolean"
+    if isinstance(v, (int, float)):
+        return jt in ("integer", "number")
+    if isinstance(v, str):
+        # date/timestamp columns are string-typed JSON-wise, but an
+        # arbitrary string literal would ANSI-crash the implicit cast —
+        # callers compare via the cast-to-string form instead
+        return isinstance(dt, (T.StringType, T.CharType, T.VarcharType))
+    if isinstance(v, list):
+        return isinstance(dt, T.ArrayType) and \
+            all(_comparable(x, dt.elementType) for x in v)
+    if isinstance(v, dict):
+        return isinstance(dt, T.StructType) and \
+            all(f in {f2.name for f2 in dt.fields} and
+                _comparable(x, dt[f].dataType) for f, x in v.items())
+    return False
+
+
 def _lit_for(v, dt: Optional[T.DataType]) -> Column:
     """Build a literal comparable to a value of type ``dt``.  Numeric
     tolerance (boon's 1 == 1.0, ``src/util.rs:348-363``) falls out of
@@ -237,10 +264,22 @@ class PlanBuilder:
                     want=" or ".join(node.types), got="null"))).otherwise(msg)
             add(None, "type", msg, raw_fail=F.coalesce(~ok, F.lit(True)))
 
-        # ---- const / enum (src/validator.rs:127-139)
+        # ---- const / enum (src/validator.rs:127-139).  Comparison is
+        # type-aware: a literal whose JSON type mismatches the column is
+        # statically NOT-EQUAL — comparing it directly would ANSI-crash
+        # the job on the implicit cast (or silently NULL→pass without
+        # ANSI).  String-typed columns that are not plain strings
+        # (date/timestamp) compare via their cast-to-string form.
+        def eq_lit(e) -> Column:
+            if _comparable(e, dtype):
+                return value == _lit_for(e, dtype)
+            if isinstance(e, str) and jt == "string" and sval is not None:
+                return sval == F.lit(e)
+            return F.lit(False)
+
         if node.has_const and value is not None:
-            pred = value.eqNullSafe(_lit_for(node.const, dtype)) if node.const is None \
-                else value == _lit_for(node.const, dtype)
+            pred = value.eqNullSafe(F.lit(None)) if node.const is None \
+                else eq_lit(node.const)
             add(pred, "const",
                 F.lit(MESSAGES["const"].format(want=_fmt_val(node.const))))
         if node.enum is not None and value is not None:
@@ -248,7 +287,7 @@ class PlanBuilder:
             # of required/type, see engine module doc)
             non_null = [e for e in node.enum if e is not None]
             if non_null:
-                pred = reduce(or_, [value == _lit_for(e, dtype) for e in non_null])
+                pred = reduce(or_, [eq_lit(e) for e in non_null])
             else:
                 pred = F.lit(False)
             key = "enum_one" if len(node.enum) == 1 else "enum"
@@ -951,9 +990,11 @@ class PlanBuilder:
                 if prop not in fields:
                     continue
                 present = get(prop).isNotNull()
+                # initializer: an EMPTY dependency list is valid per spec
+                # and trivially satisfied (reduce over [] would crash)
                 deps_ok = reduce(and_, [
                     get(d).isNotNull() if d in fields else F.lit(False)
-                    for d in deps])
+                    for d in deps], F.lit(True))
                 ok = guard(F.when(present, deps_ok).otherwise(F.lit(True)))
                 fail = F.coalesce(~ok, F.lit(False))
                 valids.append(~fail)
@@ -1081,6 +1122,31 @@ class PlanBuilder:
             viols.append(self._viol(
                 fail, f"{node.loc}/propertyNames", iloc,
                 F.lit("invalid property name")))
+        if node.dependent_required:
+            for prop, deps in node.dependent_required.items():
+                present = F.map_contains_key(value, F.lit(prop))
+                deps_ok = reduce(and_, [
+                    F.map_contains_key(value, F.lit(d)) for d in deps],
+                    F.lit(True))
+                ok = guard(F.when(present, deps_ok).otherwise(F.lit(True)))
+                fail = F.coalesce(~ok, F.lit(False))
+                valids.append(~fail)
+                viols.append(self._viol(
+                    fail, f"{node.loc}/dependentRequired", iloc,
+                    F.lit(MESSAGES["dependent_required"].format(
+                        want=", ".join(f"'{d}'" for d in deps),
+                        prop=f"'{prop}'"))))
+        if node.dependent_schemas:
+            for prop, sub in node.dependent_schemas.items():
+                s_valid, _s_viols = self.build(sub, dtype, value, iloc)
+                ok = guard(F.when(F.map_contains_key(value, F.lit(prop)),
+                                  F.coalesce(s_valid, F.lit(False)))
+                           .otherwise(F.lit(True)))
+                fail = F.coalesce(~ok, F.lit(False))
+                valids.append(~fail)
+                viols.append(self._viol(
+                    fail, f"{node.loc}/dependentSchemas/{prop}", iloc,
+                    F.lit(f"schema for dependency '{prop}' failed")))
         if node.unevaluated_properties is not None:
             # runtime KEY-annotation flow: map keys are runtime values, so
             # the evaluated-flag becomes a per-key lambda — static matches

@@ -47,6 +47,14 @@ SUPPORTED = {
     "writeOnly",
 }
 
+# annotation keywords never make a dict a "bare schema" — a table-spec
+# wrapper may legally carry a title/description next to its "schema" key
+ANNOTATIONS = {
+    "title", "description", "default", "examples", "$schema", "$id",
+    "$anchor", "$vocabulary", "$comment", "deprecated", "readOnly",
+    "writeOnly",
+}
+
 UNSUPPORTED = {
     # dynamic-scope resolution is meaningless over fixed-width rows
     # (src/validator.rs:579-652) — fail at compile, never silently ignore.
@@ -326,24 +334,33 @@ class Compiler:
             return self._scans[key]
         anchors: dict[str, Any] = {}
         embedded: dict[str, Any] = {}
+        # data-valued keywords: their contents are instance VALUES, not
+        # subschemas — a const value containing an "$anchor" key must not
+        # be collected as (or collide with) a real anchor
+        data_keys = {"const", "enum", "default", "examples"}
 
-        def walk(v: Any):
+        def walk(v: Any, top: bool):
             if isinstance(v, dict):
+                rid = v.get("$id")
+                if isinstance(rid, str) and not top:
+                    # an embedded $id starts a NEW resource: record it,
+                    # but its anchors belong to ITS namespace (collected
+                    # when that resource is scanned), not this one
+                    embedded[rid] = v
+                    return
                 a = v.get("$anchor")
                 if isinstance(a, str):
                     if a in anchors:
                         raise CompileError(f"duplicate $anchor {a!r}")
                     anchors[a] = v
-                rid = v.get("$id")
-                if isinstance(rid, str) and v is not doc:
-                    embedded[rid] = v
-                for sub in v.values():
-                    walk(sub)
+                for k, sub in v.items():
+                    if k not in data_keys:
+                        walk(sub, False)
             elif isinstance(v, list):
                 for sub in v:
-                    walk(sub)
+                    walk(sub, False)
 
-        walk(doc)
+        walk(doc, True)
         self._scans[key] = (anchors, embedded)
         return anchors, embedded
 
@@ -358,9 +375,19 @@ class Compiler:
         every scanned document, then the loader."""
         if uri in self.resources:
             return self.resources[uri]
-        for _anchors, embedded in self._scans.values():
-            if uri in embedded:
-                return embedded[uri]
+        # fixpoint over embedded resources: scanning a resource may
+        # reveal resources nested inside it (each $id starts a new
+        # anchor namespace, so scans stop at resource boundaries)
+        changed = True
+        while changed:
+            changed = False
+            for _anchors, embedded in list(self._scans.values()):
+                if uri in embedded:
+                    return embedded[uri]
+                for sub in embedded.values():
+                    if id(sub) not in self._scans:
+                        self._scan_resource(sub)
+                        changed = True
         if self.loader is not None:
             # a failing loader (URLError offline, FileNotFoundError, …)
             # must surface as CompileError so callers' fallbacks — the
@@ -734,7 +761,7 @@ def compile_schema(doc: Any, *, resources: Optional[dict] = None,
     ``loader`` is a ``uri → doc`` callable consulted for anything not
     pre-supplied (boon ``UrlLoader``/``FileLoader``, src/loader.rs:23-72)."""
     if isinstance(doc, dict) and "schema" in doc and not (
-            set(doc) & (SUPPORTED - {"$schema", "$id"})):
+            set(doc) & (SUPPORTED - ANNOTATIONS)):
         schema_doc = doc["schema"]
         extra = doc
     else:

@@ -135,7 +135,9 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
                          violations_path: Optional[str] = None,
                          row_id: Optional[str] = None,
                          max_partitions: int = 100_000,
-                         violations_mode: str = "overwrite") -> dict:
+                         violations_mode: str = "overwrite",
+                         resources: Optional[dict] = None,
+                         loader=None) -> dict:
     """Validate all pending partitions of ``df`` in one job; returns
     ``{"pending": [...], "skipped": [...], "metrics": {partition: {...}}}``.
 
@@ -184,7 +186,8 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
     if NULL_PARTITION in pending:
         cond = cond | F.col(partition_col).isNull()
     sub = df.filter(cond)
-    eng = Engine.from_schema(spec, row_id=row_id)
+    eng = Engine.from_schema(spec, row_id=row_id,
+                             resources=resources, loader=loader)
     ann = eng.annotate(sub)
 
     if violations_path:

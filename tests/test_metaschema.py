@@ -50,3 +50,40 @@ def test_wellformed_still_compiles():
         "dependentRequired": {"a": ["b"]},
         "patternProperties": {"^n_": {"minimum": 0}},
     })
+
+
+def test_enum_type_mismatch_is_not_equal_not_crash(spark):
+    # heterogeneous enum vs a string column: the int member must be
+    # statically NOT-EQUAL, never an ANSI cast crash or a silent pass
+    from boon_spark import Engine
+    eng = Engine.from_schema({"properties": {"s": {"enum": ["en", 5]}}})
+    df = spark.createDataFrame([("en",), ("xx",)], "s string")
+    assert [r.valid for r in eng.annotate(df).collect()] == [True, False]
+    # and the numeric member still matches on a numeric column
+    eng2 = Engine.from_schema({"properties": {"n": {"enum": ["en", 5]}}})
+    df2 = spark.createDataFrame([(5,), (6,)], "n int")
+    assert [r.valid for r in eng2.annotate(df2).collect()] == [True, False]
+
+
+def test_const_type_mismatch_fails_not_crashes(spark):
+    from boon_spark import Engine
+    eng = Engine.from_schema({"properties": {"s": {"const": 5}}})
+    df = spark.createDataFrame([("xx",), (None,)], "s string")
+    assert [r.valid for r in eng.annotate(df).collect()] == [False, True]
+
+
+def test_empty_dependent_required_list(spark):
+    from boon_spark import Engine
+    eng = Engine.from_schema({"dependentRequired": {"a": []}})
+    df = spark.createDataFrame([("x",)], "a string")
+    assert [r.valid for r in eng.annotate(df).collect()] == [True]
+
+
+def test_table_spec_with_annotations(spark):
+    # a title/description on the wrapper must not demote it to a bare
+    # (validate-nothing) schema
+    from boon_spark.schema import compile_schema
+    c = compile_schema({"title": "My spec", "schema": {
+        "properties": {"x": {"minimum": 0}}}, "unique": [["x"]]})
+    assert c.unique == [["x"]]
+    assert c.root.properties is not None
