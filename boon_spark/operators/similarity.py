@@ -44,43 +44,85 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                exclude_self: bool = True) -> DataFrame:
+                exclude_self: bool = True, sub_buckets: int = 16,
+                max_queries_per_pass: int = 256) -> DataFrame:
     """Exact top-k neighbors by cosine for each query row.
 
     Returns ``(query_id, neighbor_id, rank)`` with rank 1..k, ties broken
     by ascending neighbor id (deterministic).
+
+    Memory bounds (round-3 hardening):
+
+    - rows whose cosine is NULL (null / ragged corpus or query embeddings)
+      are filtered *before* the partial top-k — previously they sorted
+      first on the negated-cosine key and evicted real neighbors map-side;
+    - the partial-agg group key is ``(_pid, query_id, _sub)`` where
+      ``_sub = pmod(xxhash64(neighbor_id), sub_buckets)``: with
+      Q × sub_buckets groups per partition the ObjectHashAggregate
+      sort-based fallback (threshold 128 distinct keys) engages and
+      processes groups one at a time off a spillable sort, so the resident
+      ``collect_list`` buffer is one group ≈ partition_rows / sub_buckets
+      — never the whole partition × Q;
+    - ``max_queries_per_pass`` chunks the broadcast query set, bounding
+      both the broadcast size and the per-partition group count; chunks
+      union after the per-chunk partial top-k (each chunk's candidate set
+      is already ≤ P × Q_chunk × sub_buckets × k rows).
+
+    The shuffle still carries only candidate lists, never the corpus×Q
+    cross product.
     """
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qv"))
+    q_all = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("_cv"))
-    joined = c.crossJoin(F.broadcast(q))
-    if exclude_self:
-        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id", "neighbor_id",
-        cosine(F.col("_cv"), F.col("_qv")).alias("cos"))
 
-    # partial top-k per corpus partition: the group key includes the
-    # physical partition id, so partial aggregation completes map-side and
-    # the shuffle carries only (P × Q) candidate lists
-    partial = (scored
-               .withColumn("_pid", F.spark_partition_id())
-               .groupBy("_pid", "query_id")
-               .agg(F.slice(
-                   F.sort_array(
-                       F.collect_list(F.struct(
-                           # negate the COSINE (always numeric) so one
-                           # ascending sort yields (cos desc, id asc) —
-                           # negating the id would NULL out non-numeric
-                           # id columns (string doc_ids) via the cast
-                           (-F.col("cos")).alias("_nc"),
-                           F.col("neighbor_id").alias("_nid")))),
-                   1, k).alias("_top")))
-    cand = (partial
-            .select("query_id", F.explode("_top").alias("t"))
-            .select("query_id", (-F.col("t._nc")).alias("cos"),
-                    F.col("t._nid").alias("neighbor_id")))
+    n_q = q_all.count()
+    if n_q > max_queries_per_pass:
+        # deterministic chunking on the query id hash — each pass
+        # broadcasts ≤ max_queries_per_pass queries
+        n_chunks = -(-n_q // max_queries_per_pass)
+        chunk_col = F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_chunks))
+        chunks = [q_all.filter(chunk_col == i) for i in range(n_chunks)]
+    else:
+        chunks = [q_all]
+
+    cands = []
+    for q in chunks:
+        joined = c.crossJoin(F.broadcast(q))
+        if exclude_self:
+            joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+        scored = (joined
+                  .select("query_id", "neighbor_id",
+                          cosine(F.col("_cv"), F.col("_qv")).alias("cos"))
+                  .filter(F.col("cos").isNotNull()))
+
+        # partial top-k per corpus partition: the group key includes the
+        # physical partition id, so partial aggregation completes map-side
+        # and the shuffle carries only (P × Q × sub_buckets) candidate
+        # lists of ≤ k entries
+        partial = (scored
+                   .withColumn("_pid", F.spark_partition_id())
+                   .withColumn("_sub", F.pmod(
+                       F.xxhash64(F.col("neighbor_id")),
+                       F.lit(max(1, sub_buckets))))
+                   .groupBy("_pid", "query_id", "_sub")
+                   .agg(F.slice(
+                       F.sort_array(
+                           F.collect_list(F.struct(
+                               # negate the COSINE (always numeric) so one
+                               # ascending sort yields (cos desc, id asc) —
+                               # negating the id would NULL out non-numeric
+                               # id columns (string doc_ids) via the cast
+                               (-F.col("cos")).alias("_nc"),
+                               F.col("neighbor_id").alias("_nid")))),
+                       1, k).alias("_top")))
+        cands.append(partial.select("query_id", F.explode("_top").alias("t"))
+                     .select("query_id", (-F.col("t._nc")).alias("cos"),
+                             F.col("t._nid").alias("neighbor_id")))
+
+    cand = cands[0]
+    for extra in cands[1:]:
+        cand = cand.unionByName(extra)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (cand
@@ -154,9 +196,11 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     joined = (c.join(F.broadcast(q), on="_sig")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .dropDuplicates(["query_id", "neighbor_id"]))
-    scored = joined.select(
-        "query_id", "neighbor_id",
-        cosine(F.col("_cv"), F.col("_qv")).alias("cos"))
+    scored = (joined
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("_cv"), F.col("_qv")).alias("cos"))
+              # null cosines (null/ragged embeddings) are never neighbors
+              .filter(F.col("cos").isNotNull()))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
