@@ -86,7 +86,40 @@ def validate_sequences_job(spark, seq_path: str):
     return row.n_rows, row.n_invalid
 
 
-def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
+def _code_cache_mb(spark) -> float:
+    """Used bytes across the JVM's CodeHeap/CodeCache memory pools (MB).
+
+    Recorded per query so a code-cache exhaustion regression (the measured
+    15x interpreted-fallback failure mode, see CLAUDE.md) is visible in the
+    bench artifact itself."""
+    try:
+        beans = (spark._jvm.java.lang.management.ManagementFactory
+                 .getMemoryPoolMXBeans())
+        used = 0
+        for i in range(beans.size()):
+            b = beans.get(i)
+            name = b.getName()
+            if "CodeHeap" in name or "Code Cache" in name:
+                used += b.getUsage().getUsed()
+        return round(used / 1e6, 1)
+    except Exception:
+        return -1.0
+
+
+def _spin_sample(workers: int, n: int = 4_000_000) -> float:
+    """Short pure-CPU throughput sample (Mops/s across `workers` procs) —
+    the host-contention probe run interleaved with the flagship passes.
+    Low when a steal burst is in progress; compares only against other
+    samples from the same run."""
+    import concurrent.futures as cf
+    with cf.ProcessPoolExecutor(workers) as ex:
+        t0 = time.time()
+        list(ex.map(_spin, [n] * workers))
+        return round(workers * n / (time.time() - t0) / 1e6, 1)
+
+
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, float],
+                                  dict[str, float]]:
     """Headline operator queries at SF_DIR (driver testdata).
 
     Best-of-2 per query: the first pass pays one-time whole-stage-codegen
@@ -104,6 +137,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
              "drift_nchars", "content_json_events"]
     out: dict[str, float] = {}
     cold: dict[str, float] = {}
+    cache: dict[str, float] = {}
     for n in names:
         times = []
         for _ in range(2):
@@ -112,7 +146,8 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
             times.append(round(time.time() - t0, 3))
         cold[n] = times[0]
         out[n] = min(times)
-    return out, cold
+        cache[n] = _code_cache_mb(spark)
+    return out, cold, cache
 
 
 def run_bench() -> dict:
@@ -121,28 +156,62 @@ def run_bench() -> dict:
         df = ensure_sequences(spark, SEQ_ROWS, SEQ_PATH)
         df.count()  # warm FS cache
         validate_sequences_job(spark, SEQ_PATH)  # warm codegen/JIT
-        t_validate = 1e18
-        for _ in range(2):  # best-of-2: host CPU steal is bursty here
+
+        # the flagship is 70% of the suite total and this host's CPU steal
+        # comes in multi-minute bursts (BENCH_r02 recorded 45.7s for a job
+        # that reproducibly runs in ~3s in a quiet window).  Best-of-4
+        # passes, each preceded by a short pure-CPU spin sample: the spin
+        # rate is the host-contention evidence, and each pass also gets a
+        # calibration-normalized time (raw × pass_spin / best_spin) so a
+        # steal burst shows up as a low spin rate instead of silently
+        # inflating the committed number.  Raw min stays the headline.
+        passes = []
+        n_rows = n_invalid = 0
+        spin_prev = _spin_sample(CPUS)
+        for _ in range(4):
             t0 = time.time()
             n_rows, n_invalid = validate_sequences_job(spark, SEQ_PATH)
-            t_validate = min(t_validate, time.time() - t0)
+            sec = round(time.time() - t0, 3)
+            spin_next = _spin_sample(CPUS)
+            # bracket each pass with spin samples; the MAX of the bracket
+            # is the conservative contention estimate (a burst that ends
+            # between sample and pass must not over-correct the pass)
+            passes.append({"sec": sec,
+                           "spin_mops": max(spin_prev, spin_next),
+                           "spin_before": spin_prev,
+                           "spin_after": spin_next})
+            spin_prev = spin_next
+        spin_best = max(p["spin_mops"] for p in passes)
+        for p in passes:
+            p["sec_cal"] = round(p["sec"] * p["spin_mops"] / spin_best, 3) \
+                if spin_best > 0 and p["spin_mops"] > 0 else p["sec"]
+        t_validate = min(p["sec"] for p in passes)
+        t_validate_cal = min(p["sec_cal"] for p in passes)
 
         q = {"validate_sequences": round(t_validate, 3)}
-        warm, cold = bench_queries(spark)
+        warm, cold, cache = bench_queries(spark)
         q.update(warm)
         total = round(sum(q.values()), 3)
         return {
             "metric": "headline suite wall time (validate_sequences = full "
                       "constraint suite over synthetic tokenized table; "
-                      "per-query best-of-2, cold pass in queries_cold)",
+                      "flagship best-of-4 with interleaved spin "
+                      "calibration, per-query best-of-2, cold pass in "
+                      "queries_cold)",
             "value": total,
             "unit": "sec",
             "queries": q,
             "queries_cold": cold,
+            "queries_cache_mb": cache,
             "sf": _SF,
             "seq_rows": n_rows,
             "seq_invalid": n_invalid,
             "validate_rows_per_sec": round(n_rows / t_validate),
+            "validate_passes": passes,
+            "validate_sec_calibrated": t_validate_cal,
+            "validate_rows_per_sec_calibrated":
+                round(n_rows / t_validate_cal) if t_validate_cal else 0,
+            "host_spin_mops_best": spin_best,
             "cpus": CPUS,
         }
     finally:
