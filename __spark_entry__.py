@@ -186,7 +186,9 @@ def q_format_date(spark, sf_dir):
         F.when(F.col("o_orderkey") % 10 == 0,
                F.concat(d, F.lit("x"))).otherwise(d).alias("d_str"))
     eng = Engine.from_schema(
-        {"properties": {"d_str": {"format": "date"}}}, row_id="o_orderkey")
+        {"properties": {"d_str": {"format": "date"}}}, row_id="o_orderkey",
+        assert_format=True)  # explicit opt-in: format is annotation-only
+    # by default (boon enable_format_assertions, compiler.rs:105-118)
     return (eng.validate(derived).violations()
             .select("instance_location", "keyword_location"))
 
@@ -200,7 +202,8 @@ def q_content_json_events(spark, sf_dir):
         "contentSchema": {"properties": {
             "k": {"type": "integer", "minimum": 0, "maximum": 50}},
             "required": ["k"]},
-    }}}, row_id="event_id")
+    }}}, row_id="event_id", assert_content=True)  # content keywords
+    # are annotation-only unless enabled (boon compiler.rs:122-130)
     return eng.validate(ev).summary()
 
 

@@ -81,6 +81,12 @@ def main(argv=None) -> int:
                     help="manifest directory (with --partition-col)")
     ap.add_argument("--violations", default=None,
                     help="violation sink directory (with --partition-col)")
+    ap.add_argument("--assert-format", action="store_true",
+                    help="enable format assertions with draft >= 2019 "
+                         "(boon cli --assert-format)")
+    ap.add_argument("--assert-content", action="store_true",
+                    help="enable content assertions (contentEncoding/"
+                         "MediaType/Schema; boon cli --assert-content)")
     ap.add_argument("--sample", type=float, default=None,
                     help="validate a row fraction (north_star: sampled-"
                          "partition spot checks at full scale)")
@@ -97,7 +103,9 @@ def main(argv=None) -> int:
         # cross-document $refs relative to the schema's own location.
         # The compiled result is REUSED below — recompiling would fetch
         # every remote $ref target a second time.
-        compiled = compile_schema(spec, loader=ref_loader)
+        compiled = compile_schema(spec, loader=ref_loader,
+                                  assert_format=args.assert_format,
+                                  assert_content=args.assert_content)
     except Exception as e:  # schema I/O, YAML/JSON parse, compile errors
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -125,7 +133,8 @@ def main(argv=None) -> int:
             out = validate_partitioned(
                 spark, df, spec, args.partition_col, args.manifest,
                 violations_path=args.violations, row_id=args.row_id,
-                loader=ref_loader)
+                loader=ref_loader, assert_format=args.assert_format,
+                assert_content=args.assert_content)
             print(json.dumps({"pending": out["pending"],
                               "skipped": out["skipped"],
                               "metrics": out["metrics"]}, indent=2))

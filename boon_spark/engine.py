@@ -43,11 +43,17 @@ class Engine:
     def from_schema(cls, schema_doc, *, row_id: Optional[str] = None,
                     max_violations_per_row: int = 100,
                     resources: Optional[dict] = None,
-                    loader=None) -> "Engine":
+                    loader=None, assert_format: bool = False,
+                    assert_content: bool = False) -> "Engine":
         """``resources``/``loader`` feed cross-document $ref resolution
-        (boon add_resource / SchemeUrlLoader parity)."""
+        (boon add_resource / SchemeUrlLoader parity);
+        ``assert_format``/``assert_content`` are
+        ``enable_format_assertions``/``enable_content_assertions``
+        (src/compiler.rs:105-130) — see :func:`compile_schema`."""
         return cls(compile_schema(schema_doc, resources=resources,
-                                  loader=loader),
+                                  loader=loader,
+                                  assert_format=assert_format,
+                                  assert_content=assert_content),
                    row_id=row_id,
                    max_violations_per_row=max_violations_per_row)
 

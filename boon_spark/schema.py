@@ -264,9 +264,17 @@ class Compiler:
     URI for further relative refs)."""
 
     def __init__(self, doc: dict, *, resources: Optional[dict] = None,
-                 base_uri: str = "", loader=None):
+                 base_uri: str = "", loader=None,
+                 assert_format: bool = False, assert_content: bool = False):
         self.doc = doc
         self.loader = loader
+        # assertion modes (boon enable_format_assertions /
+        # enable_content_assertions, src/compiler.rs:105-130): format
+        # asserts by default only in drafts <= 7 (or when the metaschema
+        # requires the format / format-assertion vocabulary); content
+        # keywords are annotation-only unless enabled, in every draft
+        self.assert_format = assert_format
+        self.assert_content = assert_content
         root_id = doc.get("$id") if isinstance(doc, dict) else None
         root_base = root_id if isinstance(root_id, str) else base_uri
         self.resources: dict[str, Any] = dict(resources or {})
@@ -275,10 +283,11 @@ class Compiler:
         self._ref_stack: list[tuple[str, str]] = []
         self._ref_cache: dict[tuple[str, str, str], Node] = {}
         self._scans: dict[int, tuple[dict, dict]] = {}  # id(doc) → maps
-        # resource-context stack: (document, base URI, draft) — "#..."
-        # refs and relative URIs resolve against the TOP of this stack;
-        # each resource's $schema selects its own draft gating
-        self._ctx: list[tuple[Any, str, Optional[int]]] = []
+        # resource-context stack: (document, base URI, draft,
+        # format_vocab_required) — "#..." refs and relative URIs resolve
+        # against the TOP of this stack; each resource's $schema selects
+        # its own draft gating and format-vocabulary assertion mode
+        self._ctx: list[tuple[Any, str, Optional[int], bool]] = []
         self._scan_resource(doc)
         # (loc_prefix, abs_prefix, abs_uri) for absoluteKeywordLocation:
         # below an inlined pointer-$ref the dereferenced location
@@ -287,7 +296,45 @@ class Compiler:
         self._loc_prefix = ""
         self._abs_prefix = ""
         self._abs_uri = ""
-        self._ctx.append((doc, root_base, self._draft_for_doc(doc)))
+        root_draft = self._draft_for_doc(doc)
+        self._ctx.append((doc, root_base, root_draft,
+                          self._format_vocab_required(doc, root_draft)))
+
+    def _format_vocab_required(self, doc: Any,
+                               draft: Optional[int]) -> bool:
+        """Does this resource's metaschema mark the format vocabulary as
+        REQUIRED?  boon asserts ``format`` in 2019-09 when the metaschema
+        requires ``.../vocab/format`` and in 2020-12 when it requires
+        ``.../vocab/format-assertion`` (``src/compiler.rs:488-494``).
+        The standard metaschemas require neither; only a resolvable
+        custom metaschema can flip this on."""
+        if draft not in (2019, 2020) or not isinstance(doc, dict):
+            return False
+        s = doc.get("$schema")
+        if not isinstance(s, str) or draft_of_uri(s) is not None:
+            return False  # standard metaschema: format not required
+        try:
+            meta = self._find_resource(s.rstrip("#"))
+        except CompileError:
+            return False
+        vocab = meta.get("$vocabulary") if isinstance(meta, dict) else None
+        if not isinstance(vocab, dict):
+            return False
+        want = ("/vocab/format-assertion" if draft == 2020
+                else "/vocab/format")
+        return any(bool(req) and str(uri).rstrip("/").endswith(want)
+                   for uri, req in vocab.items())
+
+    def _format_asserted(self) -> bool:
+        """format asserts when: explicitly enabled; draft <= 7 (where the
+        core vocabulary includes it, boon compiler.rs:488-491); or the
+        resource's metaschema requires the format(-assertion) vocabulary.
+        No ``$schema`` (permissive mode) follows boon's default draft
+        (2020-12): annotation-only."""
+        draft, fmt_vocab = self._ctx[-1][2], self._ctx[-1][3]
+        return (self.assert_format
+                or (draft is not None and draft <= 7)
+                or fmt_vocab)
 
     def _draft_for_doc(self, doc: Any, *, _depth: int = 0) -> Optional[int]:
         """Draft selected by a resource's ``$schema`` (boon
@@ -434,7 +481,7 @@ class Compiler:
         lives in (pushed as context while compiling the target, so its
         internal refs resolve locally); ``pointer_frag`` drives
         absoluteKeywordLocation substitution for pointer refs."""
-        cur_doc, cur_base, _cur_draft = self._ctx[-1]
+        cur_doc, cur_base = self._ctx[-1][0], self._ctx[-1][1]
         uri_part, frag = (ref.split("#", 1) + [""])[:2] if "#" in ref \
             else (ref, "")
         if uri_part == "":
@@ -528,7 +575,9 @@ class Compiler:
                 t_draft = self._draft_for_doc(t_doc)
                 if t_draft is None:
                     t_draft = self._ctx[-1][2]
-                self._ctx.append((t_doc, t_uri, t_draft))
+                self._ctx.append((t_doc, t_uri, t_draft,
+                                  self._format_vocab_required(t_doc,
+                                                              t_draft)))
                 try:
                     node = self.compile_value(target, loc + "/$ref")
                 finally:
@@ -564,19 +613,21 @@ class Compiler:
                 raise CompileError(f"{loc}/enum: must be a non-empty array")
             n.enum = v["enum"]
         if "format" in v:
-            # fail-fast on unknown formats at compile (not plan-build):
-            # boon treats unknown formats as annotations (compiler.rs:488-502
-            # — formats.get().or_else(FORMATS.get) → None skips the check);
-            # we default to assert-format behavior, so an unregistered name
-            # must surface as a clean CompileError, not a KeyError mid-plan.
-            from .functions.formats import FORMATS
+            # metaschema shape holds in BOTH modes; the registry check and
+            # the compiled assertion only when format asserts (boon
+            # compiler.rs:488-502: annotation mode skips compile entirely,
+            # and an unknown format name is an annotation even when
+            # asserting — we fail-fast instead so an unregistered name
+            # surfaces as a clean CompileError, not a silent pass)
             if not isinstance(v["format"], str):
                 raise CompileError(f"{loc}/format: expected string")
-            if v["format"] not in FORMATS:
-                raise CompileError(
-                    f"{loc}/format: unknown format {v['format']!r}; "
-                    f"register_format() it first")
-            n.format = v["format"]
+            if self._format_asserted():
+                from .functions.formats import FORMATS
+                if v["format"] not in FORMATS:
+                    raise CompileError(
+                        f"{loc}/format: unknown format {v['format']!r}; "
+                        f"register_format() it first")
+                n.format = v["format"]
 
         for kw, attr in (("minimum", "minimum"), ("maximum", "maximum"),
                          ("exclusiveMinimum", "exclusive_minimum"),
@@ -695,15 +746,20 @@ class Compiler:
         if "propertyNames" in v:
             n.property_names = self.compile_value(
                 v["propertyNames"], loc + "/propertyNames")
+        # content keywords are annotation-only unless content assertions
+        # are enabled — every draft (boon compiler.rs:122-130,534-545,
+        # 589-595); metaschema shape checks hold in both modes
         if "contentEncoding" in v:
             _expect(isinstance(v["contentEncoding"], str), loc,
                     "contentEncoding", "string", v["contentEncoding"])
-            n.content_encoding = v["contentEncoding"]
+            if self.assert_content:
+                n.content_encoding = v["contentEncoding"]
         if "contentMediaType" in v:
             _expect(isinstance(v["contentMediaType"], str), loc,
                     "contentMediaType", "string", v["contentMediaType"])
-            n.content_media_type = v["contentMediaType"]
-        if "contentSchema" in v:
+            if self.assert_content:
+                n.content_media_type = v["contentMediaType"]
+        if "contentSchema" in v and self.assert_content:
             n.content_schema = self.compile_value(
                 v["contentSchema"], loc + "/contentSchema")
         if "minProperties" in v:
@@ -750,7 +806,8 @@ class Compiler:
 
 
 def compile_schema(doc: Any, *, resources: Optional[dict] = None,
-                   loader=None) -> CompiledSchema:
+                   loader=None, assert_format: bool = False,
+                   assert_content: bool = False) -> CompiledSchema:
     """Compile a constraint document.  Accepts either a bare JSON-Schema
     dict or a table-spec dict ``{"schema": {...}, "unique": [...],
     "references": [...], "invariants": [...]}`` carrying the cross-row
@@ -759,7 +816,15 @@ def compile_schema(doc: Any, *, resources: Optional[dict] = None,
     ``resources`` maps URI → raw schema document for cross-document
     ``$ref`` targets (boon ``add_resource``, src/compiler.rs:182-187);
     ``loader`` is a ``uri → doc`` callable consulted for anything not
-    pre-supplied (boon ``UrlLoader``/``FileLoader``, src/loader.rs:23-72)."""
+    pre-supplied (boon ``UrlLoader``/``FileLoader``, src/loader.rs:23-72).
+
+    ``assert_format`` / ``assert_content`` are boon's
+    ``enable_format_assertions`` / ``enable_content_assertions``
+    (src/compiler.rs:105-130): by default ``format`` asserts only in
+    drafts <= 7 (or under a metaschema requiring the format vocabulary)
+    and the ``content*`` keywords are annotation-only.  A table-spec dict
+    may opt in inline via ``{"assert_format": true, "assert_content":
+    true}``."""
     if isinstance(doc, dict) and "schema" in doc and not (
             set(doc) & (SUPPORTED - ANNOTATIONS)):
         schema_doc = doc["schema"]
@@ -767,8 +832,11 @@ def compile_schema(doc: Any, *, resources: Optional[dict] = None,
     else:
         schema_doc = doc
         extra = {}
+    assert_format = bool(extra.get("assert_format", assert_format))
+    assert_content = bool(extra.get("assert_content", assert_content))
     root = Compiler(schema_doc, resources=resources,
-                    loader=loader).compile() \
+                    loader=loader, assert_format=assert_format,
+                    assert_content=assert_content).compile() \
         if isinstance(schema_doc, (dict, bool)) else None
     if root is None:
         raise CompileError("schema must be a dict or boolean")

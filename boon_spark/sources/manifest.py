@@ -137,7 +137,8 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
                          max_partitions: int = 100_000,
                          violations_mode: str = "overwrite",
                          resources: Optional[dict] = None,
-                         loader=None) -> dict:
+                         loader=None, assert_format: bool = False,
+                         assert_content: bool = False) -> dict:
     """Validate all pending partitions of ``df`` in one job; returns
     ``{"pending": [...], "skipped": [...], "metrics": {partition: {...}}}``.
 
@@ -172,7 +173,13 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
             f"partition column {partition_col!r} has more than "
             f"{max_partitions} distinct values — not a partition column; "
             f"pick a coarser column or raise max_partitions")
-    raw_of = {r._p: r._v for r in vrows}
+    # a string key can collect SEVERAL distinct native values (e.g.
+    # decimal scale variants rendering to the same text): keep them ALL —
+    # dropping one would leave its rows unvalidated while the partition
+    # key is recorded complete
+    raw_of: dict[str, list] = {}
+    for r in vrows:
+        raw_of.setdefault(r._p, []).append(r._v)
     all_parts = list(raw_of)
     pending = sorted(set(all_parts) - done)
     skipped = sorted(set(all_parts) & done)
@@ -182,12 +189,14 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
     # partition-pruning filter: completed partitions are never scanned
     # (native-typed `col IN (...)` + `IS NULL` both push to the scan)
     cond = F.col(partition_col).isin(
-        [raw_of[p] for p in pending if p != NULL_PARTITION])
+        [v for p in pending if p != NULL_PARTITION for v in raw_of[p]])
     if NULL_PARTITION in pending:
         cond = cond | F.col(partition_col).isNull()
     sub = df.filter(cond)
     eng = Engine.from_schema(spec, row_id=row_id,
-                             resources=resources, loader=loader)
+                             resources=resources, loader=loader,
+                             assert_format=assert_format,
+                             assert_content=assert_content)
     ann = eng.annotate(sub)
 
     if violations_path:

@@ -82,3 +82,18 @@ def test_cli_cross_file_ref(tmp_path):
     assert unit["keywordLocation"] == "/properties/n_chars/$ref/maximum"
     assert unit["absoluteKeywordLocation"] == \
         "lib.json#/$defs/bounded/maximum"
+
+
+def test_assert_format_flag(tmp_path):
+    # boon cli --assert-format parity (cli/src/main.rs:70-97,193-201):
+    # lang is 2 lowercase letters, 'language' never matches format=date —
+    # annotation-only by default (exit 0), asserting with the flag (exit 2)
+    spec = tmp_path / "s.json"
+    spec.write_text(json.dumps(
+        {"properties": {"lang": {"format": "date"}}}))
+    table = "/root/testdata/sf0.001/documents.parquet"
+    r = run_cli("--schema", str(spec), "--table", table, "--cpus", "2")
+    assert r.returncode == 0, r.stderr
+    r = run_cli("--schema", str(spec), "--table", table, "--cpus", "2",
+                "--assert-format")
+    assert r.returncode == 2, r.stderr

@@ -15,7 +15,8 @@ from boon_spark import (Engine, CompileError, register_content_encoding,
 def test_register_format_column_expr(spark):
     register_format("even-length", lambda c: F.length(c) % 2 == 0,
                     column_expr=True)
-    eng = Engine.from_schema({"properties": {"s": {"format": "even-length"}}})
+    eng = Engine.from_schema({"properties": {"s": {"format": "even-length"}}},
+                             assert_format=True)
     df = spark.createDataFrame([("ab",), ("abc",)], "s string")
     got = [r.valid for r in eng.annotate(df).collect()]
     assert got == [True, False]
@@ -23,7 +24,8 @@ def test_register_format_column_expr(spark):
 
 def test_register_format_vectorized_python(spark):
     register_format("palindrome", lambda s: s == s[::-1])
-    eng = Engine.from_schema({"properties": {"s": {"format": "palindrome"}}})
+    eng = Engine.from_schema({"properties": {"s": {"format": "palindrome"}}},
+                             assert_format=True)
     df = spark.createDataFrame([("aba",), ("abc",)], "s string")
     assert [r.valid for r in eng.annotate(df).collect()] == [True, False]
 
@@ -33,7 +35,8 @@ def test_register_content_encoding(spark):
     register_content_encoding(
         "hex", lambda c: F.try_to_binary(c, F.lit("hex")).cast("string"))
     eng = Engine.from_schema(
-        {"properties": {"b": {"contentEncoding": "hex"}}})
+        {"properties": {"b": {"contentEncoding": "hex"}}},
+        assert_content=True)
     df = spark.createDataFrame([("deadbeef",), ("xyz",)], "b string")
     assert [r.valid for r in eng.annotate(df).collect()] == [True, False]
 
@@ -42,14 +45,16 @@ def test_register_content_media_type(spark):
     register_content_media_type(
         "text/csv", lambda c: F.size(F.split(c, ",")) >= 2)
     eng = Engine.from_schema(
-        {"properties": {"b": {"contentMediaType": "text/csv"}}})
+        {"properties": {"b": {"contentMediaType": "text/csv"}}},
+        assert_content=True)
     df = spark.createDataFrame([("a,b,c",), ("nocommas",)], "b string")
     assert [r.valid for r in eng.annotate(df).collect()] == [True, False]
 
 
 def test_unknown_encoding_is_compile_error(spark):
     eng = Engine.from_schema(
-        {"properties": {"b": {"contentEncoding": "rot13"}}})
+        {"properties": {"b": {"contentEncoding": "rot13"}}},
+        assert_content=True)
     df = spark.createDataFrame([("x",)], "b string")
     with pytest.raises(CompileError, match="register_content_encoding"):
         eng.annotate(df)
@@ -60,7 +65,8 @@ def test_unknown_format_is_compile_error():
     # compiler.rs:488-502; we assert formats, so unknown must error
     # cleanly — a raw KeyError would bypass the CLI's CompileError handler)
     with pytest.raises(CompileError, match="register_format"):
-        Engine.from_schema({"properties": {"x": {"format": "iri-x"}}})
+        Engine.from_schema({"properties": {"x": {"format": "iri-x"}}},
+                           assert_format=True)
 
 
 def test_anchor_resolution(spark):

@@ -134,7 +134,8 @@ def test_content_schema_plan_is_lean(spark):
         "contentMediaType": "application/json",
         "contentSchema": {"properties": {
             "k": {"type": "integer", "minimum": 0, "maximum": 50}},
-            "required": ["k"]}}}}, row_id="event_id")
+            "required": ["k"]}}}}, row_id="event_id",
+        assert_content=True)
     s = eng.validate(ev).summary()
     plan = s._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("from_json") <= 12

@@ -99,7 +99,10 @@ def test_reference_case(spark, group, case):
     wrapper = {"properties": {"v": gschema}}
     if isinstance(gschema, dict) and "$defs" in gschema:
         wrapper["$defs"] = gschema.pop("$defs")
-    eng = Engine.from_schema(wrapper)
+    # boon's own suite runner enables both assertion modes for the
+    # optional/ format and contentSchema files (tests/suite.rs:85-86)
+    eng = Engine.from_schema(wrapper, assert_format=True,
+                             assert_content=True)
     got = eng.annotate(df).select("valid").collect()[0].valid
     assert got == case["valid"], (
         f"{group['description']} :: {case['description']}: "

@@ -55,7 +55,12 @@ def test_fixture_group(spark, group):
         [tuple(coerce(r.get(f.name), f.dataType) for f in schema.fields)
          for r in rows],
         schema)
-    eng = Engine.from_schema(group["schema"])
+    # assertion modes default ON here (like boon's suite runner,
+    # tests/suite.rs:85-86); a group can pin either mode explicitly
+    eng = Engine.from_schema(
+        group["schema"],
+        assert_format=group.get("assert_format", True),
+        assert_content=group.get("assert_content", True))
     got = [r["valid"] for r in eng.annotate(df).select("valid").collect()]
     want = [t["valid"] for t in group["tests"]]
     for g_, w_, t in zip(got, want, group["tests"]):
