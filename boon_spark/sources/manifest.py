@@ -80,6 +80,11 @@ class ValidationManifest:
             "n_invalid": int(metrics.get("n_invalid", 0)),
             "n_violations": int(metrics.get("n_violations", 0)),
             "valid": bool(metrics.get("valid", False)),
+            # last streaming micro-batch applied to this entry (-1 for
+            # batch jobs): foreachBatch replays after a crash re-deliver
+            # the same batch_id, and the streaming bridge uses this to
+            # skip re-accumulating an already-applied batch
+            "batch_id": int(metrics.get("batch_id", -1)),
             "finished_at": time.time(),
         }
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")

@@ -89,8 +89,29 @@ def stream_to_manifest(stream_df: DataFrame, spec, *, partition_col: str,
     the latest batch's slice would silently discard everything earlier
     batches recorded about the partition.
 
+    Replay idempotency: Structured Streaming's ``foreachBatch`` is
+    at-least-once — after a crash/restart the LAST micro-batch is
+    re-delivered with the SAME ``batch_id``.  Each manifest entry carries
+    the batch_id that last touched it; a partition whose entry already
+    records the incoming batch_id is skipped entirely (no re-accumulated
+    counts, no duplicate violation appends).
+
     Returns the started StreamingQuery.
     """
+    handle = manifest_batch_handler(
+        spec, partition_col=partition_col, manifest_path=manifest_path,
+        violations_path=violations_path, row_id=row_id)
+    return (stream_df.writeStream
+            .foreachBatch(handle)
+            .option("checkpointLocation", checkpoint)
+            .start())
+
+
+def manifest_batch_handler(spec, *, partition_col: str, manifest_path: str,
+                           violations_path: Optional[str] = None,
+                           row_id: Optional[str] = None):
+    """The ``foreachBatch`` handler behind :func:`stream_to_manifest`,
+    exposed so the replay-idempotency contract is directly testable."""
     from ..sources.manifest import (ValidationManifest, spec_hash,
                                     validate_partitioned)
 
@@ -105,7 +126,14 @@ def stream_to_manifest(stream_df: DataFrame, spec, *, partition_col: str,
         # batch's partitions re-validate
         prior = {e["partition"]: e for e in manifest.entries()
                  if e["spec_hash"] == shash and e["partition"] in seen}
-        for p in seen:
+        # a replayed batch: partitions already stamped with this batch_id
+        # stay complete in the manifest, so validate_partitioned neither
+        # re-scans them nor re-appends their violations
+        pending = {p for p in seen
+                   if prior.get(p, {}).get("batch_id") != batch_id}
+        if not pending:
+            return
+        for p in pending:
             manifest.invalidate(p)
         out = validate_partitioned(
             spark, batch_df, spec, partition_col, manifest_path,
@@ -113,20 +141,19 @@ def stream_to_manifest(stream_df: DataFrame, spec, *, partition_col: str,
             violations_mode="append")
         for p, m in out["metrics"].items():
             old = prior.get(p)
-            if old is None:
-                continue
             manifest.invalidate(p)
             manifest.record(p, shash, {
-                "n_rows": old["n_rows"] + m["n_rows"],
-                "n_invalid": old["n_invalid"] + m["n_invalid"],
-                "n_violations": old["n_violations"] + m["n_violations"],
-                "valid": bool(old["valid"]) and bool(m["valid"]),
+                "n_rows": m["n_rows"] + (old["n_rows"] if old else 0),
+                "n_invalid":
+                    m["n_invalid"] + (old["n_invalid"] if old else 0),
+                "n_violations":
+                    m["n_violations"] + (old["n_violations"] if old else 0),
+                "valid": bool(m["valid"]) and
+                    (bool(old["valid"]) if old else True),
+                "batch_id": batch_id,
             })
 
-    return (stream_df.writeStream
-            .foreachBatch(handle)
-            .option("checkpointLocation", checkpoint)
-            .start())
+    return handle
 
 
 STATE_SCHEMA = "total_rows long, total_invalid long"

@@ -127,3 +127,46 @@ def test_batch_partition_keys_match_manifest_convention(spark):
         ["__null__", "false", "true"]
     df2 = spark.createDataFrame([(1.5,), (None,)], "p double")
     assert sorted(batch_partition_keys(df2, "p")) == ["1.5", "__null__"]
+
+
+def test_manifest_batch_replay_is_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: after a crash the LAST micro-batch is
+    # re-delivered with the same batch_id.  Replays must not double-count
+    # metrics or duplicate violation rows (ADVICE r2, medium).
+    from boon_spark.sources.manifest import ValidationManifest
+    from boon_spark.streaming.validate_stream import manifest_batch_handler
+
+    handle = manifest_batch_handler(
+        SPEC, partition_col="source", manifest_path=str(tmp_path / "m"),
+        violations_path=str(tmp_path / "v"), row_id="doc_id")
+    # n_tok 80..119: rows past 100 violate `maximum`, so the violations
+    # sink exists from batch 0 onward
+    rows = [(f"d{i}", i + 80, ["web", "books"][i % 2])
+            for i in range(40)]
+    b0 = spark.createDataFrame(
+        rows, "doc_id string, n_tok int, source string")
+
+    def snapshot():
+        entries = ValidationManifest(str(tmp_path / "m")).entries()
+        viols = spark.read.parquet(str(tmp_path / "v")).count()
+        return ({e["partition"]: (e["n_rows"], e["n_invalid"],
+                                  e["n_violations"], e["batch_id"])
+                 for e in entries}, viols)
+
+    handle(b0, 0)
+    first = snapshot()
+    assert sum(v[0] for v in first[0].values()) == 40
+    handle(b0, 0)  # replayed batch: same batch_id
+    assert snapshot() == first, "replay double-counted"
+
+    # a genuinely NEW batch still accumulates
+    b1 = spark.createDataFrame(
+        [("dX", 999, "web")], "doc_id string, n_tok int, source string")
+    handle(b1, 1)
+    after, viols_after = snapshot()
+    assert after["web"][0] == first[0]["web"][0] + 1
+    assert viols_after == first[1] + 1  # n_tok=999 violates maximum
+    assert after["web"][3] == 1 and after["books"][3] == 0
+    # and replaying THAT batch is also a no-op
+    handle(b1, 1)
+    assert snapshot() == (after, viols_after)
