@@ -71,8 +71,11 @@ def main(argv=None) -> int:
     ap.add_argument("--row-id", default=None,
                     help="column used for instance pointers")
     ap.add_argument("--format", default="flag",
-                    choices=["flag", "basic", "detailed", "summary"],
-                    help="output format (boon: flag/basic/detailed)")
+                    choices=["flag", "basic", "detailed", "summary",
+                             "simple", "alt"],
+                    help="output format (boon cli: simple/alt/flag/basic/"
+                         "detailed, cli/src/main.rs:152-162; summary is "
+                         "an engine extension)")
     ap.add_argument("--limit", type=int, default=20,
                     help="max violation rows to print (basic format)")
     ap.add_argument("--partition-col", default=None,
@@ -142,7 +145,11 @@ def main(argv=None) -> int:
             return 2 if any_invalid else 0
 
         from .engine import Engine
-        res = Engine(compiled, row_id=args.row_id).validate(df)
+        # human/tree formats carry boon's contentSchema causes; the flat
+        # formats keep the lean wrapper-only violation stage
+        causes = args.format in ("detailed", "simple", "alt")
+        res = Engine(compiled, row_id=args.row_id,
+                     content_causes=causes).validate(df)
         # each format drives ONE full validation pass; the exit code is
         # derived from that pass's own output (collecting flag() first
         # would scan the table twice).  limit only truncates PRINTING —
@@ -155,17 +162,21 @@ def main(argv=None) -> int:
                               "n_invalid": flag.n_invalid,
                               "n_violations": flag.n_violations}))
         elif args.format == "detailed":
-            rows = res.detailed().limit(max(args.limit, 1)).collect()
-            invalid = bool(rows)
-            for r in rows[:args.limit]:
-                print(json.dumps({
-                    "valid": False,
-                    "instanceLocation": r.instance_location,
-                    "errors": [{"instanceLocation": e.instance_location,
-                                "keywordLocation": e.keyword_location,
-                                "absoluteKeywordLocation":
-                                    e.absolute_keyword_location,
-                                "error": e.error} for e in r.errors]}))
+            # boon's nested detailed tree (output.rs:89-137): causes
+            # grouped per subschema scope, one JSON document per row
+            trees = res.detailed_tree(limit=max(args.limit, 1))
+            invalid = bool(trees)
+            for t in trees[:args.limit]:
+                print(json.dumps(t))
+        elif args.format in ("simple", "alt"):
+            # boon's human display formats (output.rs:142-183)
+            from .outputs import render_simple
+            trees = res.detailed_tree(limit=max(args.limit, 1))
+            invalid = bool(trees)
+            url = compiled.base_uri or args.schema
+            for t in trees[:args.limit]:
+                print(render_simple(t, alt=(args.format == "alt"),
+                                    schema_url=url))
         elif args.format == "basic":
             rows = res.violations().limit(max(args.limit, 1)).collect()
             invalid = bool(rows)

@@ -38,13 +38,18 @@ class Engine:
     compiled: CompiledSchema
     row_id: Optional[str] = None
     max_violations_per_row: int = 100
+    # emit contentSchema sub-violations alongside the wrapper row (boon's
+    # causes, validator.rs:507-513) — opt-in, keeps the default violation
+    # stage lean; detailed_tree() re-nests them into the causes hierarchy
+    content_causes: bool = False
 
     @classmethod
     def from_schema(cls, schema_doc, *, row_id: Optional[str] = None,
                     max_violations_per_row: int = 100,
                     resources: Optional[dict] = None,
                     loader=None, assert_format: bool = False,
-                    assert_content: bool = False) -> "Engine":
+                    assert_content: bool = False,
+                    content_causes: bool = False) -> "Engine":
         """``resources``/``loader`` feed cross-document $ref resolution
         (boon add_resource / SchemeUrlLoader parity);
         ``assert_format``/``assert_content`` are
@@ -55,7 +60,8 @@ class Engine:
                                   assert_format=assert_format,
                                   assert_content=assert_content),
                    row_id=row_id,
-                   max_violations_per_row=max_violations_per_row)
+                   max_violations_per_row=max_violations_per_row,
+                   content_causes=content_causes)
 
     # ------------------------------------------------------------------
     def check_columns(self, df: DataFrame) -> tuple[Column, Column]:
@@ -103,6 +109,7 @@ class Engine:
                 f"input columns {sorted(clash)} collide with the "
                 f"engine's output columns; rename them before validating")
         pb = PlanBuilder(df.schema, row_id=self.row_id,
+                         content_causes=self.content_causes,
                          base_uri=self.compiled.base_uri)
         valid, viol_arrays = pb.build(
             self.compiled.root, None, None, pb.root_iloc())
@@ -191,6 +198,19 @@ class ValidationResult:
                         F.col("valid"),
                         F.col("violations").alias("errors"),
                         F.col("violation_count")))
+
+    def detailed_tree(self, limit: int = 20) -> list[dict]:
+        """boon's hierarchical ``detailed_output`` (``src/output.rs:
+        89-137``): one nested OutputUnit tree per failing row, causes
+        grouped per subschema scope exactly like boon's error tree
+        (Group wrapping / single-error collapse, src/validator.rs:30-58).
+        Driver-side by design — output RENDERING is bounded by ``limit``;
+        :meth:`detailed` remains the scalable flat DataFrame view."""
+        from .outputs import nest_violations
+        rows = self.detailed().limit(limit).collect()
+        return [nest_violations([e.asDict() for e in r.errors],
+                                row_pointer=r.instance_location)
+                for r in rows]
 
     def summary(self) -> DataFrame:
         """Per-keyword failure counts — map-side partial agg, one shuffle.

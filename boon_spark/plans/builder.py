@@ -113,10 +113,17 @@ class PlanBuilder:
     """
 
     def __init__(self, df_schema: T.StructType, row_id: Optional[str] = None,
-                 *, allow_hoist: bool = True, base_uri: str = ""):
+                 *, allow_hoist: bool = True, base_uri: str = "",
+                 content_causes: bool = False):
         self.df_schema = df_schema
         self.row_id = row_id
         self.base_uri = base_uri
+        # emit the contentSchema sub-validation's violation rows alongside
+        # the "contentSchema failed" wrapper (boon keeps them as causes,
+        # src/validator.rs:507-513).  Opt-in: the extra rows put several
+        # more from_json references into the violation stage — fine for
+        # debugging/detailed output, not for the 100 TB hot path
+        self.content_causes = content_causes
         # (loc, abs_loc, abs_uri) of the node currently being lowered —
         # build() pushes/pops so _viol can rewrite keyword locations into
         # their dereferenced absoluteKeywordLocation form
@@ -618,7 +625,7 @@ class PlanBuilder:
             ddl = _ddl_from_schema(node.content_schema)
             parsed_inline = F.from_json(target_inline, ddl)
             sub_dtype = T._parse_datatype_string(ddl)
-            sub_valid, _sub_viols = self.build(
+            sub_valid, sub_viols = self.build(
                 node.content_schema, sub_dtype, parsed_inline, iloc)
             # applicability: an object-keyword contentSchema only judges
             # JSON *objects* — arrays/scalars pass (suite: '[]' is valid)
@@ -633,6 +640,13 @@ class PlanBuilder:
             viols.append(self._viol(
                 fail, f"{node.loc}/contentSchema", iloc,
                 F.lit("contentSchema failed")))
+            if self.content_causes and sub_viols:
+                # the sub-validation's own violation rows, gated on the
+                # wrapper condition (boon attaches them as causes of the
+                # ContentSchema error; detailed_tree re-nests them)
+                sub = sub_viols[0] if len(sub_viols) == 1 \
+                    else F.concat(*sub_viols)
+                viols.append(F.when(fail, sub).otherwise(empty_viols()))
 
     # ---------------------------------------------------------- unevaluated
     def _branch_valid(self, s: Node, dtype, value: Optional[Column],

@@ -97,3 +97,38 @@ def test_assert_format_flag(tmp_path):
     r = run_cli("--schema", str(spec), "--table", table, "--cpus", "2",
                 "--assert-format")
     assert r.returncode == 2, r.stderr
+
+
+def test_simple_and_alt_formats(tmp_path):
+    # boon cli --format simple|alt (cli/src/main.rs:152-162)
+    spec = tmp_path / "s.json"
+    spec.write_text(json.dumps(
+        {"properties": {"n_chars": {"maximum": 400}}}))
+    table = "/root/testdata/sf0.001/documents.parquet"
+    r = run_cli("--schema", str(spec), "--table", table, "--row-id",
+                "doc_id", "--cpus", "2", "--format", "simple", "--limit", "2")
+    assert r.returncode == 2
+    lines = r.stdout.strip().splitlines()
+    assert lines[0].startswith("jsonschema validation failed with ")
+    assert any(l.startswith("- at '") and "must be <=400" in l
+               for l in lines)
+    r = run_cli("--schema", str(spec), "--table", table, "--row-id",
+                "doc_id", "--cpus", "2", "--format", "alt", "--limit", "1")
+    assert r.returncode == 2
+    assert "[S#/properties/n_chars/maximum]" in r.stdout
+
+
+def test_detailed_format_is_nested_tree(tmp_path):
+    spec = tmp_path / "s.json"
+    spec.write_text(json.dumps(
+        {"properties": {"n_chars": {"maximum": 400}}}))
+    r = run_cli("--schema", str(spec),
+                "--table", "/root/testdata/sf0.001/documents.parquet",
+                "--row-id", "doc_id", "--cpus", "2",
+                "--format", "detailed", "--limit", "1")
+    assert r.returncode == 2
+    unit = json.loads(r.stdout.strip().splitlines()[-1])
+    assert unit["keywordLocation"] == "" and "errors" in unit
+    leaf = unit["errors"][0]
+    assert leaf["keywordLocation"] == "/properties/n_chars/maximum"
+    assert "error" in leaf

@@ -106,3 +106,75 @@ def test_reserved_output_columns_rejected(spark):
     import pytest
     with pytest.raises(ValueError, match="collide"):
         eng.annotate(df)
+
+
+def test_detailed_tree_single_error_collapses(res):
+    # one violation: the root Schema unit branches straight to the leaf —
+    # no intermediate Group frame (boon validate() returns a lone error
+    # as-is, src/validator.rs:30-58)
+    trees = res.detailed_tree()
+    assert len(trees) == 1
+    t = trees[0]
+    assert t == {
+        "valid": False,
+        "keywordLocation": "",
+        "instanceLocation": "/web-000000000002",
+        "errors": [{
+            "valid": False,
+            "keywordLocation": "/properties/n_tok/maximum",
+            "instanceLocation": "/web-000000000002/n_tok",
+            "error": "must be <=8192, but got 9999",
+        }],
+    }
+
+
+@pytest.fixture(scope="module")
+def res_two_level(spark):
+    # two-level failure: a root-level `required` miss plus TWO errors
+    # inside a contentSchema scope — boon groups the latter pair under a
+    # "/properties/props/contentSchema" unit (output.rs:89-137)
+    df = spark.createDataFrame(
+        [("d1", '{"k": 99}', None)],
+        "doc_id string, props string, lang string")
+    eng = Engine.from_schema(
+        {"required": ["lang"],
+         "properties": {"props": {
+             "contentMediaType": "application/json",
+             "contentSchema": {
+                 "properties": {"k": {"type": "integer", "maximum": 5}},
+                 "required": ["k", "z"]}}}},
+        row_id="doc_id", assert_content=True, content_causes=True)
+    return eng.validate(df)
+
+
+def test_detailed_tree_two_level(res_two_level):
+    trees = res_two_level.detailed_tree()
+    assert len(trees) == 1
+    t = trees[0]
+    assert t["keywordLocation"] == "" and t["instanceLocation"] == "/d1"
+    by_kw = {u["keywordLocation"]: u for u in t["errors"]}
+    assert set(by_kw) == {"/required",
+                          "/properties/props/contentSchema"}
+    content = by_kw["/properties/props/contentSchema"]
+    assert "errors" in content and "error" not in content
+    sub_kws = sorted(u["keywordLocation"] for u in content["errors"])
+    assert sub_kws == [
+        "/properties/props/contentSchema/properties/k/maximum",
+        "/properties/props/contentSchema/required"]
+    assert all("error" in u for u in content["errors"])
+    # the group frame's instance location is the decoded scope
+    assert content["instanceLocation"].startswith("/d1/props")
+
+
+def test_render_simple_and_alt(res_two_level):
+    from boon_spark.outputs import render_simple
+    tree = res_two_level.detailed_tree()[0]
+    simple = render_simple(tree, schema_url="file:///tmp/spec.json")
+    lines = simple.splitlines()
+    assert lines[0] == \
+        "jsonschema validation failed with file:///tmp/spec.json#"
+    assert any(l.startswith("- at ") for l in lines[1:])
+    # the grouped contentSchema causes indent one level deeper
+    assert any(l.startswith("  - at ") for l in lines[1:])
+    alt = render_simple(tree, alt=True, schema_url="x")
+    assert "[S#/required]" in alt
