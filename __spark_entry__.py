@@ -193,6 +193,23 @@ def q_format_date(spark, sf_dir):
             .select("instance_location", "keyword_location"))
 
 
+def q_format_annotation_mode(spark, sf_dir):
+    """format WITHOUT assertion opt-in (the boon default,
+    compiler.rs:105-118): the same corrupted dates as q_format_date pass
+    validation — format is an annotation, other keywords still assert."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = F.date_format("o_orderdate", "yyyy-MM-dd")
+    derived = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0,
+               F.concat(d, F.lit("x"))).otherwise(d).alias("d_str"))
+    eng = Engine.from_schema(
+        {"properties": {"d_str": {"format": "date", "minLength": 10}},
+         "required": ["d_str"]}, row_id="o_orderkey")
+    return (eng.validate(derived).flag()
+            .select("valid", "n_rows", "n_invalid", "n_violations"))
+
+
 def q_content_json_events(spark, sf_dir):
     """contentMediaType + contentSchema over events.props (SURVEY §2.4):
     per-keyword violation counts."""
@@ -479,6 +496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logic_combo": q_logic_combo,
     "const_exclusive": q_const_exclusive,
     "format_date": q_format_date,
+    "format_annotation_mode": q_format_annotation_mode,
     "unevaluated_dynamic": q_unevaluated_dynamic,
     "content_json_events": q_content_json_events,
     "flag_documents": q_flag_documents,
@@ -654,6 +672,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT '/' || CAST(o_orderkey AS VARCHAR) || '/d_str' AS instance_location,
                    '/properties/d_str/format' AS keyword_location
             FROM orders WHERE o_orderkey % 10 = 0
+        """,
+        "format_annotation_mode": """
+            -- annotation-only format never fails; minLength 10 holds for
+            -- both yyyy-MM-dd and the corrupted 11-char variant
+            SELECT TRUE AS valid,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_invalid,
+                   CAST(0 AS BIGINT) AS n_violations
+            FROM orders
         """,
         "unevaluated_dynamic": """
             WITH d AS (

@@ -41,6 +41,42 @@ _ECMA_SPACE = " \\t\\n\\r\\x0b\\x0c\\u00a0\\ufeff\\u2003\\u2029"
 # a real quantifier form: {n} {n,} {n,m}
 _QUANT = _re.compile(r"\{\d+(,\d*)?\}")
 
+# codepoint sets behind the perl classes (ECMA/ASCII semantics)
+_DIGITS = frozenset(range(0x30, 0x3A))
+_WORD = _DIGITS | frozenset(range(0x41, 0x5B)) \
+    | frozenset(range(0x61, 0x7B)) | {0x5F}
+_SPACE = frozenset({0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D,
+                    0xA0, 0xFEFF, 0x2003, 0x2029})
+
+
+def _esc_cp(c: int) -> str:
+    if c <= 0xFF:
+        return "\\x%02x" % c
+    if c <= 0xFFFF:
+        return "\\u%04x" % c
+    return "\\U%08x" % c
+
+
+def _complement_ranges(cps: frozenset[int]) -> str:
+    """In-class range text matching every codepoint NOT in ``cps`` —
+    the Python-``re``-compatible expansion of a negated perl class used
+    inside a character class (Python has no nested classes; Java gets
+    the nested ``[^...]`` union instead)."""
+    out = []
+    lo = 0
+    for cp in sorted(cps):
+        if lo <= cp - 1:
+            out.append((lo, cp - 1))
+        lo = cp + 1
+    out.append((lo, 0x10FFFF))
+    return "".join(_esc_cp(a) if a == b else f"{_esc_cp(a)}-{_esc_cp(b)}"
+                   for a, b in out)
+
+
+_NOT_DIGITS = _complement_ranges(_DIGITS)
+_NOT_WORD = _complement_ranges(_WORD)
+_NOT_SPACE = _complement_ranges(_SPACE)
+
 
 def translate(pattern: str, loc: str = "") -> tuple[str, str]:
     """Translate an ECMA-262 pattern → (java_pattern, python_probe).
@@ -64,27 +100,23 @@ def translate(pattern: str, loc: str = "") -> tuple[str, str]:
             if nxt == "d":
                 emit("0-9" if in_class else "[0-9]")
             elif nxt == "D":
-                if in_class:
-                    raise CompileError(
-                        f"{loc}/pattern: \\D inside a character class is "
-                        f"not portable to Java regex")
-                emit("[^0-9]")
+                # inside a class: Java supports nested negated classes as
+                # union members ([a[^0-9]]); Python does not — the probe
+                # gets the explicit complement ranges (both compose
+                # correctly under a negated OUTER class too: negation
+                # applies to the whole union)
+                emit("[^0-9]",
+                     None if not in_class else _NOT_DIGITS)
             elif nxt == "w":
                 emit("A-Za-z0-9_" if in_class else "[A-Za-z0-9_]")
             elif nxt == "W":
-                if in_class:
-                    raise CompileError(
-                        f"{loc}/pattern: \\W inside a character class is "
-                        f"not portable to Java regex")
-                emit("[^A-Za-z0-9_]")
+                emit("[^A-Za-z0-9_]",
+                     None if not in_class else _NOT_WORD)
             elif nxt == "s":
                 emit(_ECMA_SPACE if in_class else f"[{_ECMA_SPACE}]")
             elif nxt == "S":
-                if in_class:
-                    raise CompileError(
-                        f"{loc}/pattern: \\S inside a character class is "
-                        f"not portable to Java regex")
-                emit(f"[^{_ECMA_SPACE}]")
+                emit(f"[^{_ECMA_SPACE}]",
+                     None if not in_class else _NOT_SPACE)
             elif nxt == "c":
                 # \c{control_letter} → literal control char (ecma.rs:50-69)
                 if i + 2 < n and pattern[i + 2].isascii() \

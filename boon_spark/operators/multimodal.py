@@ -79,17 +79,33 @@ def sample_frames(df: DataFrame, *, every_n: int = 10,
                   payload_col: str = "payload") -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one row per
     sampled frame index, payload slicing stubbed to byte windows (a real
-    kernel would demux).  Demonstrates the 1→N mapInPandas shape."""
+    kernel would demux).  Demonstrates the 1→N mapInPandas shape.
+
+    The 1→N explosion is vectorized (numpy repeat/arange over the whole
+    Arrow batch — no pandas ``iterrows``); only the stub byte-window
+    slice touches Python objects, once per OUTPUT row, which is the
+    floor for a per-frame kernel."""
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col] or b""
-                n_frames = max(len(payload) // 16, 1)
-                for f in range(0, n_frames, every_n):
-                    rows.append((r[id_col], f,
-                                 bytes(payload[f * 16:(f + 1) * 16])))
-            yield pd.DataFrame(rows, columns=["doc_id", "frame", "chunk"])
+            payloads = pdf[payload_col].map(lambda p: p or b"").to_numpy()
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                               count=len(payloads))
+            n_frames = np.maximum(lens // 16, 1)
+            n_samples = -(-n_frames // every_n)  # ceil: frames per row
+            ids = np.repeat(pdf[id_col].to_numpy(), n_samples)
+            frames = (np.concatenate(
+                [np.arange(0, nf, every_n) for nf in n_frames])
+                if len(n_frames) else np.array([], dtype=np.int64))
+            rep_payloads = np.repeat(payloads, n_samples)
+            chunks = [bytes(p[f * 16:(f + 1) * 16])
+                      for p, f in zip(rep_payloads, frames)]
+            # explicit dtypes: an EMPTY batch would otherwise infer
+            # float64 for chunk and fail Arrow's binary conversion
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="object"),
+                "frame": pd.Series(frames, dtype="int32"),
+                "chunk": pd.Series(chunks, dtype="object")})
 
     return df.mapInPandas(batches, "doc_id string, frame int, chunk binary")

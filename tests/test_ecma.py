@@ -35,12 +35,44 @@ def test_python_probe_uses_big_z():
 @pytest.mark.parametrize("src", [
     r"\c\n",       # \c{invalid_char} (ecma.rs test_ecma_compat_invalid)
     r"abc\adef",   # \a is not an ECMA escape
-    r"[a-z\D]",    # negated perl class inside a class: not portable
-    r"[\S]",
 ])
 def test_translate_rejects(src):
     with pytest.raises(CompileError):
         translate(src)
+
+
+@pytest.mark.parametrize("src,matches,rejects", [
+    # negated perl classes INSIDE a class: Java gets a nested negated
+    # class union (ecma.rs replace_class_class emits the [^...] form);
+    # the Python probe gets exact complement ranges
+    (r"^[a\D]$", ["a", "x", "!", "é", "٣"], ["5"]),   # ٣ = Arabic 3
+    (r"^[\S]$", ["x", "-"], [" ", " ", "﻿"]),
+    (r"^[a-z\W]$", ["q", "!", " ", "é"], ["5", "_", "Q"]),
+    (r"^[^a\D]$", ["5"], ["a", "x", "!"]),            # negated outer class
+])
+def test_class_internal_negated_perl_classes(src, matches, rejects):
+    import re
+    java, py = translate(src)
+    assert "[^" in java  # nested negated class on the Java side
+    probe = re.compile(py)
+    for s in matches:
+        assert probe.match(s), f"{src} should match {s!r}"
+    for s in rejects:
+        assert not probe.match(s), f"{src} should reject {s!r}"
+
+
+def test_class_internal_negated_perl_classes_java(spark):
+    # the same semantics through java.util.regex (rlike), which is what
+    # executes at scale
+    from pyspark.sql import functions as F
+    java, _py = translate(r"^[a\D]$")
+    df = spark.createDataFrame(
+        [("a",), ("x",), ("!",), ("é",), ("5",)], "s string")
+    got = sorted(r.s for r in df.filter(F.col("s").rlike(java)).collect())
+    assert got == ["!", "a", "x", "é"]
+    java2, _ = translate(r"^[^a\D]$")
+    got2 = sorted(r.s for r in df.filter(F.col("s").rlike(java2)).collect())
+    assert got2 == ["5"]
 
 
 def test_compile_integrates_translation():

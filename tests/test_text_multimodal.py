@@ -98,3 +98,28 @@ def test_frame_sampling_shape(spark):
 def test_multimodal_ddl_parses(spark):
     df = spark.createDataFrame([], MULTIMODAL_DDL)
     assert "payload" in df.columns and "meta" in df.columns
+
+
+def test_frame_sampling_multi_row_batch(spark):
+    # vectorized explosion across a whole Arrow batch: mixed payload
+    # sizes, empty/null payloads (→ one frame 0 each)
+    df = spark.createDataFrame(
+        [("a", bytes(range(160))), ("b", bytes(range(40))),
+         ("c", b""), ("d", None)],
+        "doc_id string, payload binary")
+    out = sample_frames(df, every_n=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.frame)
+    assert got == {"a": [0, 3, 6, 9], "b": [0], "c": [0], "d": [0]}
+
+
+def test_no_row_wise_iteration_in_operators():
+    # mapInPandas bodies must stay vectorized (the Arrow batch IS the
+    # unit of work) — pin that no operator regresses to pandas iterrows
+    import glob
+    import os
+    root = os.path.join(os.path.dirname(__file__), "..", "boon_spark")
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        with open(path) as f:
+            assert ".iterrows(" not in f.read(), f"row-wise loop in {path}"
