@@ -84,6 +84,9 @@ def main(argv=None) -> int:
                     help="manifest directory (with --partition-col)")
     ap.add_argument("--violations", default=None,
                     help="violation sink directory (with --partition-col)")
+    ap.add_argument("-q", "--quiet", action="store_true",
+                    help="suppress violation output; only the exit code "
+                         "reports the verdict (boon cli -q/--quiet)")
     ap.add_argument("--assert-format", action="store_true",
                     help="enable format assertions with draft >= 2019 "
                          "(boon cli --assert-format)")
@@ -150,6 +153,8 @@ def main(argv=None) -> int:
         causes = args.format in ("detailed", "simple", "alt")
         res = Engine(compiled, row_id=args.row_id,
                      content_causes=causes).validate(df)
+        # -q/--quiet: verdict via exit code only (boon cli -q)
+        say = (lambda *a, **k: None) if args.quiet else print
         # each format drives ONE full validation pass; the exit code is
         # derived from that pass's own output (collecting flag() first
         # would scan the table twice).  limit only truncates PRINTING —
@@ -158,7 +163,7 @@ def main(argv=None) -> int:
         if args.format == "flag":
             flag = res.flag().collect()[0]
             invalid = not flag.valid
-            print(json.dumps({"valid": flag.valid, "n_rows": flag.n_rows,
+            say(json.dumps({"valid": flag.valid, "n_rows": flag.n_rows,
                               "n_invalid": flag.n_invalid,
                               "n_violations": flag.n_violations}))
         elif args.format == "detailed":
@@ -167,7 +172,7 @@ def main(argv=None) -> int:
             trees = res.detailed_tree(limit=max(args.limit, 1))
             invalid = bool(trees)
             for t in trees[:args.limit]:
-                print(json.dumps(t))
+                say(json.dumps(t))
         elif args.format in ("simple", "alt"):
             # boon's human display formats (output.rs:142-183)
             from .outputs import render_simple
@@ -175,13 +180,13 @@ def main(argv=None) -> int:
             invalid = bool(trees)
             url = compiled.base_uri or args.schema
             for t in trees[:args.limit]:
-                print(render_simple(t, alt=(args.format == "alt"),
+                say(render_simple(t, alt=(args.format == "alt"),
                                     schema_url=url))
         elif args.format == "basic":
             rows = res.violations().limit(max(args.limit, 1)).collect()
             invalid = bool(rows)
             for r in rows[:args.limit]:
-                print(json.dumps({
+                say(json.dumps({
                     "valid": False,
                     "instanceLocation": r.instance_location,
                     "keywordLocation": r.keyword_location,
@@ -191,7 +196,7 @@ def main(argv=None) -> int:
             rows = res.summary().orderBy("keyword_location").collect()
             invalid = bool(rows)
             for r in rows:
-                print(f"{r.keyword_location}\t{r.n_violations}")
+                say(f"{r.keyword_location}\t{r.n_violations}")
         return 2 if invalid else 0
     except CompileError as e:  # plan-time compile errors (e.g. dynamic
         print(f"error: {e}", file=sys.stderr)  # unevaluated* sets)

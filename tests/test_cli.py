@@ -132,3 +132,16 @@ def test_detailed_format_is_nested_tree(tmp_path):
     leaf = unit["errors"][0]
     assert leaf["keywordLocation"] == "/properties/n_chars/maximum"
     assert "error" in leaf
+
+
+def test_quiet_flag(tmp_path):
+    # boon cli -q/--quiet: verdict via exit code only
+    spec = tmp_path / "s.json"
+    spec.write_text(json.dumps(
+        {"properties": {"n_chars": {"maximum": 400}}}))
+    r = run_cli("--schema", str(spec),
+                "--table", "/root/testdata/sf0.001/documents.parquet",
+                "--row-id", "doc_id", "--cpus", "2", "--quiet",
+                "--format", "basic")
+    assert r.returncode == 2
+    assert r.stdout.strip() == ""
