@@ -130,6 +130,30 @@ def q_unevaluated_dynamic(spark, sf_dir):
         "doc_id")
 
 
+def q_recursive_tree(spark, sf_dir):
+    """Recursive $ref unrolled to the column-type depth (SURVEY §2.1,
+    boon guards recursion at runtime, src/validator.rs:999-1011; this
+    engine unrolls it at plan time): a 3-level tree built from
+    documents.n_chars validated against a self-referencing node schema —
+    each level's violation carries the unrolled keyword location."""
+    docs = _docs(spark, sf_dir)
+    df = docs.select(
+        "doc_id",
+        F.struct(
+            F.col("n_chars").alias("v"),
+            F.struct(
+                (F.col("n_chars") - 150).alias("v"),
+                F.struct((F.col("n_chars") - 300).alias("v")
+                         ).alias("child")).alias("child")).alias("tree"))
+    return _violations(
+        df,
+        {"$defs": {"node": {"properties": {
+            "v": {"maximum": 200},
+            "child": {"$ref": "#/$defs/node"}}}},
+         "properties": {"tree": {"$ref": "#/$defs/node"}}},
+        "doc_id")
+
+
 def q_flag_documents(spark, sf_dir):
     """flag output (boon src/output.rs:33-35): whole-table verdict for a
     3-keyword suite."""
@@ -498,6 +522,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "format_date": q_format_date,
     "format_annotation_mode": q_format_annotation_mode,
     "unevaluated_dynamic": q_unevaluated_dynamic,
+    "recursive_tree": q_recursive_tree,
     "content_json_events": q_content_json_events,
     "flag_documents": q_flag_documents,
     "summary_documents": q_summary_documents,
@@ -708,6 +733,23 @@ def oracle_sql() -> dict[str, str]:
                      AND NOT (NOT cond AND
                               COALESCE(regexp_matches(source, '^src[0-9]$'),
                                        FALSE))
+        """,
+        "recursive_tree": """
+            SELECT '/' || CAST(doc_id AS VARCHAR) || '/tree/v'
+                     AS instance_location,
+                   '/properties/tree/$ref/properties/v/maximum'
+                     AS keyword_location
+            FROM documents WHERE n_chars > 200
+            UNION ALL
+            SELECT '/' || CAST(doc_id AS VARCHAR) || '/tree/child/v',
+                   '/properties/tree/$ref/properties/child/$ref' ||
+                   '/properties/v/maximum'
+            FROM documents WHERE n_chars - 150 > 200
+            UNION ALL
+            SELECT '/' || CAST(doc_id AS VARCHAR) || '/tree/child/child/v',
+                   '/properties/tree/$ref/properties/child/$ref' ||
+                   '/properties/child/$ref/properties/v/maximum'
+            FROM documents WHERE n_chars - 300 > 200
         """,
         "content_json_events": """
             WITH checks AS (

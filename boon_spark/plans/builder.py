@@ -44,6 +44,31 @@ def empty_viols() -> Column:
     return F.array().cast(VIOL_ARRAY)
 
 
+def _type_depth(dt: Optional[T.DataType]) -> int:
+    """Nesting height of a Spark type.  Strictly decreases on every
+    instance descent (struct field, array element, map value), which is
+    what makes type-directed unrolling of recursive ``$ref``s terminate
+    (see :meth:`PlanBuilder.build`)."""
+    if isinstance(dt, T.StructType):
+        return 1 + max((_type_depth(f.dataType) for f in dt.fields),
+                       default=0)
+    if isinstance(dt, T.ArrayType):
+        return 1 + _type_depth(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return 1 + _type_depth(dt.valueType)
+    return 0
+
+
+def _peek(n):
+    """One-level force of a possibly-lazy sub-node for STATIC inspection
+    (fast-path probes, DDL derivation).  Single-step, so it cannot
+    diverge; recursive walks must go through PlanBuilder.build or carry
+    a seen-set."""
+    if isinstance(n, Node) and n.lazy is not None:
+        return n.force()
+    return n
+
+
 def json_type_of(dt: T.DataType) -> str:
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return "integer"
@@ -142,6 +167,14 @@ class PlanBuilder:
         # branches) expression copies → generated-code blowup).  Values
         # pin (node, value) refs so ids stay unique for the build's life.
         self._bv_memo: dict[tuple[int, int], tuple] = {}
+        # recursive-$ref unrolling state: cycle key → column-type depth
+        # at which the key was last forced on the CURRENT build path.
+        # Forcing again without the type strictly descending means the
+        # recursion consumes no instance structure (alice↔bob allOf
+        # loops, {"$ref": "#"}) and would unroll forever → CompileError,
+        # the plan-time analogue of boon's runtime infinite-loop guard
+        # (src/validator.rs:107-115,999-1011).
+        self._force_depths: dict[tuple, int] = {}
 
     def _hoist(self, name: str, expr: Column) -> Column:
         """Register an expression for the prelude projection and return a
@@ -209,12 +242,32 @@ class PlanBuilder:
 
         ``dtype`` is None only for the root row (treated as a JSON object).
         """
+        restore: list[tuple[tuple, Optional[int]]] = []
+        d = _type_depth(self.df_schema if dtype is None else dtype)
+        while node.lazy is not None:
+            key = node.lazy_key
+            prev = self._force_depths.get(key)
+            if prev is not None and d >= prev:
+                raise CompileError(
+                    f"{node.loc}: non-descending reference cycle through "
+                    f"{key[1]!r} — the recursion re-applies the schema to "
+                    f"the same instance and can never terminate (boon "
+                    f"detects this at runtime, src/validator.rs:999-1011; "
+                    f"this engine refuses at plan time)")
+            restore.append((key, prev))
+            self._force_depths[key] = d
+            node = node.force()
         self._node_stack.append((node.loc, node.abs_loc or node.loc,
                                  node.abs_uri))
         try:
             return self._build(node, dtype, value, iloc)
         finally:
             self._node_stack.pop()
+            for key, prev in reversed(restore):
+                if prev is None:
+                    del self._force_depths[key]
+                else:
+                    self._force_depths[key] = prev
 
     def _build(self, node: Node, dtype: Optional[T.DataType],
                value: Optional[Column], iloc: Column
@@ -428,7 +481,8 @@ class PlanBuilder:
                 viols.append(F.when(value.isNotNull() & (sz > i), va)
                              .otherwise(empty_viols()))
 
-        if node.items is not None and not node.items.is_trivial_true():
+        items = _peek(node.items)
+        if items is not None and not items.is_trivial_true():
             rest = value if npfx == 0 else F.slice(
                 value, npfx + 1, F.greatest(sz - npfx, F.lit(0)))
             # fast path: range-only element subschemas compile to
@@ -436,7 +490,7 @@ class PlanBuilder:
             # whole validity projection inside whole-stage codegen
             # (higher-order-function lambdas fall out of codegen and are
             # interpreted per element, ~10x slower at scale)
-            fast = _range_only_valid(node.items, et, rest)
+            fast = _range_only_valid(items, et, rest)
             if fast is not None:
                 valid_all = fast
             else:
@@ -466,7 +520,7 @@ class PlanBuilder:
             # per-branch prefix/items contributions (gated on the branch
             # validating) + elements matched by contains schemas.  `items`
             # present ⇒ everything evaluated (outer guard).
-            sub = node.unevaluated_items
+            sub = _peek(node.unevaluated_items)
             alls, pfxs, conts = self._evaluated_items_terms(
                 node, dtype, value, iloc, own=True)
             static_all = any(c is True for c, _ in alls)
@@ -622,11 +676,12 @@ class PlanBuilder:
         # "contentSchema without contentMediaType" cases)
         if node.content_schema is not None and \
                 node.content_media_type is not None:
-            ddl = _ddl_from_schema(node.content_schema)
+            cs = _peek(node.content_schema)
+            ddl = _ddl_from_schema(cs)
             parsed_inline = F.from_json(target_inline, ddl)
             sub_dtype = T._parse_datatype_string(ddl)
             sub_valid, sub_viols = self.build(
-                node.content_schema, sub_dtype, parsed_inline, iloc)
+                cs, sub_dtype, parsed_inline, iloc)
             # applicability: an object-keyword contentSchema only judges
             # JSON *objects* — arrays/scalars pass (suite: '[]' is valid)
             is_object = F.ltrim(target_inline).startswith("{")
@@ -664,10 +719,17 @@ class PlanBuilder:
         return col
 
     @staticmethod
-    def _may_evaluate_keys(s: Node) -> bool:
+    def _may_evaluate_keys(s: Node, _seen: frozenset = frozenset()) -> bool:
         """Static probe: can ``s`` possibly evaluate any map key?  Skips
         dead branches in _evaluated_key (a branch with no object
         applicators would only append `valid & false` noise)."""
+        while s.lazy is not None:
+            if s.lazy_key in _seen:
+                # cyclic in-place branch: conservatively "may" — building
+                # it will raise the non-descending-cycle CompileError
+                return True
+            _seen = _seen | {s.lazy_key}
+            s = s.force()
         if s.boolean is not None:
             return False
         if s.properties or s.pattern_properties \
@@ -677,11 +739,26 @@ class PlanBuilder:
         subs = (s.all_of or []) + (s.any_of or []) + (s.one_of or []) + \
             [x for x in (s.if_, s.then, s.else_) if x is not None] + \
             list((s.dependent_schemas or {}).values())
-        return any(PlanBuilder._may_evaluate_keys(x) for x in subs)
+        return any(PlanBuilder._may_evaluate_keys(x, _seen) for x in subs)
+
+    @staticmethod
+    def _force_inplace(node: Node, _seen: frozenset):
+        """Force a lazy node consulted by the unevaluated* annotation
+        walkers.  They follow IN-PLACE applicators only (same instance),
+        so a revisited cycle key can never descend — reject it."""
+        while node.lazy is not None:
+            if node.lazy_key in _seen:
+                raise CompileError(
+                    f"{node.loc}: non-descending reference cycle through "
+                    f"{node.lazy_key[1]!r} inside an in-place applicator "
+                    f"consulted by unevaluated*")
+            _seen = _seen | {node.lazy_key}
+            node = node.force()
+        return node, _seen
 
     def _evaluated_prop(self, node: Node, nm: str, fields: dict, dtype,
                         value: Optional[Column], iloc: Column, get,
-                        *, own: bool = False):
+                        *, own: bool = False, _seen: frozenset = frozenset()):
         """True | False | boolean Column — is property ``nm`` evaluated
         at ``node`` for ``unevaluatedProperties`` (2020-12 annotation
         flow; boon's runtime ``Uneval`` merge,
@@ -697,6 +774,7 @@ class PlanBuilder:
         names for itself, while a *branch* carrying unevaluated* covers
         everything.  Returned Columns are never NULL (branch validity is
         coalesced)."""
+        node, _seen = self._force_inplace(node, _seen)
         if node.boolean is not None:
             return False
         if node.properties and nm in node.properties:
@@ -714,7 +792,8 @@ class PlanBuilder:
         terms: list[Column] = []
 
         def add_branch(s: Node, gate: Optional[Column] = None):
-            ev = self._evaluated_prop(s, nm, fields, dtype, value, iloc, get)
+            ev = self._evaluated_prop(s, nm, fields, dtype, value, iloc,
+                                      get, _seen=_seen)
             if ev is False:
                 return
             t = self._branch_valid(s, dtype, value, iloc)
@@ -745,12 +824,14 @@ class PlanBuilder:
         return reduce(or_, terms)
 
     def _evaluated_key(self, node: Node, k: Column, dtype, value: Column,
-                       iloc: Column, *, own: bool = False) -> Column:
+                       iloc: Column, *, own: bool = False,
+                       _seen: frozenset = frozenset()) -> Column:
         """Boolean Column: is the runtime map key ``k`` evaluated at
         ``node`` for unevaluatedProperties over a MapType column — the
         key-as-Column analogue of :meth:`_evaluated_prop` (static names
         become ``isin``/``rlike`` tests on ``k``; branch terms are gated
         on the branch validating against the map value)."""
+        node, _seen = self._force_inplace(node, _seen)
         if node.boolean is not None:
             return F.lit(False)
         terms: list[Column] = []
@@ -766,7 +847,7 @@ class PlanBuilder:
         def add_branch(s: Node, gate: Optional[Column] = None):
             if not self._may_evaluate_keys(s):
                 return  # dead branch: would only add `valid & false`
-            ev = self._evaluated_key(s, k, dtype, value, iloc)
+            ev = self._evaluated_key(s, k, dtype, value, iloc, _seen=_seen)
             t = self._branch_valid(s, dtype, value, iloc) & ev
             if gate is not None:
                 t = gate & t
@@ -789,7 +870,8 @@ class PlanBuilder:
         return reduce(or_, terms)
 
     def _evaluated_items_terms(self, node: Node, dtype, value: Column,
-                               iloc: Column, *, own: bool = False):
+                               iloc: Column, *, own: bool = False,
+                               _seen: frozenset = frozenset()):
         """Flattened annotation terms for ``unevaluatedItems`` at
         ``node``: ``(all_terms, pfx_terms, contains_terms)``, each a list
         of ``(cond, payload)`` where cond is ``True`` (unconditional) or
@@ -798,6 +880,7 @@ class PlanBuilder:
         (prefixItems); contains_terms: elements matching the payload
         contains-Node evaluated.  Branch terms are gated on the branch
         validating (annotations come only from successful subschemas)."""
+        node, _seen = self._force_inplace(node, _seen)
         if node.boolean is not None:
             return [], [], []
         alls: list = []
@@ -813,7 +896,7 @@ class PlanBuilder:
 
         def gate_terms(s: Node, gate: Optional[Column]):
             b_alls, b_pfxs, b_conts = self._evaluated_items_terms(
-                s, dtype, value, iloc)
+                s, dtype, value, iloc, _seen=_seen)
             if not (b_alls or b_pfxs or b_conts):
                 return
             bv = self._branch_valid(s, dtype, value, iloc)
@@ -939,7 +1022,7 @@ class PlanBuilder:
             # of static matches (properties / patternProperties /
             # additionalProperties here) and, per in-place applicator
             # branch, (branch validates AND branch evaluates the name).
-            sub = node.unevaluated_properties
+            sub = _peek(node.unevaluated_properties)
             for nm in fields:
                 ev = self._evaluated_prop(node, nm, fields, dtype, value,
                                           iloc, get, own=True)
@@ -1167,7 +1250,7 @@ class PlanBuilder:
             # (properties/patternProperties/additionalProperties here) OR
             # branch terms gated on the branch validating, exactly like
             # the struct-column _evaluated_prop
-            sub = node.unevaluated_properties
+            sub = _peek(node.unevaluated_properties)
             self._lambda_depth += 1
             if sub is False:
                 uneval = F.filter(
@@ -1258,6 +1341,9 @@ def _ddl_from_schema(node: Node) -> str:
     """Static Spark DDL for a contentSchema subschema — JSON generality
     is pinned to declared property types (string when undeclared)."""
     def spark_type(sub: Node) -> str:
+        # a recursive property bottoms out as an unparsed string column
+        # (the DDL maps nested objects to string anyway)
+        sub = _peek(sub)
         t = (sub.types or ["string"])[0]
         return {"string": "string", "integer": "bigint", "number": "double",
                 "boolean": "boolean",
@@ -1271,9 +1357,18 @@ def _ddl_from_schema(node: Node) -> str:
                      for k, s in node.properties.items())
 
 
-def _py_string_check(node: Node, s: str) -> bool:
+def _py_string_check(node: Node, s: str, _seen: frozenset = frozenset()) -> bool:
     """Driver-side evaluation of a string-keyword subschema against a
     literal (used for propertyNames over static column names)."""
+    while node.lazy is not None:
+        # a string has no structure to descend, so any recursion in a
+        # propertyNames subschema is necessarily non-terminating
+        if node.lazy_key in _seen:
+            raise CompileError(
+                f"{node.loc}: non-descending reference cycle in a "
+                f"propertyNames subschema")
+        _seen = _seen | {node.lazy_key}
+        node = node.force()
     if node.boolean is not None:
         return node.boolean
     ok = True
@@ -1291,13 +1386,13 @@ def _py_string_check(node: Node, s: str) -> bool:
     if node.has_const:
         ok &= s == node.const
     if node.all_of:
-        ok &= all(_py_string_check(x, s) for x in node.all_of)
+        ok &= all(_py_string_check(x, s, _seen) for x in node.all_of)
     if node.any_of:
-        ok &= any(_py_string_check(x, s) for x in node.any_of)
+        ok &= any(_py_string_check(x, s, _seen) for x in node.any_of)
     if node.one_of:
-        ok &= sum(_py_string_check(x, s) for x in node.one_of) == 1
+        ok &= sum(_py_string_check(x, s, _seen) for x in node.one_of) == 1
     if node.not_ is not None:
-        ok &= not _py_string_check(node.not_, s)
+        ok &= not _py_string_check(node.not_, s, _seen)
     unsupported = (node.properties or node.items or node.minimum is not None
                    or node.contains or node.format)
     if unsupported:

@@ -41,6 +41,7 @@ SUPPORTED = {
     "contentEncoding", "contentMediaType", "contentSchema",
     "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
     "$ref", "$defs", "definitions",
+    "$recursiveRef", "$recursiveAnchor", "$dynamicRef", "$dynamicAnchor",
     # annotation-only — accepted, ignored:
     "title", "description", "default", "examples", "$schema", "$id",
     "$anchor", "$vocabulary", "$comment", "deprecated", "readOnly",
@@ -55,11 +56,11 @@ ANNOTATIONS = {
     "writeOnly",
 }
 
-UNSUPPORTED = {
-    # dynamic-scope resolution is meaningless over fixed-width rows
-    # (src/validator.rs:579-652) — fail at compile, never silently ignore.
-    "$recursiveRef", "$recursiveAnchor", "$dynamicRef", "$dynamicAnchor",
-}
+# Keywords that fail compile loudly (mirrors
+# CompileError::UnsupportedVocabulary, src/compiler.rs:808-809).  Empty
+# since $recursiveRef/$dynamicRef gained compile-time dynamic-scope
+# resolution + type-directed recursion unrolling (see Node.lazy).
+UNSUPPORTED: set = set()
 
 # ---------------------------------------------------------------------------
 # draft dispatch (boon src/draft.rs:202-235 keyword tables, 427-437 $schema
@@ -186,6 +187,27 @@ class Node:
     then: Optional["Node"] = None
     else_: Optional["Node"] = None
 
+    # -- lazy recursive reference (cyclic $ref/$recursiveRef/$dynamicRef).
+    # boon evaluates recursion at runtime with a per-value cycle guard
+    # (src/validator.rs:107-115,999-1011); we unroll it at PLAN time,
+    # type-directed: a cycle occurrence compiles to a thunk instead of
+    # diverging, and PlanBuilder forces one level each time the Spark
+    # column type descends.  Recursion terminates because column types
+    # are finite; a cycle that does NOT descend the instance (allOf/$ref
+    # loops) is rejected with CompileError (the compile-time analogue of
+    # boon's runtime infinite-loop detection).
+    lazy: Any = None                   # () -> Node thunk, or None
+    lazy_key: Optional[tuple] = None   # (base_uri, ref) cycle identity
+    _forced: Any = None
+
+    def force(self) -> "Node":
+        """Expand one level of a lazy recursive reference (memoized)."""
+        if self.lazy is None:
+            return self
+        if self._forced is None:
+            self._forced = self.lazy()
+        return self._forced
+
     def is_trivial_true(self) -> bool:
         return self.boolean is True
 
@@ -282,7 +304,8 @@ class Compiler:
             self.resources.setdefault(root_base, doc)
         self._ref_stack: list[tuple[str, str]] = []
         self._ref_cache: dict[tuple[str, str, str], Node] = {}
-        self._scans: dict[int, tuple[dict, dict]] = {}  # id(doc) → maps
+        # id(doc) → (anchors, embedded $id resources, dynamic anchors)
+        self._scans: dict[int, tuple[dict, dict, dict]] = {}
         # resource-context stack: (document, base URI, draft,
         # format_vocab_required) — "#..." refs and relative URIs resolve
         # against the TOP of this stack; each resource's $schema selects
@@ -381,6 +404,11 @@ class Compiler:
             return self._scans[key]
         anchors: dict[str, Any] = {}
         embedded: dict[str, Any] = {}
+        # $dynamicAnchor names of THIS resource (dynamic-scope resolution,
+        # boon's per-resource dynamic_anchors map, src/root.rs /
+        # src/validator.rs:636-652).  A $dynamicAnchor also creates a
+        # plain anchor (2020-12 core §8.2.2) → merged into `anchors` too.
+        dynamic: dict[str, Any] = {}
         # data-valued keywords: their contents are instance VALUES, not
         # subschemas — a const value containing an "$anchor" key must not
         # be collected as (or collide with) a real anchor
@@ -400,6 +428,12 @@ class Compiler:
                     if a in anchors:
                         raise CompileError(f"duplicate $anchor {a!r}")
                     anchors[a] = v
+                da = v.get("$dynamicAnchor")
+                if isinstance(da, str):
+                    if da in dynamic:
+                        raise CompileError(f"duplicate $dynamicAnchor {da!r}")
+                    dynamic[da] = v
+                    anchors.setdefault(da, v)
                 for k, sub in v.items():
                     if k not in data_keys:
                         walk(sub, False)
@@ -408,8 +442,8 @@ class Compiler:
                     walk(sub, False)
 
         walk(doc, True)
-        self._scans[key] = (anchors, embedded)
-        return anchors, embedded
+        self._scans[key] = (anchors, embedded, dynamic)
+        return anchors, embedded, dynamic
 
     def compile(self) -> Node:
         return self.compile_value(self.doc, "")
@@ -428,7 +462,7 @@ class Compiler:
         changed = True
         while changed:
             changed = False
-            for _anchors, embedded in list(self._scans.values()):
+            for _anchors, embedded, _dyn in list(self._scans.values()):
                 if uri in embedded:
                     return embedded[uri]
                 for sub in embedded.values():
@@ -459,7 +493,7 @@ class Compiler:
         from urllib.parse import unquote
         frag = unquote(frag)  # percent-decode, like boon src/util.rs:161-176
         if not frag.startswith("/"):  # "name" = $anchor reference
-            anchors, _ = self._scan_resource(doc)
+            anchors, _, _ = self._scan_resource(doc)
             if frag in anchors:
                 return anchors[frag]
             raise CompileError(f"$ref {ref!r}: no $anchor named {frag!r}")
@@ -502,6 +536,113 @@ class Compiler:
         ptr = frag if frag.startswith("/") or frag == "" else None
         return val, doc, uri, ptr
 
+    def _compile_ref_kw(self, kw: str, ref: Any, loc: str) -> Node:
+        """Compile one reference keyword ($ref / $recursiveRef /
+        $dynamicRef) at ``loc``.  A RECURSIVE occurrence (its cycle key
+        is already on the inline stack) compiles to a lazy thunk instead
+        of diverging — :class:`~..plans.builder.PlanBuilder` forces one
+        level each time the Spark column type descends, so recursion
+        unrolls exactly as deep as the data's static structure (boon
+        instead guards at runtime, src/validator.rs:107-115)."""
+        _expect(isinstance(ref, str), loc, kw, "string (URI)", ref)
+        cur_base = self._ctx[-1][1]
+        cycle_key = (cur_base, ref)
+        # cache per USE SITE (loc included): a shared cached node
+        # would bake the FIRST use site's keywordLocation into
+        # violations reported from every other use site.  Cycle
+        # detection stays per (base, ref) — location-independent.
+        key = (cur_base, ref, loc, kw)
+        if cycle_key in self._ref_stack:
+            # snapshot the full resolution context: forcing happens at
+            # plan-build time, after the compile walk has moved on, and
+            # must resolve exactly as this use site would have (the
+            # inline stack doubles as the $dynamicRef dynamic scope)
+            snap = (list(self._ctx), list(self._ref_stack),
+                    self._loc_prefix, self._abs_prefix, self._abs_uri)
+
+            def thunk(kw=kw, ref=ref, loc=loc, snap=snap):
+                saved = (self._ctx, self._ref_stack, self._loc_prefix,
+                         self._abs_prefix, self._abs_uri)
+                (self._ctx, self._ref_stack, self._loc_prefix,
+                 self._abs_prefix, self._abs_uri) = \
+                    (list(snap[0]), list(snap[1]), snap[2], snap[3], snap[4])
+                try:
+                    return self._compile_ref_target(kw, ref, loc)
+                finally:
+                    (self._ctx, self._ref_stack, self._loc_prefix,
+                     self._abs_prefix, self._abs_uri) = saved
+
+            floc = f"{loc}/{kw}"
+            return Node(loc=floc, abs_loc=self._abs(floc),
+                        abs_uri=self._abs_uri_of(floc),
+                        lazy=thunk, lazy_key=cycle_key)
+        if key in self._ref_cache:
+            return self._ref_cache[key]
+        self._ref_stack.append(cycle_key)
+        try:
+            node = self._compile_ref_target(kw, ref, loc)
+        finally:
+            self._ref_stack.pop()
+        self._ref_cache[key] = node
+        return node
+
+    def _compile_ref_target(self, kw: str, ref: str, loc: str) -> Node:
+        """Resolve ``ref`` (with dynamic-scope re-resolution for the
+        dynamic keywords) and compile the target at ``loc/kw``."""
+        target, t_doc, t_uri, ptr = self._resolve_ref(ref)
+        if kw == "$recursiveRef":
+            # boon src/validator.rs:579-585,619-634: if the initial
+            # target carries $recursiveAnchor:true, re-resolve to the
+            # OUTERMOST dynamic-scope resource whose root does too.  The
+            # compile-time inline stack IS the dynamic scope: every
+            # runtime evaluation path corresponds to one inline path.
+            if isinstance(target, dict) and \
+                    target.get("$recursiveAnchor") is True:
+                for d, u, *_rest in self._ctx:
+                    if isinstance(d, dict) and \
+                            d.get("$recursiveAnchor") is True:
+                        target, t_doc, t_uri, ptr = d, d, u, ""
+                        break
+        elif kw == "$dynamicRef":
+            # boon src/validator.rs:587-598,636-652 + 2020-12 core
+            # §8.2.3.2 bookending: only an anchor-form fragment whose
+            # initial target is a matching $dynamicAnchor re-resolves
+            # (otherwise $dynamicRef degenerates to $ref); the OUTERMOST
+            # dynamic-scope resource declaring the anchor wins.
+            frag = ref.split("#", 1)[1] if "#" in ref else ""
+            anchor = frag if frag and not frag.startswith("/") else None
+            if anchor is not None and isinstance(target, dict) and \
+                    target.get("$dynamicAnchor") == anchor:
+                for d, u, *_rest in self._ctx:
+                    if not isinstance(d, dict):
+                        continue
+                    dyn = self._scan_resource(d)[2]
+                    if anchor in dyn:
+                        target, t_doc, t_uri, ptr = dyn[anchor], d, u, None
+                        break
+        # dereferenced prefix: pointer refs substitute the definition
+        # pointer (cross-resource ones carry their resource URI); anchor
+        # refs keep the use-site location
+        old = (self._loc_prefix, self._abs_prefix, self._abs_uri)
+        if ptr is not None:
+            from urllib.parse import unquote
+            self._loc_prefix = f"{loc}/{kw}"
+            self._abs_prefix = unquote(ptr)
+            self._abs_uri = (t_uri if t_uri != self._ctx[0][1]
+                             else "")
+        # a foreign resource's own $schema selects its draft;
+        # a resource without one inherits the referrer's
+        t_draft = self._draft_for_doc(t_doc)
+        if t_draft is None:
+            t_draft = self._ctx[-1][2]
+        self._ctx.append((t_doc, t_uri, t_draft,
+                          self._format_vocab_required(t_doc, t_draft)))
+        try:
+            return self.compile_value(target, f"{loc}/{kw}")
+        finally:
+            self._ctx.pop()
+            (self._loc_prefix, self._abs_prefix, self._abs_uri) = old
+
     def _abs(self, loc: str) -> str:
         if self._loc_prefix and loc.startswith(self._loc_prefix):
             return self._abs_prefix + loc[len(self._loc_prefix):]
@@ -526,6 +667,31 @@ class Compiler:
         return removed is None or draft < removed
 
     def compile_value(self, v: Any, loc: str) -> Node:
+        if isinstance(v, dict):
+            rid = v.get("$id")
+            if isinstance(rid, str) and v is not self._ctx[-1][0]:
+                # descending into an embedded $id starts a NEW resource:
+                # its base URI governs relative refs inside it, and it
+                # joins the dynamic scope for $dynamicRef/$recursiveRef
+                # resolution — mirroring boon's runtime scope chain
+                # (src/validator.rs:619-652).  $ref-target compiles push
+                # their resource before calling here, so `v is ctx top`
+                # guards against a double push.
+                from urllib.parse import urljoin
+                cur_base = self._ctx[-1][1]
+                r_uri = urljoin(cur_base, rid) if cur_base else rid
+                r_draft = self._draft_for_doc(v)
+                if r_draft is None:
+                    r_draft = self._ctx[-1][2]
+                self._ctx.append((v, r_uri, r_draft,
+                                  self._format_vocab_required(v, r_draft)))
+                try:
+                    return self._compile_value(v, loc)
+                finally:
+                    self._ctx.pop()
+        return self._compile_value(v, loc)
+
+    def _compile_value(self, v: Any, loc: str) -> Node:
         if isinstance(v, bool):
             return Node(loc=loc, abs_loc=self._abs(loc),
                         abs_uri=self._abs_uri_of(loc), boolean=v)
@@ -541,60 +707,33 @@ class Compiler:
                     f"{loc}/{kw}: unsupported over fixed-width rows "
                     f"(see SURVEY.md §2.1); remove or restructure the schema")
 
-        if "$ref" in v:
-            ref = v["$ref"]
-            _expect(isinstance(ref, str), loc, "$ref", "string (URI)", ref)
-            cur_base = self._ctx[-1][1]
-            cycle_key = (cur_base, ref)
-            # cache per USE SITE (loc included): a shared cached node
-            # would bake the FIRST use site's keywordLocation into
-            # violations reported from every other use site.  Cycle
-            # detection stays per (base, ref) — location-independent.
-            key = (cur_base, ref, loc)
-            if cycle_key in self._ref_stack:
-                raise CompileError(
-                    f"{loc}/$ref: reference cycle through {ref!r} "
-                    f"(stack: {' -> '.join(r for _, r in self._ref_stack)})")
-            if key in self._ref_cache:
-                node = self._ref_cache[key]
-            else:
-                self._ref_stack.append(cycle_key)
-                target, t_doc, t_uri, ptr = self._resolve_ref(ref)
-                # dereferenced prefix: pointer refs substitute the
-                # definition pointer (cross-resource ones carry their
-                # resource URI); anchor refs keep the use-site location
-                old = (self._loc_prefix, self._abs_prefix, self._abs_uri)
-                if ptr is not None:
-                    from urllib.parse import unquote
-                    self._loc_prefix = loc + "/$ref"
-                    self._abs_prefix = unquote(ptr)
-                    self._abs_uri = (t_uri if t_uri != self._ctx[0][1]
-                                     else "")
-                # a foreign resource's own $schema selects its draft;
-                # a resource without one inherits the referrer's
-                t_draft = self._draft_for_doc(t_doc)
-                if t_draft is None:
-                    t_draft = self._ctx[-1][2]
-                self._ctx.append((t_doc, t_uri, t_draft,
-                                  self._format_vocab_required(t_doc,
-                                                              t_draft)))
-                try:
-                    node = self.compile_value(target, loc + "/$ref")
-                finally:
-                    self._ctx.pop()
-                    self._ref_stack.pop()
-                    (self._loc_prefix, self._abs_prefix,
-                     self._abs_uri) = old
-                self._ref_cache[key] = node
-            siblings = {k: s for k, s in v.items() if k != "$ref"}
+        ref_kws = [kw for kw in ("$ref", "$recursiveRef", "$dynamicRef")
+                   if kw in v]
+        if ref_kws:
+            ref_nodes = [self._compile_ref_kw(kw, v[kw], loc)
+                         for kw in ref_kws]
             # draft ≤7: $ref REPLACES the whole schema object — siblings
-            # are ignored (boon src/draft.rs draft7 ref behavior);
-            # 2019+ (and permissive): $ref + siblings = allOf(ref, sib)
-            if not siblings or (draft is not None and draft <= 7):
-                return node
-            sib = self.compile_value(siblings, loc)
+            # are ignored (boon src/draft.rs draft7 ref behavior; the
+            # dynamic-ref keywords don't exist ≤7, filtered above);
+            # 2019+ (and permissive): refs + siblings = allOf(...)
+            if "$ref" in ref_kws and draft is not None and draft <= 7:
+                return ref_nodes[ref_kws.index("$ref")]
+            siblings = {k: s for k, s in v.items() if k not in ref_kws}
+            if siblings:
+                # merge the refs into the sibling node's allOf (NOT an
+                # artificial wrapper): unevaluatedProperties/Items next
+                # to a $ref must see the ref target's annotations, and
+                # the builder's annotation walkers already treat allOf
+                # branches as annotation sources (2020-12 core §11;
+                # boon's Uneval merge sees $ref the same way,
+                # src/validator.rs:930-968)
+                sib = self.compile_value(siblings, loc)
+                sib.all_of = ref_nodes + (sib.all_of or [])
+                return sib
+            if len(ref_nodes) == 1:
+                return ref_nodes[0]
             return Node(loc=loc, abs_loc=self._abs(loc),
-                        abs_uri=self._abs_uri_of(loc), all_of=[node, sib])
+                        abs_uri=self._abs_uri_of(loc), all_of=ref_nodes)
 
         n = Node(loc=loc, abs_loc=self._abs(loc),
                  abs_uri=self._abs_uri_of(loc))

@@ -1,0 +1,248 @@
+"""Recursive $ref + $recursiveRef/$dynamicRef dynamic-scope resolution.
+
+boon resolves these at RUNTIME by walking the evaluation scope
+(src/validator.rs:579-652) and guards recursion with a per-value cycle
+check (src/validator.rs:107-115,999-1011).  This engine resolves the
+dynamic scope at COMPILE time (the $ref inline stack mirrors every
+runtime evaluation path) and unrolls recursion type-directedly: a cycle
+occurrence compiles to a lazy node which PlanBuilder forces one level
+per column-type descent — terminating because Spark types are finite.
+A cycle that does NOT descend the instance is rejected with
+CompileError at plan time (the static analogue of boon's runtime
+infinite-loop detection, Extra-Test-Suite infinite-loop-detection.json).
+"""
+
+import pytest
+from pyspark.sql import types as T
+
+from boon_spark import Engine
+from boon_spark.errors import CompileError
+from boon_spark.schema import compile_schema
+
+D2020 = "https://json-schema.org/draft/2020-12/schema"
+D2019 = "https://json-schema.org/draft/2019-09/schema"
+
+
+def _viols(eng, df):
+    return sorted(
+        (r.instance_location, r.keyword_location)
+        for r in eng.validate(df).violations().collect())
+
+
+# ---------------------------------------------------------------- $ref
+
+
+NESTED = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("v", T.LongType()),
+    T.StructField("child", T.StructType([
+        T.StructField("v", T.LongType()),
+        T.StructField("child", T.StructType([
+            T.StructField("v", T.LongType())]))]))])
+
+
+def test_recursive_ref_unrolls_to_type_depth(spark):
+    doc = {"$defs": {"node": {
+              "properties": {"v": {"maximum": 100},
+                             "child": {"$ref": "#/$defs/node"}}}},
+           "$ref": "#/$defs/node"}
+    df = spark.createDataFrame([
+        (1, 5, (7, (9,))),
+        (2, 5, (200, (9,))),
+        (3, 300, (7, (400,))),
+    ], NESTED)
+    got = _viols(Engine.from_schema(doc, row_id="id"), df)
+    assert got == [
+        ("/2/child/v",
+         "/$ref/properties/child/$ref/properties/v/maximum"),
+        ("/3/child/child/v",
+         "/$ref/properties/child/$ref/properties/child/$ref"
+         "/properties/v/maximum"),
+        ("/3/v", "/$ref/properties/v/maximum"),
+    ]
+
+
+def test_non_descending_mutual_cycle_rejected_at_plan_time(spark):
+    # the Extra-Test-Suite "guard against infinite recursion" shape:
+    # alice <-> bob through allOf consumes no instance structure
+    doc = {"$defs": {
+              "alice": {"$anchor": "alice", "allOf": [{"$ref": "#bob"}]},
+              "bob": {"$anchor": "bob", "allOf": [{"$ref": "#alice"}]}},
+           "$ref": "#alice"}
+    eng = Engine.from_schema(doc, row_id="id")
+    df = spark.createDataFrame([(1, 2)], "id long, x long")
+    with pytest.raises(CompileError, match="non-descending"):
+        eng.validate(df)
+
+
+def test_direct_self_ref_rejected_at_plan_time(spark):
+    eng = Engine.from_schema({"allOf": [{"$ref": "#"}]}, row_id="id")
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(CompileError, match="non-descending"):
+        eng.validate(df)
+
+
+def test_recursion_past_type_depth_is_silent(spark):
+    # recursion deeper than the column type simply never materializes —
+    # the unroller stops when the struct bottoms out
+    doc = {"$defs": {"node": {
+              "properties": {"v": {"minimum": 0},
+                             "child": {"$ref": "#/$defs/node"}}}},
+           "$ref": "#/$defs/node"}
+    df = spark.createDataFrame([(1, 1, (1, (1,)))], NESTED)
+    assert _viols(Engine.from_schema(doc, row_id="id"), df) == []
+
+
+def test_recursive_ref_through_items(spark):
+    doc = {"$defs": {"tree": {
+              "properties": {"v": {"maximum": 9},
+                             "kids": {"items": {"$ref": "#/$defs/tree"}}}}},
+           "$ref": "#/$defs/tree"}
+    st = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("kids", T.ArrayType(T.StructType([
+            T.StructField("v", T.LongType())])))])
+    df = spark.createDataFrame([(1, 3, [(4,), (40,)])], st)
+    got = _viols(Engine.from_schema(doc, row_id="id"), df)
+    assert got == [("/1/kids/1/v",
+                    "/$ref/properties/kids/items/$ref/properties/v/maximum")]
+
+
+# ---------------------------------------------------- $recursiveRef (2019)
+
+
+def test_recursive_anchor_resolves_to_outermost(spark):
+    # the draft 2019-09 extension idiom: the extended schema re-binds
+    # the base's $recursiveRef to ITSELF (outermost $recursiveAnchor)
+    base = {"$schema": D2019, "$id": "https://example.com/base",
+            "$recursiveAnchor": True,
+            "properties": {"v": {"maximum": 10},
+                           "child": {"$recursiveRef": "#"}}}
+    extended = {"$schema": D2019, "$id": "https://example.com/extended",
+                "$recursiveAnchor": True,
+                "$ref": "base",
+                "properties": {"v": {"maximum": 5}}}
+    df = spark.createDataFrame([(1, 3, (7, (None,)))], NESTED)
+    # nested v=7: base alone allows (<=10); via the re-bound recursion
+    # the extended root's maximum 5 applies at every depth
+    eng = Engine.from_schema(
+        extended, row_id="id",
+        resources={"https://example.com/base": base})
+    got = _viols(eng, df)
+    assert ("/1/child/v",
+            "/$ref/properties/child/$recursiveRef/properties/v/maximum"
+            ) in got
+
+
+def test_recursive_ref_without_anchor_stays_local(spark):
+    # extended does NOT set $recursiveAnchor -> $recursiveRef "#" stays
+    # on base (boon: no re-resolution when target anchor is absent)
+    base = {"$schema": D2019, "$id": "https://example.com/base2",
+            "properties": {"v": {"maximum": 10},
+                           "child": {"$recursiveRef": "#"}}}
+    extended = {"$schema": D2019, "$id": "https://example.com/extended2",
+                "$ref": "base2",
+                "properties": {"v": {"maximum": 5}}}
+    df = spark.createDataFrame([(1, 3, (7, (None,)))], NESTED)
+    eng = Engine.from_schema(
+        extended, row_id="id",
+        resources={"https://example.com/base2": base})
+    assert _viols(eng, df) == []  # nested 7 <= 10 (base), root 3 <= 5
+
+
+# ---------------------------------------------------- $dynamicRef (2020)
+
+
+TREE_T = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("data", T.LongType()),
+    T.StructField("children", T.ArrayType(T.StructType([
+        T.StructField("data", T.LongType()),
+        T.StructField("daat", T.LongType())])))])
+
+
+def _tree_pair():
+    tree = {"$schema": D2020, "$id": "https://example.com/tree",
+            "$dynamicAnchor": "node",
+            "properties": {"id": {}, "data": {"maximum": 10},
+                           "children": {"items": {"$dynamicRef": "#node"}}}}
+    strict = {"$schema": D2020, "$id": "https://example.com/strict-tree",
+              "$dynamicAnchor": "node",
+              "$ref": "tree",
+              "unevaluatedProperties": False}
+    return tree, strict
+
+
+def test_dynamic_ref_strict_tree(spark):
+    # the 2020-12 spec's tree / strict-tree example: entering via
+    # strict-tree re-binds every recursive #node to strict-tree, so a
+    # misspelled nested property fails deep in the tree
+    tree, strict = _tree_pair()
+    df = spark.createDataFrame([
+        (1, 4, [(5, None)]),
+        (2, 4, [(5, 7)]),
+    ], TREE_T)
+    eng = Engine.from_schema(
+        strict, row_id="id",
+        resources={"https://example.com/tree": tree})
+    got = _viols(eng, df)
+    assert ("/2/children/0",
+            "/$ref/properties/children/items/$dynamicRef"
+            "/unevaluatedProperties") in got
+    assert not any(i.startswith("/1") for i, _ in got)
+
+
+def test_dynamic_ref_plain_tree_keeps_own_binding(spark):
+    # entering via tree itself: #node stays bound to tree; extra nested
+    # properties are allowed
+    tree, _ = _tree_pair()
+    df = spark.createDataFrame([(2, 4, [(5, 7)])], TREE_T)
+    eng = Engine.from_schema(tree, row_id="id")
+    assert _viols(eng, df) == []
+
+
+def test_dynamic_ref_bookending_plain_anchor_acts_as_ref(spark):
+    # fragment resolves to a plain $anchor (no $dynamicAnchor at the
+    # target) -> behaves exactly like $ref, no dynamic re-resolution
+    # (2020-12 core §8.2.3.2; boon checks dref.anchor equality)
+    doc = {"$schema": D2020, "$id": "https://example.com/r",
+           "$defs": {"t": {"$anchor": "plain", "maximum": 3}},
+           "properties": {"x": {"$dynamicRef": "#plain"}}}
+    df = spark.createDataFrame([(1, 2), (2, 9)], "id long, x long")
+    got = _viols(Engine.from_schema(doc, row_id="id"), df)
+    assert got == [("/2/x", "/properties/x/$dynamicRef/maximum")]
+
+
+def test_dynamic_anchor_is_also_plain_anchor(spark):
+    # $ref "#name" must find a $dynamicAnchor "name" (2020-12 core:
+    # $dynamicAnchor also registers a regular anchor)
+    doc = {"$schema": D2020,
+           "$defs": {"t": {"$dynamicAnchor": "thing", "minimum": 0}},
+           "properties": {"x": {"$ref": "#thing"}}}
+    df = spark.createDataFrame([(1, -2)], "id long, x long")
+    got = _viols(Engine.from_schema(doc, row_id="id"), df)
+    assert got == [("/1/x", "/properties/x/$ref/minimum")]
+
+
+def test_recursive_contentschema_rejected():
+    with pytest.raises(CompileError):
+        cs = compile_schema(
+            {"assert_content": True,
+             "schema": {"$defs": {"n": {
+                 "contentMediaType": "application/json",
+                 "contentSchema": {"$ref": "#/$defs/n"}}},
+                 "properties": {"x": {"$ref": "#/$defs/n"}}}})
+        # the DDL derivation cannot express an unbounded parse schema
+        from boon_spark.plans.builder import PlanBuilder
+        pb = PlanBuilder(T.StructType([T.StructField("x", T.StringType())]))
+        pb.build(cs.root, None, None, pb.root_iloc())
+
+
+def test_recursive_propertynames_rejected(spark):
+    doc = {"$defs": {"p": {"allOf": [{"$ref": "#/$defs/p"}]}},
+           "propertyNames": {"$ref": "#/$defs/p"}}
+    eng = Engine.from_schema(doc, row_id="id")
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(CompileError, match="cycle"):
+        eng.validate(df)

@@ -194,15 +194,21 @@ def test_unresolvable_resource_is_compile_error():
             {"properties": {"n": {"$ref": "https://nowhere.test/x.json"}}})
 
 
-def test_cross_resource_cycle_is_compile_error():
+def test_cross_resource_cycle_is_plan_time_error(spark):
+    # a <-> b re-applies the same instance without descending it, so the
+    # recursion can never terminate.  Compile now succeeds (recursion is
+    # legal when it descends — test_dynamic_refs.py); the type-directed
+    # unroller rejects the non-descending loop at PLAN time instead.
     a = {"$id": "https://example.com/a.json",
          "$ref": "https://example.com/b.json"}
     b = {"$id": "https://example.com/b.json",
          "$ref": "https://example.com/a.json"}
-    with pytest.raises(CompileError, match="cycle"):
-        Engine.from_schema(a, resources={
-            "https://example.com/a.json": a,
-            "https://example.com/b.json": b})
+    eng = Engine.from_schema(a, row_id="k", resources={
+        "https://example.com/a.json": a,
+        "https://example.com/b.json": b})
+    df = spark.createDataFrame([("x",)], "k string")
+    with pytest.raises(CompileError, match="non-descending"):
+        eng.validate(df)
 
 
 def test_cross_resource_absolute_keyword_location(spark):

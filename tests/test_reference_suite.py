@@ -28,9 +28,6 @@ from boon_spark import Engine
 SUITE = "/root/reference/tests/Extra-Test-Suite/tests"
 
 SKIP = {
-    "guard against infinite recursion":
-        "runtime cycle detection unsupported: recursive schemas are a "
-        "compile error over fixed-width rows (SURVEY §2.1)",
     "percent in dependencies":
         "instance has a present-but-null property; SQL NULL models "
         "absence, so presence-triggered dependencies diverge",
@@ -87,6 +84,17 @@ def _cases():
 def test_reference_case(spark, group, case):
     if group["description"] in SKIP:
         pytest.skip(SKIP[group["description"]])
+    if group["description"] == "guard against infinite recursion":
+        # boon detects the alice<->bob allOf loop at RUNTIME and fails
+        # the instance (src/validator.rs:999-1011); this engine proves
+        # the same non-termination statically and refuses the PLAN —
+        # strictly earlier detection of the same defect
+        from boon_spark.errors import CompileError
+        eng = Engine.from_schema({"properties": {"v": group["schema"]}})
+        df = spark.createDataFrame([("x",)], "v string")
+        with pytest.raises(CompileError, match="non-descending"):
+            eng.annotate(df).collect()
+        return
     data = case["data"]
     if data is None:
         pytest.skip("bare-null instance: no column type to infer")
