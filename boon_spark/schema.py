@@ -105,6 +105,39 @@ KNOWN_VOCAB_PREFIXES = (
     "https://json-schema.org/draft/2020-12/vocab/",
 )
 
+# vocabulary model (boon src/draft.rs:83-115 all_vocabs/default_vocabs,
+# src/root.rs:16-24 has_vocab): a 2019+/2020 schema under a CUSTOM
+# metaschema gets exactly the vocabularies that metaschema marks
+# required=true; under a standard metaschema it gets the draft
+# defaults.  core is always on; keywords of a disabled vocabulary are
+# plain annotations (ignored), exactly like keywords of a later draft.
+ALL_VOCABS = {
+    2019: frozenset({"core", "applicator", "validation", "meta-data",
+                     "format", "content"}),
+    2020: frozenset({"core", "applicator", "unevaluated", "validation",
+                     "meta-data", "format-annotation", "format-assertion",
+                     "content"}),
+}
+DEFAULT_VOCABS = {
+    2019: frozenset({"core", "applicator", "validation"}),
+    2020: frozenset({"core", "applicator", "unevaluated", "validation"}),
+}
+KEYWORD_VOCABS = {
+    **{k: "validation" for k in (
+        "type", "const", "enum", "minimum", "maximum",
+        "exclusiveMinimum", "exclusiveMaximum", "multipleOf",
+        "minLength", "maxLength", "pattern", "minItems", "maxItems",
+        "uniqueItems", "minContains", "maxContains", "required",
+        "dependentRequired", "minProperties", "maxProperties")},
+    **{k: "applicator" for k in (
+        "properties", "patternProperties", "additionalProperties",
+        "dependentSchemas", "propertyNames", "items", "prefixItems",
+        "additionalItems", "contains", "allOf", "anyOf", "oneOf",
+        "not", "if", "then", "else")},
+    # unevaluated*: "applicator" in 2019, "unevaluated" in 2020 —
+    # resolved in _vocab_enabled (boon compiler.rs:581-586)
+}
+
 
 def draft_of_uri(uri: str) -> Optional[int]:
     """Known-draft number of a $schema URI (scheme- and fragment-
@@ -307,10 +340,11 @@ class Compiler:
         # id(doc) → (anchors, embedded $id resources, dynamic anchors)
         self._scans: dict[int, tuple[dict, dict, dict]] = {}
         # resource-context stack: (document, base URI, draft,
-        # format_vocab_required) — "#..." refs and relative URIs resolve
-        # against the TOP of this stack; each resource's $schema selects
-        # its own draft gating and format-vocabulary assertion mode
-        self._ctx: list[tuple[Any, str, Optional[int], bool]] = []
+        # format_vocab_required, meta_vocabs) — "#..." refs and relative
+        # URIs resolve against the TOP of this stack; each resource's
+        # $schema selects its own draft gating, format-vocabulary
+        # assertion mode, and enabled vocabulary set
+        self._ctx: list[tuple] = []
         self._scan_resource(doc)
         # (loc_prefix, abs_prefix, abs_uri) for absoluteKeywordLocation:
         # below an inlined pointer-$ref the dereferenced location
@@ -321,7 +355,8 @@ class Compiler:
         self._abs_uri = ""
         root_draft = self._draft_for_doc(doc)
         self._ctx.append((doc, root_base, root_draft,
-                          self._format_vocab_required(doc, root_draft)))
+                          self._format_vocab_required(doc, root_draft),
+                          self._meta_vocabs(doc, root_draft)))
 
     def _format_vocab_required(self, doc: Any,
                                draft: Optional[int]) -> bool:
@@ -347,6 +382,60 @@ class Compiler:
                 else "/vocab/format")
         return any(bool(req) and str(uri).rstrip("/").endswith(want)
                    for uri, req in vocab.items())
+
+    def _meta_vocabs(self, doc: Any,
+                     draft: Optional[int]) -> Optional[frozenset]:
+        """required=true vocabulary names declared by a CUSTOM
+        metaschema (boon loader.rs:176-197 + draft.rs:202-233); None →
+        the draft's defaults apply (standard metaschema / no $schema).
+        A required vocabulary with the standard prefix but an unknown
+        name is UnsupportedVocabulary, like boon."""
+        if draft not in (2019, 2020) or not isinstance(doc, dict):
+            return None
+        s = doc.get("$schema")
+        if not isinstance(s, str) or draft_of_uri(s) is not None:
+            return None
+        try:
+            meta = self._find_resource(s.rstrip("#"))
+        except CompileError:
+            return None
+        vocab = meta.get("$vocabulary") if isinstance(meta, dict) else None
+        if not isinstance(vocab, dict):
+            return None
+        prefix = KNOWN_VOCAB_PREFIXES[1 if draft == 2020 else 0]
+        names = set()
+        for uri, req in vocab.items():
+            if req is not True:
+                continue  # optional vocabularies are ignored (boon too)
+            u = str(uri)
+            name = u[len(prefix):].rstrip("/") if u.startswith(prefix) \
+                else None
+            # boon draft.rs:218-233: a required vocabulary must belong
+            # to the resource's OWN draft (wrong-draft or custom URIs
+            # are UnsupportedVocabulary)
+            if name is None or name not in ALL_VOCABS[draft]:
+                raise CompileError(
+                    f"$schema {s!r}: unsupported required "
+                    f"vocabulary {u!r}")
+            names.add(name)
+        return frozenset(names)
+
+    def _vocab_enabled(self, kw: str, draft: Optional[int]) -> bool:
+        """boon Root::has_vocab (src/root.rs:16-24): drafts < 2019 have
+        no vocabulary model; core is always on; otherwise the resource's
+        metaschema-required vocabularies (or the draft defaults) decide."""
+        if draft is None or draft < 2019:
+            return True
+        if kw in ("unevaluatedProperties", "unevaluatedItems"):
+            grp = "applicator" if draft == 2019 else "unevaluated"
+        else:
+            grp = KEYWORD_VOCABS.get(kw)
+        if grp is None:
+            return True  # core / annotation keywords
+        vocabs = self._ctx[-1][4]
+        if vocabs is None:
+            vocabs = DEFAULT_VOCABS[draft]
+        return grp in vocabs
 
     def _format_asserted(self) -> bool:
         """format asserts when: explicitly enabled; draft <= 7 (where the
@@ -636,7 +725,8 @@ class Compiler:
         if t_draft is None:
             t_draft = self._ctx[-1][2]
         self._ctx.append((t_doc, t_uri, t_draft,
-                          self._format_vocab_required(t_doc, t_draft)))
+                          self._format_vocab_required(t_doc, t_draft),
+                          self._meta_vocabs(t_doc, t_draft)))
         try:
             return self.compile_value(target, f"{loc}/{kw}")
         finally:
@@ -684,7 +774,8 @@ class Compiler:
                 if r_draft is None:
                     r_draft = self._ctx[-1][2]
                 self._ctx.append((v, r_uri, r_draft,
-                                  self._format_vocab_required(v, r_draft)))
+                                  self._format_vocab_required(v, r_draft),
+                                  self._meta_vocabs(v, r_draft)))
                 try:
                     return self._compile_value(v, loc)
                 finally:
@@ -700,7 +791,8 @@ class Compiler:
         draft = self._ctx[-1][2]
         if draft is not None:
             v = {k: s for k, s in v.items()
-                 if self._keyword_active(k, draft)}
+                 if self._keyword_active(k, draft)
+                 and self._vocab_enabled(k, draft)}
         for kw in v:
             if kw in UNSUPPORTED:
                 raise UnsupportedKeyword(

@@ -60,9 +60,13 @@ def test_format_asserts_under_format_assertion_vocab(spark):
     # a custom 2020-12 metaschema marking the format-assertion vocabulary
     # REQUIRED turns assertions on without the flag (compiler.rs:488-494)
     meta_uri = "https://example.com/meta/format-on"
+    # applicator must be required too — vocabulary gating (r3) otherwise
+    # disables `properties` itself, exactly like boon's has_vocab
     meta = {"$schema": D2020,
             "$vocabulary": {
                 "https://json-schema.org/draft/2020-12/vocab/core": True,
+                "https://json-schema.org/draft/2020-12/vocab/applicator":
+                    True,
                 "https://json-schema.org/draft/2020-12/vocab/validation":
                     True,
                 "https://json-schema.org/draft/2020-12/vocab/"

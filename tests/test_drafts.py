@@ -131,3 +131,72 @@ def test_foreign_resource_uses_its_own_draft(spark):
         resources={"https://example.com/lib.json": lib})
     df = spark.createDataFrame([("x", "y")], "a string, b string")
     assert [r.valid for r in eng.annotate(df).collect()] == [True]
+
+
+# ------------------------------------------------- vocabulary gating (r3)
+# boon src/root.rs:16-24 has_vocab + src/draft.rs:202-233 get_vocabs: a
+# custom metaschema's required=true vocabularies REPLACE the draft
+# defaults; keywords of a disabled vocabulary become plain annotations.
+
+VOCAB_2020 = "https://json-schema.org/draft/2020-12/vocab/"
+
+
+def _meta(*names, draft=D2020):
+    return {"$schema": draft,
+            "$vocabulary": {f"{VOCAB_2020}{n}": True for n in names}}
+
+
+def test_metaschema_without_applicator_disables_properties(spark):
+    meta = _meta("core", "validation")
+    eng = Engine.from_schema(
+        {"$schema": "https://example.com/meta-noapp",
+         "type": "object",
+         "properties": {"a": {"const": "must"}}},
+        resources={"https://example.com/meta-noapp": meta})
+    df = spark.createDataFrame([("nope",)], "a string")
+    # properties (applicator) is disabled -> the const never applies;
+    # type (validation) still asserts
+    assert [r.valid for r in eng.annotate(df).collect()] == [True]
+
+
+def test_metaschema_without_validation_disables_const(spark):
+    meta = _meta("core", "applicator")
+    eng = Engine.from_schema(
+        {"$schema": "https://example.com/meta-noval",
+         "properties": {"a": {"const": "must"}}},
+        resources={"https://example.com/meta-noval": meta})
+    df = spark.createDataFrame([("nope",)], "a string")
+    # properties routes the subschema, but const (validation) is off
+    assert [r.valid for r in eng.annotate(df).collect()] == [True]
+
+
+def test_metaschema_without_unevaluated_disables_unevaluated(spark):
+    meta = _meta("core", "applicator", "validation")
+    eng = Engine.from_schema(
+        {"$schema": "https://example.com/meta-nouneval",
+         "properties": {"a": {"type": "string"}},
+         "unevaluatedProperties": False},
+        resources={"https://example.com/meta-nouneval": meta})
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    assert [r.valid for r in eng.annotate(df).collect()] == [True]
+
+
+def test_standard_metaschema_keeps_defaults(spark):
+    # under the standard 2020-12 metaschema unevaluatedProperties is in
+    # the default vocabulary set and must assert
+    eng = Engine.from_schema(
+        {"$schema": D2020,
+         "properties": {"a": {"type": "string"}},
+         "unevaluatedProperties": False})
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    assert [r.valid for r in eng.annotate(df).collect()] == [False]
+
+
+def test_wrong_draft_vocab_uri_is_compile_error():
+    meta = {"$schema": D2020, "$vocabulary": {
+        "https://json-schema.org/draft/2019-09/vocab/applicator": True}}
+    with pytest.raises(CompileError, match="unsupported required"):
+        compile_schema(
+            {"$schema": "https://example.com/meta-wrongdraft",
+             "properties": {"a": {"type": "string"}}},
+            resources={"https://example.com/meta-wrongdraft": meta})
