@@ -21,13 +21,27 @@ import json
 import sys
 
 
-def load_schema(path: str):
+def make_ssl_context(cacert=None, insecure=False):
+    """TLS options for remote schema fetches — boon cli --cacert /
+    -k/--insecure (cli/src/main.rs:205-209,234-260).  None → library
+    defaults."""
+    if not cacert and not insecure:
+        return None
+    import ssl
+    ctx = ssl.create_default_context(cafile=cacert or None)
+    if insecure:
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    return ctx
+
+
+def load_schema(path: str, ssl_ctx=None):
     """Load a schema document from a file path or http(s) URL — the
     reference CLI supports both (cli/src/main.rs:231-276) plus YAML
     (cli/src/main.rs:219-228)."""
     if path.startswith(("http://", "https://")):
         from urllib.request import urlopen
-        with urlopen(path, timeout=30) as r:
+        with urlopen(path, timeout=30, context=ssl_ctx) as r:
             text = r.read().decode()
     else:
         with open(path) as f:
@@ -38,7 +52,7 @@ def load_schema(path: str):
     return json.loads(text)
 
 
-def make_ref_loader(schema_path: str):
+def make_ref_loader(schema_path: str, ssl_ctx=None):
     """Cross-document $ref loader — boon ``FileLoader``/``UrlLoader``
     parity (src/loader.rs:23-72): http(s) URIs load remotely; anything
     else resolves as a file path relative to the schema document."""
@@ -49,10 +63,10 @@ def make_ref_loader(schema_path: str):
 
     def load(uri: str):
         if uri.startswith(("http://", "https://")):
-            return load_schema(uri)
+            return load_schema(uri, ssl_ctx)
         if http:
             from urllib.parse import urljoin
-            return load_schema(urljoin(base, uri))
+            return load_schema(urljoin(base, uri), ssl_ctx)
         p = uri[7:] if uri.startswith("file://") else uri
         if not os.path.isabs(p):
             p = os.path.join(base, p)
@@ -93,6 +107,12 @@ def main(argv=None) -> int:
     ap.add_argument("--assert-content", action="store_true",
                     help="enable content assertions (contentEncoding/"
                          "MediaType/Schema; boon cli --assert-content)")
+    ap.add_argument("--cacert", default=None,
+                    help="CA certificate file for https schema fetches "
+                         "(boon cli --cacert)")
+    ap.add_argument("-k", "--insecure", action="store_true",
+                    help="skip TLS verification for https schema fetches "
+                         "(boon cli -k/--insecure)")
     ap.add_argument("--sample", type=float, default=None,
                     help="validate a row fraction (north_star: sampled-"
                          "partition spot checks at full scale)")
@@ -102,9 +122,10 @@ def main(argv=None) -> int:
 
     from .schema import compile_schema
 
-    ref_loader = make_ref_loader(args.schema)
+    ssl_ctx = make_ssl_context(args.cacert, args.insecure)
+    ref_loader = make_ref_loader(args.schema, ssl_ctx)
     try:
-        spec = load_schema(args.schema)
+        spec = load_schema(args.schema, ssl_ctx)
         # fail fast before starting a session; the loader resolves
         # cross-document $refs relative to the schema's own location.
         # The compiled result is REUSED below — recompiling would fetch

@@ -145,3 +145,12 @@ def test_quiet_flag(tmp_path):
                 "--format", "basic")
     assert r.returncode == 2
     assert r.stdout.strip() == ""
+
+
+def test_ssl_context_flags():
+    # boon cli --cacert / -k/--insecure (cli/src/main.rs:205-209,234-260)
+    import ssl
+    from boon_spark.cli import make_ssl_context
+    assert make_ssl_context(None, False) is None
+    ctx = make_ssl_context(None, True)
+    assert ctx.verify_mode == ssl.CERT_NONE and not ctx.check_hostname
