@@ -272,3 +272,66 @@ def test_dynamic_unevaluated_matches_python_evaluator(_spark, spec, rows):
     got = [r.valid for r in eng.annotate(df).select("valid").collect()]
     want = [eval_uneval_row(spec, r) for r in rows]
     assert got == want, f"spec={spec} rows={rows}"
+
+
+# ---------------------------------------------------------------------------
+# recursive $ref unrolling (round 3): the SAME subschema applies at every
+# nesting level; the engine's type-directed unroller must agree with a
+# straight recursive Python evaluator on every depth
+# ---------------------------------------------------------------------------
+
+def eval_tree(node_schema: dict, val) -> bool:
+    """Recursive evaluation of {"v": ..., "child": {...}} trees where
+    the child keyword re-applies node_schema (NULL semantics as above)."""
+    if val is None:
+        return True
+    v = val[0]
+    child = val[1] if len(val) > 1 else None
+    ok = True
+    vs = node_schema["properties"]["v"]
+    if v is not None:
+        if "minimum" in vs:
+            ok &= v >= vs["minimum"]
+        if "maximum" in vs:
+            ok &= v <= vs["maximum"]
+    req = node_schema.get("required", [])
+    if "v" in req:
+        ok &= v is not None
+    return bool(ok) and eval_tree(node_schema, child)
+
+
+tree_node_st = st.fixed_dictionaries({
+    "properties": st.fixed_dictionaries({
+        "v": st.fixed_dictionaries({}, optional={
+            "minimum": st.integers(-4, 2),
+            "maximum": st.integers(-1, 6)}),
+    }),
+}, optional={"required": st.sampled_from([["v"]])})
+
+_leaf = st.one_of(st.none(), st.tuples(
+    st.one_of(st.none(), st.integers(-6, 8))))
+_mid = st.one_of(st.none(), st.tuples(
+    st.one_of(st.none(), st.integers(-6, 8)), _leaf))
+tree_val_st = st.one_of(st.none(), st.tuples(
+    st.one_of(st.none(), st.integers(-6, 8)), _mid))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(node=tree_node_st,
+       rows=st.lists(tree_val_st, min_size=1, max_size=6))
+def test_recursive_ref_matches_python_evaluator(_spark, node, rows):
+    schema = {"$defs": {"node": dict(
+        node, properties=dict(node["properties"],
+                              child={"$ref": "#/$defs/node"}))},
+        "properties": {"t": {"$ref": "#/$defs/node"}}}
+    ddl = ("k bigint, t struct<v:bigint,child:struct<v:bigint,"
+           "child:struct<v:bigint>>>")
+    # pad 2-tuples at the leaf level (struct<v> has no child field)
+    df = _spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)], ddl)
+    eng = Engine.from_schema(schema, row_id="k")
+    got = [r.valid for r in eng.annotate(df).select("valid").collect()]
+    want = [eval_tree(schema["$defs"]["node"], r) for r in rows]
+    assert got == want, f"node={node} rows={rows}"
