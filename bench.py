@@ -118,6 +118,48 @@ def _spin_sample(workers: int, n: int = 4_000_000) -> float:
         return round(workers * n / (time.time() - t0) / 1e6, 1)
 
 
+def _task_profile(spark, group: str) -> dict:
+    """Per-task duration quantiles for a job group's stages, from the
+    AppStatusStore — the skew evidence behind the north rule's explicit
+    partitioning/skew handling: a max/p50 near 1 on the scan stage means
+    no straggler partition dominates, which is what lets the same plan
+    scale to 1000 executors (stragglers, not averages, set wall time)."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        gw = sc._gateway
+        qarr = gw.new_array(gw.jvm.double, 3)
+        for i, v in enumerate((0.5, 0.95, 1.0)):
+            qarr[i] = v
+        tracker = sc.statusTracker()
+        stages = []
+        for j in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(j)
+            if info is None:
+                continue
+            for sid in info.stageIds:
+                opt = store.taskSummary(sid, 0, qarr)
+                if not opt.isDefined():
+                    continue
+                s = opt.get()
+                q = [s.duration().apply(i) for i in range(3)]
+                sti = tracker.getStageInfo(sid)
+                stages.append({
+                    "stage": int(sid),
+                    "n_tasks": int(sti.numTasks) if sti else -1,
+                    "task_ms_p50": q[0],
+                    "task_ms_p95": q[1],
+                    "task_ms_max": q[2],
+                    "skew_max_over_p50":
+                        round(q[2] / q[0], 2) if q[0] else None,
+                    "gc_ms_p95": s.jvmGcTime().apply(1),
+                })
+        stages.sort(key=lambda d: -(d["task_ms_max"] or 0))
+        return {"stages": stages[:4]}
+    except Exception as e:  # profile is evidence, never a bench failure
+        return {"error": str(e)[:120]}
+
+
 def bench_queries(spark) -> tuple[dict[str, float], dict[str, float],
                                   dict[str, float]]:
     """Headline operator queries at SF_DIR (driver testdata).
@@ -168,10 +210,15 @@ def run_bench() -> dict:
         passes = []
         n_rows = n_invalid = 0
         spin_prev = _spin_sample(CPUS)
-        for _ in range(4):
+        for i in range(4):
+            if i == 3:  # profile the last pass's task distribution
+                spark.sparkContext.setJobGroup(
+                    "flagship-profile", "validate_sequences profiled pass")
             t0 = time.time()
             n_rows, n_invalid = validate_sequences_job(spark, SEQ_PATH)
             sec = round(time.time() - t0, 3)
+            if i == 3:
+                spark.sparkContext.setJobGroup("", "")
             spin_next = _spin_sample(CPUS)
             # bracket each pass with spin samples; the MAX of the bracket
             # is the conservative contention estimate (a burst that ends
@@ -212,6 +259,8 @@ def run_bench() -> dict:
             "validate_rows_per_sec_calibrated":
                 round(n_rows / t_validate_cal) if t_validate_cal else 0,
             "host_spin_mops_best": spin_best,
+            "validate_task_profile": _task_profile(spark,
+                                                   "flagship-profile"),
             "cpus": CPUS,
         }
     finally:
