@@ -346,6 +346,19 @@ class Compiler:
         # assertion mode, and enabled vocabulary set
         self._ctx: list[tuple] = []
         self._scan_resource(doc)
+        # eagerly scan embedded $id resources transitively, like boon's
+        # up-front resource collection (src/root.rs / roots.rs): anchor
+        # and $id duplicates inside an embedded resource must fail even
+        # when nothing references it yet (invalid-schemas.json
+        # DuplicateId/DuplicateAnchor)
+        changed = True
+        while changed:
+            changed = False
+            for _a, embedded, _d in list(self._scans.values()):
+                for sub in embedded.values():
+                    if id(sub) not in self._scans:
+                        self._scan_resource(sub)
+                        changed = True
         # (loc_prefix, abs_prefix, abs_uri) for absoluteKeywordLocation:
         # below an inlined pointer-$ref the dereferenced location
         # substitutes the use-site prefix with the definition pointer,
@@ -510,6 +523,8 @@ class Compiler:
                     # an embedded $id starts a NEW resource: record it,
                     # but its anchors belong to ITS namespace (collected
                     # when that resource is scanned), not this one
+                    if rid in embedded and embedded[rid] is not v:
+                        raise CompileError(f"duplicate $id {rid!r}")
                     embedded[rid] = v
                     return
                 a = v.get("$anchor")
@@ -832,6 +847,8 @@ class Compiler:
 
         if "type" in v:
             t = v["type"]
+            _expect(isinstance(t, (str, list)), loc, "type",
+                    "string or array of strings", t)
             ts = [t] if isinstance(t, str) else list(t)
             bad = [x for x in ts if x not in JSON_TYPES]
             if bad:
