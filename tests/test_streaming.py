@@ -170,3 +170,50 @@ def test_manifest_batch_replay_is_idempotent(spark, tmp_path):
     # and replaying THAT batch is also a no-op
     handle(b1, 1)
     assert snapshot() == (after, viols_after)
+
+
+# ---------------------------------------------------------------- drift
+
+
+def test_streaming_drift_converges_to_batch_psi(spark, input_dir):
+    """After all micro-batches, each key's running PSI must equal the
+    batch drift PSI over the same rows (identical width_bucket edges and
+    PSI formula — drift_stream docstring pins this)."""
+    import math
+
+    from boon_spark.operators.drift import drift_check
+    from boon_spark.streaming.drift_stream import (reference_probs,
+                                                   streaming_drift)
+
+    full = spark.read.schema(DDL) \
+        .option("recursiveFileLookup", "true").parquet(input_dir)
+    # reference = the 'web' slice; observed stream = everything
+    ref_df = full.filter(F.col("source") == "web")
+    probs = reference_probs(ref_df, "n_tok", lo=1, hi=100, buckets=10)
+    assert abs(sum(probs) - 1.0) < 1e-9
+
+    sd = streaming_drift(
+        _read_stream(spark, input_dir, per_trigger=1),
+        value_col="n_tok", key_col="source", ref_probs=probs,
+        lo=1, hi=100, buckets=10, psi_threshold=0.05)
+    _run(sd, "t_drift", out_mode="update")
+    rows = spark.sql("select * from t_drift").collect()
+    # two micro-batches -> each key emits once per batch it appears in;
+    # keep the final (largest n_total) emission per key
+    last = {}
+    for r in rows:
+        if r.key not in last or r.n_total > last[r.key].n_total:
+            last[r.key] = r
+    assert set(last) == {"web", "books"}
+    assert last["web"].n_total + last["books"].n_total == 120
+
+    for key, r in last.items():
+        batch = drift_check(ref_df, full.filter(F.col("source") == key),
+                            "n_tok", lo=1, hi=100, buckets=10,
+                            psi_threshold=0.05).collect()[0]
+        assert math.isclose(r.psi, batch.psi, rel_tol=1e-9), \
+            (key, r.psi, batch.psi)
+        assert r.drifted == (not batch.valid)
+    # the reference slice drifts against itself only through the
+    # books-rows; 'web' vs itself must NOT drift
+    assert last["web"].drifted is False
