@@ -81,7 +81,13 @@ def main(argv=None) -> int:
         description="Validate a parquet table against a constraint schema")
     ap.add_argument("--schema", required=True,
                     help="constraint schema (JSON or YAML file)")
-    ap.add_argument("--table", required=True, help="parquet path")
+    ap.add_argument("--table", required=True,
+                    help="parquet path, Iceberg table id, or "
+                         "JSON/JSONL/CSV file (boon validates raw JSON "
+                         "instances; JSONL is its distributed shape)")
+    ap.add_argument("--table-format", default="auto",
+                    choices=["auto", "parquet", "iceberg", "json", "csv"],
+                    help="input format (auto: by extension)")
     ap.add_argument("--row-id", default=None,
                     help="column used for instance pointers")
     ap.add_argument("--format", default="flag",
@@ -147,7 +153,8 @@ def main(argv=None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     from .errors import CompileError
     try:
-        df = spark.read.parquet(args.table)
+        from .sources.reader import read_table
+        df = read_table(spark, args.table, fmt=args.table_format)
         if args.sample is not None:
             df = df.sample(fraction=args.sample, seed=args.seed)
 

@@ -154,3 +154,21 @@ def test_ssl_context_flags():
     assert make_ssl_context(None, False) is None
     ctx = make_ssl_context(None, True)
     assert ctx.verify_mode == ssl.CERT_NONE and not ctx.check_hostname
+
+
+def test_jsonl_table(tmp_path):
+    # boon validates raw JSON instance documents; JSONL through
+    # spark.read.json is the distributed re-expression of that workflow
+    data = tmp_path / "rows.jsonl"
+    data.write_text("\n".join(json.dumps(d) for d in [
+        {"doc_id": "a", "n": 5},
+        {"doc_id": "b", "n": 50},
+        {"doc_id": "c", "n": 7},
+    ]))
+    spec = tmp_path / "s.json"
+    spec.write_text(json.dumps({"properties": {"n": {"maximum": 10}}}))
+    r = run_cli("--schema", str(spec), "--table", str(data),
+                "--row-id", "doc_id", "--cpus", "2", "--format", "basic")
+    assert r.returncode == 2
+    out = [json.loads(l) for l in r.stdout.strip().splitlines()]
+    assert len(out) == 1 and out[0]["instanceLocation"] == "/b/n"
