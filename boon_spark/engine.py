@@ -49,16 +49,20 @@ class Engine:
                     resources: Optional[dict] = None,
                     loader=None, assert_format: bool = False,
                     assert_content: bool = False,
-                    content_causes: bool = False) -> "Engine":
+                    content_causes: bool = False,
+                    fragment: str = "") -> "Engine":
         """``resources``/``loader`` feed cross-document $ref resolution
         (boon add_resource / SchemeUrlLoader parity);
         ``assert_format``/``assert_content`` are
         ``enable_format_assertions``/``enable_content_assertions``
-        (src/compiler.rs:105-130) — see :func:`compile_schema`."""
+        (src/compiler.rs:105-130) — see :func:`compile_schema`.
+        ``fragment`` selects a subschema (anchor or JSON pointer) as the
+        validation root, like boon ``compile("schema.json#a1")``."""
         return cls(compile_schema(schema_doc, resources=resources,
                                   loader=loader,
                                   assert_format=assert_format,
-                                  assert_content=assert_content),
+                                  assert_content=assert_content,
+                                  fragment=fragment),
                    row_id=row_id,
                    max_violations_per_row=max_violations_per_row,
                    content_causes=content_causes)

@@ -549,8 +549,17 @@ class Compiler:
         self._scans[key] = (anchors, embedded, dynamic)
         return anchors, embedded, dynamic
 
-    def compile(self) -> Node:
-        return self.compile_value(self.doc, "")
+    def compile(self, fragment: str = "") -> Node:
+        """Compile the root document, or — boon
+        ``Compiler::compile("schema.json#a1")`` parity
+        (tests/compiler.rs:34-53) — the subschema a ``#``-fragment
+        (anchor or JSON pointer) selects as the validation root.
+        keywordLocation output is relative to that root, like boon's."""
+        target = self.doc
+        if fragment:
+            target = self._walk_fragment(self.doc, fragment.lstrip("#"),
+                                         f"#{fragment.lstrip('#')}")
+        return self.compile_value(target, "")
 
     # -- $ref resolution (compile-time inlining; cycle → CompileError,
     #    mirroring boon's RefCycle, src/validator.rs:999-1011) --
@@ -1055,7 +1064,8 @@ class Compiler:
 
 def compile_schema(doc: Any, *, resources: Optional[dict] = None,
                    loader=None, assert_format: bool = False,
-                   assert_content: bool = False) -> CompiledSchema:
+                   assert_content: bool = False,
+                   fragment: str = "") -> CompiledSchema:
     """Compile a constraint document.  Accepts either a bare JSON-Schema
     dict or a table-spec dict ``{"schema": {...}, "unique": [...],
     "references": [...], "invariants": [...]}`` carrying the cross-row
@@ -1084,7 +1094,7 @@ def compile_schema(doc: Any, *, resources: Optional[dict] = None,
     assert_content = bool(extra.get("assert_content", assert_content))
     root = Compiler(schema_doc, resources=resources,
                     loader=loader, assert_format=assert_format,
-                    assert_content=assert_content).compile() \
+                    assert_content=assert_content).compile(fragment) \
         if isinstance(schema_doc, (dict, bool)) else None
     if root is None:
         raise CompileError("schema must be a dict or boolean")

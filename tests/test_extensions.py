@@ -252,3 +252,23 @@ def test_ref_keyword_location_per_use_site(spark):
                   for r in eng.validate(df).violations().collect())
     assert locs == ["/properties/x/$ref/minimum",
                     "/properties/y/$ref/minimum"]
+
+
+def test_fragment_compile_entry(spark):
+    # boon Compiler::compile("schema.json#a1") parity
+    # (tests/compiler.rs:34-53): anchor and pointer fragments select the
+    # same subschema as the validation root
+    doc = {"$defs": {"x": {"$anchor": "a1",
+                           "properties": {"n": {"maximum": 3}}}},
+           "properties": {"n": {"maximum": 100}}}
+    df = spark.createDataFrame([(1, 2), (2, 50)], "k long, n long")
+    for frag in ("#a1", "#/$defs/x", "/$defs/x"):
+        eng = Engine.from_schema(doc, row_id="k", fragment=frag)
+        got = [r.valid for r in eng.annotate(df).orderBy("k").collect()]
+        assert got == [True, False], frag
+        v = eng.validate(df).violations().collect()[0]
+        assert v.keyword_location == "/properties/n/maximum"
+    # the root (no fragment) keeps the permissive bound
+    eng = Engine.from_schema(doc, row_id="k")
+    assert [r.valid for r in eng.annotate(df).orderBy("k").collect()] \
+        == [True, True]
