@@ -60,12 +60,21 @@ def _type_depth(dt: Optional[T.DataType]) -> int:
 
 
 def _peek(n):
-    """One-level force of a possibly-lazy sub-node for STATIC inspection
-    (fast-path probes, DDL derivation).  Single-step, so it cannot
-    diverge; recursive walks must go through PlanBuilder.build or carry
-    a seen-set."""
-    if isinstance(n, Node) and n.lazy is not None:
-        return n.force()
+    """Force a possibly-lazy sub-node to a CONCRETE node for STATIC
+    inspection (fast-path probes, DDL derivation).  Loops because a
+    forced recursive $ref can itself be a bare $ref in the cycle
+    (a -> b -> a chains force to another lazy node); a pure ref chain
+    that never reaches structure is a non-descending cycle."""
+    if not isinstance(n, Node):
+        return n
+    seen = set()
+    while n.lazy is not None:
+        if n.lazy_key in seen:
+            raise CompileError(
+                f"{n.loc}: non-descending reference cycle through "
+                f"{n.lazy_key[1]!r} (pure $ref chain with no structure)")
+        seen.add(n.lazy_key)
+        n = n.force()
     return n
 
 

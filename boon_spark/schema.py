@@ -19,15 +19,13 @@ import re
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
-from .errors import CompileError, UnsupportedKeyword
+from .errors import CompileError
 
 # JSON types, exactly the reference's 7 (src/lib.rs:310-350).
 JSON_TYPES = {"null", "boolean", "number", "integer", "string", "array", "object"}
 
 # Keywords we compile.  Anything else present in a schema is ignored
-# (annotation-only keywords) unless listed in UNSUPPORTED, which fails
-# compile loudly (mirrors CompileError::UnsupportedVocabulary,
-# src/compiler.rs:808-809).
+# (plain unknown keywords are annotations, per spec and boon).
 SUPPORTED = {
     "type", "const", "enum", "format",
     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf",
@@ -55,12 +53,6 @@ ANNOTATIONS = {
     "$anchor", "$vocabulary", "$comment", "deprecated", "readOnly",
     "writeOnly",
 }
-
-# Keywords that fail compile loudly (mirrors
-# CompileError::UnsupportedVocabulary, src/compiler.rs:808-809).  Empty
-# since $recursiveRef/$dynamicRef gained compile-time dynamic-scope
-# resolution + type-directed recursion unrolling (see Node.lazy).
-UNSUPPORTED: set = set()
 
 # ---------------------------------------------------------------------------
 # draft dispatch (boon src/draft.rs:202-235 keyword tables, 427-437 $schema
@@ -506,6 +498,12 @@ class Compiler:
             return self._scans[key]
         anchors: dict[str, Any] = {}
         embedded: dict[str, Any] = {}
+        # duplicate-$id detection must compare RESOLVED ids ("item.json"
+        # vs "./item.json" under one base are the same resource — boon's
+        # DuplicateId keys on the resolved URI); all embedded ids of one
+        # document share a base, so joining against a fixed dummy base
+        # equates exactly the pairs that resolve equal
+        id_norms: dict[str, Any] = {}
         # $dynamicAnchor names of THIS resource (dynamic-scope resolution,
         # boon's per-resource dynamic_anchors map, src/root.rs /
         # src/validator.rs:636-652).  A $dynamicAnchor also creates a
@@ -523,8 +521,11 @@ class Compiler:
                     # an embedded $id starts a NEW resource: record it,
                     # but its anchors belong to ITS namespace (collected
                     # when that resource is scanned), not this one
-                    if rid in embedded and embedded[rid] is not v:
+                    from urllib.parse import urljoin
+                    nid = urljoin("http://dup-check/", rid)
+                    if nid in id_norms and id_norms[nid] is not v:
                         raise CompileError(f"duplicate $id {rid!r}")
+                    id_norms[nid] = v
                     embedded[rid] = v
                     return
                 a = v.get("$anchor")
@@ -536,8 +537,14 @@ class Compiler:
                 if isinstance(da, str):
                     if da in dynamic:
                         raise CompileError(f"duplicate $dynamicAnchor {da!r}")
+                    # a $dynamicAnchor also creates a plain anchor
+                    # (2020-12 core §8.2.2), so it collides with an
+                    # existing $anchor of the same name in EITHER
+                    # document order (boon DuplicateAnchor)
+                    if da in anchors and anchors[da] is not v:
+                        raise CompileError(f"duplicate $anchor {da!r}")
                     dynamic[da] = v
-                    anchors.setdefault(da, v)
+                    anchors[da] = v
                 for k, sub in v.items():
                     if k not in data_keys:
                         walk(sub, False)
@@ -817,12 +824,6 @@ class Compiler:
             v = {k: s for k, s in v.items()
                  if self._keyword_active(k, draft)
                  and self._vocab_enabled(k, draft)}
-        for kw in v:
-            if kw in UNSUPPORTED:
-                raise UnsupportedKeyword(
-                    f"{loc}/{kw}: unsupported over fixed-width rows "
-                    f"(see SURVEY.md §2.1); remove or restructure the schema")
-
         ref_kws = [kw for kw in ("$ref", "$recursiveRef", "$dynamicRef")
                    if kw in v]
         if ref_kws:

@@ -29,17 +29,31 @@ def read_table(spark: SparkSession, location: str, *,
     that workflow.  ``fmt='auto'`` prefers Iceberg when the runtime has
     it and the location looks like a table identifier, then dispatches
     on the file extension (default parquet)."""
-    if fmt == "iceberg" or (fmt == "auto" and "/" not in location
-                            and iceberg_available(spark)):
-        return spark.read.format("iceberg").load(location)
     low = location.rstrip("/").lower()
+    # extension dispatch BEFORE the Iceberg table-identifier heuristic:
+    # a bare relative filename ("rows.jsonl") has no "/" either
     if fmt == "json" or (fmt == "auto" and
                          low.endswith((".json", ".jsonl", ".ndjson"))):
-        # multiLine=false: one JSON document per line (JSONL), the
-        # splittable layout — a single giant multi-line document cannot
-        # be parallelized and is not a 10^12-row shape
-        return spark.read.json(location)
-    if fmt == "csv" or (fmt == "auto" and low.endswith(".csv")):
-        return spark.read.option("header", "true") \
+        # .jsonl/.ndjson: one document per line — the splittable layout
+        # (a single giant multi-line document cannot be parallelized and
+        # is not a 10^12-row shape).  A plain .json file is boon's
+        # primary instance shape: one (possibly pretty-printed) document
+        # or a top-level array — multiLine parses those; line-mode would
+        # yield _corrupt_record rows that VALIDATE (silent false verdict)
+        multi = low.endswith(".json")
+        df = spark.read.option("multiLine", str(multi).lower()) \
+            .json(location)
+    elif fmt == "csv" or (fmt == "auto" and low.endswith(".csv")):
+        df = spark.read.option("header", "true") \
             .option("inferSchema", "true").csv(location)
-    return spark.read.parquet(location)
+    elif fmt == "iceberg" or (fmt == "auto" and "/" not in location
+                              and iceberg_available(spark)):
+        return spark.read.format("iceberg").load(location)
+    else:
+        return spark.read.parquet(location)
+    if df.columns == ["_corrupt_record"]:
+        raise ValueError(
+            f"{location}: not parseable as JSON/CSV rows (every record "
+            f"corrupt) — a silently-valid verdict over corrupt rows "
+            f"would mask the failure")
+    return df

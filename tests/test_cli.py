@@ -2,6 +2,8 @@
 contract (exit 2 on validation failure, cli/src/main.rs:169-171)."""
 
 import json
+
+import pytest
 import os
 import subprocess
 import sys
@@ -172,3 +174,81 @@ def test_jsonl_table(tmp_path):
     assert r.returncode == 2
     out = [json.loads(l) for l in r.stdout.strip().splitlines()]
     assert len(out) == 1 and out[0]["instanceLocation"] == "/b/n"
+
+
+def test_pretty_printed_json_table(tmp_path):
+    # a .json file is a (possibly pretty-printed) document or top-level
+    # array — line-mode would yield _corrupt_record rows that VALIDATE
+    # (round-3 review finding: silent false verdict)
+    data = tmp_path / "inst.json"
+    data.write_text(json.dumps(
+        [{"doc_id": "a", "n": 5}, {"doc_id": "b", "n": 50}], indent=2))
+    spec = tmp_path / "s.json"
+    spec.write_text(json.dumps({"properties": {"n": {"maximum": 10}}}))
+    r = run_cli("--schema", str(spec), "--table", str(data),
+                "--row-id", "doc_id", "--cpus", "2", "--format", "flag")
+    assert r.returncode == 2
+    out = json.loads(r.stdout)
+    assert out["n_rows"] == 2 and out["n_invalid"] == 1
+
+
+def test_corrupt_table_fails_loudly(tmp_path, spark):
+    from boon_spark.sources.reader import read_table
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text("{not json at all\n}}}\n")
+    with pytest.raises(Exception, match="corrupt"):
+        read_table(spark, str(bad))
+
+
+def test_bare_relative_name_beats_iceberg_heuristic(monkeypatch):
+    # extension dispatch must beat the Iceberg table-id heuristic for a
+    # bare relative filename (no "/") on an Iceberg-enabled runtime —
+    # dispatch-logic test with a recording fake (the JVM cwd cannot be
+    # moved for a real relative-path read)
+    from boon_spark.sources import reader
+
+    class FakeDF:
+        columns = ["a"]
+
+    class FakeRead:
+        def __init__(self, calls):
+            self.calls = calls
+
+        def option(self, *a):
+            return self
+
+        def json(self, loc):
+            self.calls.append(("json", loc))
+            return FakeDF()
+
+        def csv(self, loc):
+            self.calls.append(("csv", loc))
+            return FakeDF()
+
+        def parquet(self, loc):
+            self.calls.append(("parquet", loc))
+            return FakeDF()
+
+        def format(self, f):
+            self.calls.append(("format", f))
+            return self
+
+        def load(self, loc):
+            self.calls.append(("load", loc))
+            return FakeDF()
+
+    class FakeSpark:
+        def __init__(self):
+            self.calls = []
+
+        @property
+        def read(self):
+            return FakeRead(self.calls)
+
+    monkeypatch.setattr(reader, "iceberg_available", lambda s: True)
+    fs = FakeSpark()
+    reader.read_table(fs, "rows.jsonl")
+    assert fs.calls == [("json", "rows.jsonl")]
+    fs2 = FakeSpark()
+    reader.read_table(fs2, "catalog.db.tbl")
+    assert ("format", "iceberg") in fs2.calls

@@ -246,3 +246,35 @@ def test_recursive_propertynames_rejected(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(CompileError, match="cycle"):
         eng.validate(df)
+
+
+def test_chained_ref_cycle_forces_through_alias_hop(spark):
+    # a -> b alias hop inside the cycle: _peek must force through the
+    # chained lazy node or the items fast path silently drops the
+    # constraint (round-3 review finding, reproduced with valid=True)
+    doc = {"$defs": {"a": {"$ref": "#/$defs/b"},
+                     "b": {"minimum": 5, "items": {"$ref": "#/$defs/a"}}},
+           "properties": {"xs": {"$ref": "#/$defs/a"}}}
+    eng = Engine.from_schema(doc, row_id="k")
+    df = spark.createDataFrame([(1, [1, 2]), (2, [7, 9])],
+                               "k long, xs array<long>")
+    got = [r.valid for r in eng.annotate(df).orderBy("k").collect()]
+    assert got == [False, True]
+
+
+def test_anchor_dynamic_anchor_collision_both_orders():
+    # boon DuplicateAnchor: $dynamicAnchor also creates a plain anchor,
+    # so the collision must raise in EITHER document order
+    for defs in ({"p": {"$anchor": "x"}, "q": {"$dynamicAnchor": "x"}},
+                 {"p": {"$dynamicAnchor": "x"}, "q": {"$anchor": "x"}}):
+        with pytest.raises(CompileError, match="duplicate"):
+            compile_schema({"$defs": defs})
+
+
+def test_duplicate_id_detected_after_resolution():
+    # "item.json" and "./item.json" resolve to the same URI (boon keys
+    # DuplicateId on the resolved form)
+    with pytest.raises(CompileError, match="duplicate \\$id"):
+        compile_schema({"$defs": {
+            "a": {"$id": "item.json"},
+            "b": {"$id": "./item.json"}}})
