@@ -128,9 +128,9 @@ def main(argv=None) -> int:
 
     from .schema import compile_schema
 
-    ssl_ctx = make_ssl_context(args.cacert, args.insecure)
-    ref_loader = make_ref_loader(args.schema, ssl_ctx)
     try:
+        ssl_ctx = make_ssl_context(args.cacert, args.insecure)
+        ref_loader = make_ref_loader(args.schema, ssl_ctx)
         spec = load_schema(args.schema, ssl_ctx)
         # fail fast before starting a session; the loader resolves
         # cross-document $refs relative to the schema's own location.
@@ -226,8 +226,11 @@ def main(argv=None) -> int:
             for r in rows:
                 say(f"{r.keyword_location}\t{r.n_violations}")
         return 2 if invalid else 0
-    except CompileError as e:  # plan-time compile errors (e.g. dynamic
-        print(f"error: {e}", file=sys.stderr)  # unevaluated* sets)
+    except (CompileError, ValueError) as e:
+        # plan-time compile errors (non-descending cycles, unknown
+        # formats) and input errors (corrupt JSON tables) share the
+        # CLI's error contract: "error: ..." + exit 1, never a traceback
+        print(f"error: {e}", file=sys.stderr)
         return 1
     finally:
         spark.stop()

@@ -343,14 +343,8 @@ class Compiler:
         # and $id duplicates inside an embedded resource must fail even
         # when nothing references it yet (invalid-schemas.json
         # DuplicateId/DuplicateAnchor)
-        changed = True
-        while changed:
-            changed = False
-            for _a, embedded, _d in list(self._scans.values()):
-                for sub in embedded.values():
-                    if id(sub) not in self._scans:
-                        self._scan_resource(sub)
-                        changed = True
+        while self._scan_new_embedded():
+            pass
         # (loc_prefix, abs_prefix, abs_uri) for absoluteKeywordLocation:
         # below an inlined pointer-$ref the dereferenced location
         # substitutes the use-site prefix with the definition pointer,
@@ -369,24 +363,16 @@ class Compiler:
         REQUIRED?  boon asserts ``format`` in 2019-09 when the metaschema
         requires ``.../vocab/format`` and in 2020-12 when it requires
         ``.../vocab/format-assertion`` (``src/compiler.rs:488-494``).
-        The standard metaschemas require neither; only a resolvable
-        custom metaschema can flip this on."""
-        if draft not in (2019, 2020) or not isinstance(doc, dict):
-            return False
-        s = doc.get("$schema")
-        if not isinstance(s, str) or draft_of_uri(s) is not None:
-            return False  # standard metaschema: format not required
+        Derived from :meth:`_meta_vocabs` so "required" means exactly
+        one thing (literal ``true``, like boon's ``Value::Bool(true)``
+        match) for both format gating and keyword-group gating."""
         try:
-            meta = self._find_resource(s.rstrip("#"))
+            names = self._meta_vocabs(doc, draft)
         except CompileError:
             return False
-        vocab = meta.get("$vocabulary") if isinstance(meta, dict) else None
-        if not isinstance(vocab, dict):
+        if not names:
             return False
-        want = ("/vocab/format-assertion" if draft == 2020
-                else "/vocab/format")
-        return any(bool(req) and str(uri).rstrip("/").endswith(want)
-                   for uri, req in vocab.items())
+        return ("format-assertion" if draft == 2020 else "format") in names
 
     def _meta_vocabs(self, doc: Any,
                      draft: Optional[int]) -> Optional[frozenset]:
@@ -498,12 +484,18 @@ class Compiler:
             return self._scans[key]
         anchors: dict[str, Any] = {}
         embedded: dict[str, Any] = {}
-        # duplicate-$id detection must compare RESOLVED ids ("item.json"
-        # vs "./item.json" under one base are the same resource — boon's
-        # DuplicateId keys on the resolved URI); all embedded ids of one
-        # document share a base, so joining against a fixed dummy base
-        # equates exactly the pairs that resolve equal
-        id_norms: dict[str, Any] = {}
+        # duplicate-$id detection compares RESOLVED ids ("item.json" vs
+        # "./item.json" — and vs "https://base/item.json" when the
+        # resource's own $id gives an absolute base — are the same
+        # resource; boon's DuplicateId keys on the resolved URI).  All
+        # embedded ids of one document resolve against the same base;
+        # a dummy base stands in when the resource has no absolute $id.
+        from urllib.parse import urljoin
+        own = doc.get("$id") if isinstance(doc, dict) else None
+        id_base = own if isinstance(own, str) and "://" in own \
+            else "http://dup-check/"
+        id_norms: dict[str, Any] = {urljoin(id_base, own): doc} \
+            if isinstance(own, str) else {}
         # $dynamicAnchor names of THIS resource (dynamic-scope resolution,
         # boon's per-resource dynamic_anchors map, src/root.rs /
         # src/validator.rs:636-652).  A $dynamicAnchor also creates a
@@ -521,8 +513,7 @@ class Compiler:
                     # an embedded $id starts a NEW resource: record it,
                     # but its anchors belong to ITS namespace (collected
                     # when that resource is scanned), not this one
-                    from urllib.parse import urljoin
-                    nid = urljoin("http://dup-check/", rid)
+                    nid = urljoin(id_base, rid)
                     if nid in id_norms and id_norms[nid] is not v:
                         raise CompileError(f"duplicate $id {rid!r}")
                     id_norms[nid] = v
@@ -570,6 +561,17 @@ class Compiler:
 
     # -- $ref resolution (compile-time inlining; cycle → CompileError,
     #    mirroring boon's RefCycle, src/validator.rs:999-1011) --
+    def _scan_new_embedded(self) -> bool:
+        """One sweep scanning any not-yet-scanned embedded resources;
+        True if something new was scanned (callers loop to fixpoint)."""
+        changed = False
+        for _a, embedded, _d in list(self._scans.values()):
+            for sub in embedded.values():
+                if id(sub) not in self._scans:
+                    self._scan_resource(sub)
+                    changed = True
+        return changed
+
     def _find_resource(self, uri: str) -> Any:
         """Locate a resource document by absolute (or as-written) URI:
         pre-supplied resources first, then embedded ``$id`` subschemas of
@@ -579,16 +581,12 @@ class Compiler:
         # fixpoint over embedded resources: scanning a resource may
         # reveal resources nested inside it (each $id starts a new
         # anchor namespace, so scans stop at resource boundaries)
-        changed = True
-        while changed:
-            changed = False
+        while True:
             for _anchors, embedded, _dyn in list(self._scans.values()):
                 if uri in embedded:
                     return embedded[uri]
-                for sub in embedded.values():
-                    if id(sub) not in self._scans:
-                        self._scan_resource(sub)
-                        changed = True
+            if not self._scan_new_embedded():
+                break
         if self.loader is not None:
             # a failing loader (URLError offline, FileNotFoundError, …)
             # must surface as CompileError so callers' fallbacks — the

@@ -51,9 +51,14 @@ def read_table(spark: SparkSession, location: str, *,
         return spark.read.format("iceberg").load(location)
     else:
         return spark.read.parquet(location)
-    if df.columns == ["_corrupt_record"]:
+    if "_corrupt_record" in df.columns:
+        # even ONE malformed record must fail loudly: a corrupt row
+        # parses as all-NULL and NULL passes most keywords (engine NULL
+        # semantics), so it would count as a VALID instance — a silent
+        # false verdict over corrupt data
         raise ValueError(
-            f"{location}: not parseable as JSON/CSV rows (every record "
-            f"corrupt) — a silently-valid verdict over corrupt rows "
-            f"would mask the failure")
+            f"{location}: contains records that are not parseable as "
+            f"JSON rows (Spark _corrupt_record present) — fix or strip "
+            f"them; corrupt rows would otherwise validate as all-NULL "
+            f"instances")
     return df

@@ -252,3 +252,28 @@ def test_bare_relative_name_beats_iceberg_heuristic(monkeypatch):
     fs2 = FakeSpark()
     reader.read_table(fs2, "catalog.db.tbl")
     assert ("format", "iceberg") in fs2.calls
+
+
+def test_corrupt_table_error_contract(tmp_path):
+    # input errors share the CLI's contract: "error: ..." + exit 1,
+    # never a raw traceback
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text("{not json\n}}}\n")
+    spec = tmp_path / "s.json"
+    spec.write_text(json.dumps({"properties": {"n": {"maximum": 1}}}))
+    r = run_cli("--schema", str(spec), "--table", str(bad),
+                "--row-id", "doc_id", "--cpus", "2")
+    assert r.returncode == 1
+    # Spark startup banners precede it on stderr; the contract is an
+    # "error: ..." line and no traceback
+    assert any(l.startswith("error:") for l in r.stderr.splitlines())
+    assert "Traceback" not in r.stderr
+
+
+def test_bad_cacert_error_contract(tmp_path):
+    spec = tmp_path / "s.json"
+    spec.write_text(json.dumps({"properties": {"n": {"maximum": 1}}}))
+    r = run_cli("--schema", str(spec), "--table", "x.parquet",
+                "--cacert", str(tmp_path / "missing.pem"))
+    assert r.returncode == 1
+    assert r.stderr.strip().startswith("error:")
