@@ -252,26 +252,32 @@ class PlanBuilder:
         ``dtype`` is None only for the root row (treated as a JSON object).
         """
         restore: list[tuple[tuple, Optional[int]]] = []
-        d = _type_depth(self.df_schema if dtype is None else dtype)
-        while node.lazy is not None:
-            key = node.lazy_key
-            prev = self._force_depths.get(key)
-            if prev is not None and d >= prev:
-                raise CompileError(
-                    f"{node.loc}: non-descending reference cycle through "
-                    f"{key[1]!r} — the recursion re-applies the schema to "
-                    f"the same instance and can never terminate (boon "
-                    f"detects this at runtime, src/validator.rs:999-1011; "
-                    f"this engine refuses at plan time)")
-            restore.append((key, prev))
-            self._force_depths[key] = d
-            node = node.force()
-        self._node_stack.append((node.loc, node.abs_loc or node.loc,
-                                 node.abs_uri))
+        # the restore runs in a finally that ALSO covers the force loop:
+        # a thunk that raises (nested non-descending cycle) must not
+        # leak its depth entries into later build() calls
         try:
-            return self._build(node, dtype, value, iloc)
+            d = _type_depth(self.df_schema if dtype is None else dtype)
+            while node.lazy is not None:
+                key = node.lazy_key
+                prev = self._force_depths.get(key)
+                if prev is not None and d >= prev:
+                    raise CompileError(
+                        f"{node.loc}: non-descending reference cycle "
+                        f"through {key[1]!r} — the recursion re-applies "
+                        f"the schema to the same instance and can never "
+                        f"terminate (boon detects this at runtime, "
+                        f"src/validator.rs:999-1011; this engine refuses "
+                        f"at plan time)")
+                restore.append((key, prev))
+                self._force_depths[key] = d
+                node = node.force()
+            self._node_stack.append((node.loc, node.abs_loc or node.loc,
+                                     node.abs_uri))
+            try:
+                return self._build(node, dtype, value, iloc)
+            finally:
+                self._node_stack.pop()
         finally:
-            self._node_stack.pop()
             for key, prev in reversed(restore):
                 if prev is None:
                     del self._force_depths[key]

@@ -337,6 +337,9 @@ class Compiler:
         # $schema selects its own draft gating, format-vocabulary
         # assertion mode, and enabled vocabulary set
         self._ctx: list[tuple] = []
+        # (id(doc), draft) → required-vocab frozenset — _meta_vocabs is
+        # consulted twice per ctx push (directly + via format gating)
+        self._vocab_memo: dict[tuple, Optional[frozenset]] = {}
         self._scan_resource(doc)
         # eagerly scan embedded $id resources transitively, like boon's
         # up-front resource collection (src/root.rs / roots.rs): anchor
@@ -349,7 +352,7 @@ class Compiler:
         # below an inlined pointer-$ref the dereferenced location
         # substitutes the use-site prefix with the definition pointer,
         # carrying the defining resource's URI when it is not the root
-        self._loc_prefix = ""
+        self._loc_prefix: Optional[str] = None  # None = disabled
         self._abs_prefix = ""
         self._abs_uri = ""
         root_draft = self._draft_for_doc(doc)
@@ -383,8 +386,15 @@ class Compiler:
         name is UnsupportedVocabulary, like boon."""
         if draft not in (2019, 2020) or not isinstance(doc, dict):
             return None
+        memo_key = (id(doc), draft)
+        if memo_key in self._vocab_memo:
+            return self._vocab_memo[memo_key]
+        # NOTE: only successful outcomes are cached — an
+        # unsupported-vocabulary CompileError must raise on EVERY call
+        # (format gating catches it; the ctx push must still see it)
         s = doc.get("$schema")
         if not isinstance(s, str) or draft_of_uri(s) is not None:
+            self._vocab_memo[memo_key] = None
             return None
         try:
             meta = self._find_resource(s.rstrip("#"))
@@ -392,6 +402,7 @@ class Compiler:
             return None
         vocab = meta.get("$vocabulary") if isinstance(meta, dict) else None
         if not isinstance(vocab, dict):
+            self._vocab_memo[memo_key] = None
             return None
         prefix = KNOWN_VOCAB_PREFIXES[1 if draft == 2020 else 0]
         names = set()
@@ -409,7 +420,8 @@ class Compiler:
                     f"$schema {s!r}: unsupported required "
                     f"vocabulary {u!r}")
             names.add(name)
-        return frozenset(names)
+        self._vocab_memo[memo_key] = frozenset(names)
+        return self._vocab_memo[memo_key]
 
     def _vocab_enabled(self, kw: str, draft: Optional[int]) -> bool:
         """boon Root::has_vocab (src/root.rs:16-24): drafts < 2019 have
@@ -468,14 +480,16 @@ class Compiler:
             vocab = meta.get("$vocabulary")
             if isinstance(vocab, dict):
                 for uri, required in vocab.items():
-                    if required and not str(uri).startswith(
+                    # literal true only — boon's Value::Bool(true) match
+                    # (consistent with _meta_vocabs)
+                    if required is True and not str(uri).startswith(
                             KNOWN_VOCAB_PREFIXES):
                         raise CompileError(
                             f"$schema {s!r}: unsupported required "
                             f"vocabulary {uri!r}")
         return self._draft_for_doc(meta, _depth=_depth + 1)
 
-    def _scan_resource(self, doc: Any) -> tuple[dict, dict]:
+    def _scan_resource(self, doc: Any) -> tuple[dict, dict, dict]:
         """Anchor names and embedded ``$id`` resources of one document,
         mirroring boon's resource/anchor collection
         (src/draft.rs:239-297, src/root.rs:112-117).  Cached per doc."""
@@ -555,8 +569,15 @@ class Compiler:
         keywordLocation output is relative to that root, like boon's."""
         target = self.doc
         if fragment:
-            target = self._walk_fragment(self.doc, fragment.lstrip("#"),
-                                         f"#{fragment.lstrip('#')}")
+            frag = fragment.lstrip("#")
+            target = self._walk_fragment(self.doc, frag, f"#{frag}")
+            if frag.startswith("/"):
+                # pointer roots substitute the definition pointer into
+                # absoluteKeywordLocation (anchor roots keep relative
+                # locations, matching anchor-$ref behavior)
+                from urllib.parse import unquote
+                self._loc_prefix = ""
+                self._abs_prefix = unquote(frag)
         return self.compile_value(target, "")
 
     # -- $ref resolution (compile-time inlining; cycle → CompileError,
@@ -763,12 +784,12 @@ class Compiler:
             (self._loc_prefix, self._abs_prefix, self._abs_uri) = old
 
     def _abs(self, loc: str) -> str:
-        if self._loc_prefix and loc.startswith(self._loc_prefix):
+        if self._loc_prefix is not None and loc.startswith(self._loc_prefix):
             return self._abs_prefix + loc[len(self._loc_prefix):]
         return loc
 
     def _abs_uri_of(self, loc: str) -> str:
-        if self._loc_prefix and loc.startswith(self._loc_prefix):
+        if self._loc_prefix is not None and loc.startswith(self._loc_prefix):
             return self._abs_uri
         return ""
 

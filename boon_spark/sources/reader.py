@@ -10,6 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# corrupt-row marker column for JSON reads (see read_table): a
+# distinctive name because a dataset may legitimately contain a field
+# called _corrupt_record
+_CORRUPT = "_boon_spark_corrupt"
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     try:
@@ -42,23 +47,26 @@ def read_table(spark: SparkSession, location: str, *,
         # yield _corrupt_record rows that VALIDATE (silent false verdict)
         multi = low.endswith(".json")
         df = spark.read.option("multiLine", str(multi).lower()) \
+            .option("columnNameOfCorruptRecord", _CORRUPT) \
             .json(location)
     elif fmt == "csv" or (fmt == "auto" and low.endswith(".csv")):
+        # FAILFAST: a malformed CSV row would otherwise PERMISSIVE-fill
+        # NULLs that validate (same silent-false-verdict hazard as JSON)
         df = spark.read.option("header", "true") \
-            .option("inferSchema", "true").csv(location)
+            .option("inferSchema", "true") \
+            .option("mode", "FAILFAST").csv(location)
     elif fmt == "iceberg" or (fmt == "auto" and "/" not in location
                               and iceberg_available(spark)):
         return spark.read.format("iceberg").load(location)
     else:
         return spark.read.parquet(location)
-    if "_corrupt_record" in df.columns:
+    if _CORRUPT in df.columns:
         # even ONE malformed record must fail loudly: a corrupt row
         # parses as all-NULL and NULL passes most keywords (engine NULL
         # semantics), so it would count as a VALID instance — a silent
         # false verdict over corrupt data
         raise ValueError(
             f"{location}: contains records that are not parseable as "
-            f"JSON rows (Spark _corrupt_record present) — fix or strip "
-            f"them; corrupt rows would otherwise validate as all-NULL "
-            f"instances")
+            f"JSON rows — fix or strip them; corrupt rows would "
+            f"otherwise validate as all-NULL instances")
     return df

@@ -277,3 +277,21 @@ def test_bad_cacert_error_contract(tmp_path):
                 "--cacert", str(tmp_path / "missing.pem"))
     assert r.returncode == 1
     assert r.stderr.strip().startswith("error:")
+
+
+def test_legit_corrupt_record_field_not_rejected(tmp_path, spark):
+    # a dataset may legitimately contain a _corrupt_record field; only
+    # Spark's own corrupt marker (distinctive name) triggers the error
+    from boon_spark.sources.reader import read_table
+    f = tmp_path / "audit.jsonl"
+    f.write_text('{"_corrupt_record": "note", "n": 1}\n'
+                 '{"_corrupt_record": null, "n": 2}\n')
+    assert read_table(spark, str(f)).count() == 2
+
+
+def test_malformed_csv_fails_loudly(tmp_path, spark):
+    from boon_spark.sources.reader import read_table
+    f = tmp_path / "bad.csv"
+    f.write_text('doc_id,n\n"a",5\n"unterminated,\n')
+    with pytest.raises(Exception):
+        read_table(spark, str(f)).collect()

@@ -278,3 +278,13 @@ def test_duplicate_id_detected_after_resolution():
         compile_schema({"$defs": {
             "a": {"$id": "item.json"},
             "b": {"$id": "./item.json"}}})
+
+
+def test_truthy_nonbool_vocab_value_is_ignored_not_rejected():
+    # boon matches Value::Bool(true) exactly — "yes" is neither required
+    # nor an error (third review pass: _draft_for_doc used truthiness)
+    meta = {"$schema": D2020,
+            "$vocabulary": {"https://example.com/custom-vocab": "yes"}}
+    compile_schema({"$schema": "https://example.com/meta-truthy",
+                    "properties": {"a": {"type": "string"}}},
+                   resources={"https://example.com/meta-truthy": meta})

@@ -272,3 +272,14 @@ def test_fragment_compile_entry(spark):
     eng = Engine.from_schema(doc, row_id="k")
     assert [r.valid for r in eng.annotate(df).orderBy("k").collect()] \
         == [True, True]
+
+
+def test_fragment_pointer_absolute_keyword_location(spark):
+    # boon's fragment compile reports the definition pointer in
+    # absoluteKeywordLocation (third review pass)
+    doc = {"$defs": {"x": {"properties": {"n": {"maximum": 3}}}}}
+    eng = Engine.from_schema(doc, row_id="k", fragment="#/$defs/x")
+    df = spark.createDataFrame([(1, 50)], "k long, n long")
+    v = eng.validate(df).violations().collect()[0]
+    assert v.keyword_location == "/properties/n/maximum"
+    assert v.absolute_keyword_location == "#/$defs/x/properties/n/maximum"
