@@ -226,10 +226,12 @@ def main(argv=None) -> int:
             for r in rows:
                 say(f"{r.keyword_location}\t{r.n_violations}")
         return 2 if invalid else 0
-    except (CompileError, ValueError) as e:
+    except Exception as e:
         # plan-time compile errors (non-descending cycles, unknown
-        # formats) and input errors (corrupt JSON tables) share the
+        # formats) and input errors (corrupt JSON tables, FAILFAST CSV
+        # parse failures at action time, missing paths) all share the
         # CLI's error contract: "error: ..." + exit 1, never a traceback
+        # (boon's CLI prints a clean error for every failure class too)
         print(f"error: {e}", file=sys.stderr)
         return 1
     finally:

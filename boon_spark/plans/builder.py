@@ -212,7 +212,7 @@ class PlanBuilder:
         with the schema resource URI (root ``$id``) when one exists."""
         cur_loc, cur_abs, cur_uri = self._node_stack[-1]
         abs_kw = cur_abs + kw_loc[len(cur_loc):] \
-            if cur_loc and kw_loc.startswith(cur_loc) else kw_loc
+            if kw_loc.startswith(cur_loc) else kw_loc
         # cur_uri names the defining resource for cross-resource $ref
         # targets; empty → the root document's base URI applies.  (An
         # explicit flag, NOT a '#'-substring test — property names may

@@ -571,13 +571,18 @@ class Compiler:
         if fragment:
             frag = fragment.lstrip("#")
             target = self._walk_fragment(self.doc, frag, f"#{frag}")
-            if frag.startswith("/"):
+            # decide pointer-vs-anchor on the DECODED form, like
+            # _walk_fragment itself ("#%2Fa" is a pointer); "#/" is the
+            # document root — no prefix, or every location doubles its
+            # leading slash
+            from urllib.parse import unquote
+            dec = unquote(frag)
+            if dec.startswith("/") and dec != "/":
                 # pointer roots substitute the definition pointer into
                 # absoluteKeywordLocation (anchor roots keep relative
                 # locations, matching anchor-$ref behavior)
-                from urllib.parse import unquote
                 self._loc_prefix = ""
-                self._abs_prefix = unquote(frag)
+                self._abs_prefix = dec
         return self.compile_value(target, "")
 
     # -- $ref resolution (compile-time inlining; cycle → CompileError,

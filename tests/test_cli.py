@@ -290,8 +290,10 @@ def test_legit_corrupt_record_field_not_rejected(tmp_path, spark):
 
 
 def test_malformed_csv_fails_loudly(tmp_path, spark):
+    # pin the FAILFAST mode specifically — any other coincidental crash
+    # must not satisfy this test
     from boon_spark.sources.reader import read_table
     f = tmp_path / "bad.csv"
     f.write_text('doc_id,n\n"a",5\n"unterminated,\n')
-    with pytest.raises(Exception):
+    with pytest.raises(Exception, match="FAILFAST|[Mm]alformed"):
         read_table(spark, str(f)).collect()

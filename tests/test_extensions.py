@@ -283,3 +283,21 @@ def test_fragment_pointer_absolute_keyword_location(spark):
     v = eng.validate(df).violations().collect()[0]
     assert v.keyword_location == "/properties/n/maximum"
     assert v.absolute_keyword_location == "#/$defs/x/properties/n/maximum"
+
+
+def test_fragment_root_keyword_absolute_location(spark):
+    # keywords attached DIRECTLY to the pointer-fragment root (loc "")
+    # must get the definition-pointer prefix too (fourth review pass)
+    doc = {"$defs": {"x": {"required": ["a"]}}}
+    eng = Engine.from_schema(doc, row_id="k", fragment="#/$defs/x")
+    df = spark.createDataFrame([(1, None)], "k long, a string")
+    v = eng.validate(df).violations().collect()[0]
+    assert v.absolute_keyword_location == "#/$defs/x/required"
+
+
+def test_fragment_root_slash_is_document_root(spark):
+    eng = Engine.from_schema({"required": ["a"]}, row_id="k",
+                             fragment="#/")
+    df = spark.createDataFrame([(1, None)], "k long, a string")
+    v = eng.validate(df).violations().collect()[0]
+    assert v.absolute_keyword_location == "#/required"
