@@ -39,6 +39,19 @@ def annotate_stream(stream_df: DataFrame, spec, *,
     return Engine.from_schema(spec, row_id=row_id).annotate(stream_df)
 
 
+def dedup_stream(stream_df: DataFrame, keys: list, *, ts_col: str,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup — the cross-batch analogue of
+    ``operators.dedup.exact_duplicates``: keeps the first arrival per
+    key within the watermark horizon.  State is one entry per distinct
+    key inside the horizon and is EVICTED as the watermark advances
+    (``dropDuplicatesWithinWatermark``) — unbounded-state dedup over a
+    10^12-row stream is exactly the shape that OOMs a state store, so
+    the horizon is mandatory."""
+    return (stream_df.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
+
+
 def violation_rate(stream_df: DataFrame, spec, *, ts_col: str,
                    window: str = "1 minute",
                    watermark: str = "2 minutes",

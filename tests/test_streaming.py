@@ -217,3 +217,27 @@ def test_streaming_drift_converges_to_batch_psi(spark, input_dir):
     # the reference slice drifts against itself only through the
     # books-rows; 'web' vs itself must NOT drift
     assert last["web"].drifted is False
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    from boon_spark.streaming.validate_stream import dedup_stream
+
+    rows1 = [("a", 1, "web", "2024-01-01 00:00:00"),
+             ("b", 2, "web", "2024-01-01 00:00:10")]
+    rows2 = [("a", 1, "web", "2024-01-01 00:00:20"),   # dup of batch 1
+             ("c", 3, "web", "2024-01-01 00:00:30")]
+    ddl_src = "doc_id string, n_tok int, source string, ts string"
+    path = str(tmp_path / "in")
+    for i, rows in enumerate((rows1, rows2)):
+        spark.createDataFrame(rows, ddl_src) \
+            .withColumn("ts", F.to_timestamp("ts")) \
+            .coalesce(1).write.parquet(f"{path}/p{i}")
+    stream = (spark.readStream.schema(DDL)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    dd = dedup_stream(stream, ["doc_id"], ts_col="ts")
+    q = (dd.writeStream.format("memory").queryName("t_dd")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.sql("select * from t_dd").collect())
+    assert got == ["a", "b", "c"]  # the duplicate 'a' dropped
