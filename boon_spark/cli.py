@@ -151,6 +151,10 @@ def main(argv=None) -> int:
              .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    from py4j.protocol import Py4JJavaError
+
+    from pyspark.errors import PySparkException
+
     from .errors import CompileError
     try:
         from .sources.reader import read_table
@@ -226,13 +230,17 @@ def main(argv=None) -> int:
             for r in rows:
                 say(f"{r.keyword_location}\t{r.n_violations}")
         return 2 if invalid else 0
-    except Exception as e:
+    except (CompileError, ValueError, PySparkException,
+            Py4JJavaError) as e:
         # plan-time compile errors (non-descending cycles, unknown
         # formats) and input errors (corrupt JSON tables, FAILFAST CSV
-        # parse failures at action time, missing paths) all share the
-        # CLI's error contract: "error: ..." + exit 1, never a traceback
-        # (boon's CLI prints a clean error for every failure class too)
-        print(f"error: {e}", file=sys.stderr)
+        # parse failures at action time, missing paths) share the CLI's
+        # error contract: "error: ..." + exit 1.  Deliberately NOT a
+        # bare `except Exception`: an internal TypeError must stay a
+        # traceback, not be laundered into the user-error contract.
+        # Spark/Py4J messages embed a JVM stack — keep the head only.
+        head = "\n".join(str(e).strip().splitlines()[:2])[:400]
+        print(f"error: {head}", file=sys.stderr)
         return 1
     finally:
         spark.stop()

@@ -572,12 +572,10 @@ class Compiler:
             frag = fragment.lstrip("#")
             target = self._walk_fragment(self.doc, frag, f"#{frag}")
             # decide pointer-vs-anchor on the DECODED form, like
-            # _walk_fragment itself ("#%2Fa" is a pointer); "#/" is the
-            # document root — no prefix, or every location doubles its
-            # leading slash
+            # _walk_fragment itself ("#%2Fa" is a pointer)
             from urllib.parse import unquote
             dec = unquote(frag)
-            if dec.startswith("/") and dec != "/":
+            if dec.startswith("/"):
                 # pointer roots substitute the definition pointer into
                 # absoluteKeywordLocation (anchor roots keep relative
                 # locations, matching anchor-$ref behavior)
@@ -632,7 +630,9 @@ class Compiler:
             f"resources={{uri: doc}} or a loader)")
 
     def _walk_fragment(self, doc: Any, frag: str, ref: str) -> Any:
-        if frag in ("", "/"):
+        # RFC 6901: "" is the whole document; "/" is the pointer to the
+        # EMPTY-STRING-keyed member (one empty reference token)
+        if frag == "":
             return doc
         from urllib.parse import unquote
         frag = unquote(frag)  # percent-decode, like boon src/util.rs:161-176

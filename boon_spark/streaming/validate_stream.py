@@ -48,6 +48,8 @@ def dedup_stream(stream_df: DataFrame, keys: list, *, ts_col: str,
     (``dropDuplicatesWithinWatermark``) — unbounded-state dedup over a
     10^12-row stream is exactly the shape that OOMs a state store, so
     the horizon is mandatory."""
+    if isinstance(keys, str):
+        keys = [keys]  # list('doc_id') would dedup on single letters
     return (stream_df.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(list(keys)))
 

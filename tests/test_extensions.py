@@ -295,9 +295,16 @@ def test_fragment_root_keyword_absolute_location(spark):
     assert v.absolute_keyword_location == "#/$defs/x/required"
 
 
-def test_fragment_root_slash_is_document_root(spark):
-    eng = Engine.from_schema({"required": ["a"]}, row_id="k",
-                             fragment="#/")
+def test_fragment_slash_selects_empty_key_member(spark):
+    # RFC 6901 (and boon): "/" is the pointer to the EMPTY-STRING-keyed
+    # member, not the document root
+    doc = {"": {"required": ["a"]}, "required": ["never-checked"]}
+    eng = Engine.from_schema(doc, row_id="k", fragment="#/")
     df = spark.createDataFrame([(1, None)], "k long, a string")
     v = eng.validate(df).violations().collect()[0]
-    assert v.absolute_keyword_location == "#/required"
+    assert v.keyword_location == "/required"
+    assert v.absolute_keyword_location == "#//required"
+    # empty fragment stays the whole document
+    eng2 = Engine.from_schema({"required": ["a"]}, row_id="k", fragment="#")
+    v2 = eng2.validate(df).violations().collect()[0]
+    assert v2.absolute_keyword_location == "#/required"
