@@ -50,7 +50,8 @@ class Engine:
                     loader=None, assert_format: bool = False,
                     assert_content: bool = False,
                     content_causes: bool = False,
-                    fragment: str = "") -> "Engine":
+                    fragment: str = "",
+                    default_draft=None) -> "Engine":
         """``resources``/``loader`` feed cross-document $ref resolution
         (boon add_resource / SchemeUrlLoader parity);
         ``assert_format``/``assert_content`` are
@@ -62,7 +63,8 @@ class Engine:
                                   loader=loader,
                                   assert_format=assert_format,
                                   assert_content=assert_content,
-                                  fragment=fragment),
+                                  fragment=fragment,
+                                  default_draft=default_draft),
                    row_id=row_id,
                    max_violations_per_row=max_violations_per_row,
                    content_causes=content_causes)

@@ -312,9 +312,19 @@ class Compiler:
 
     def __init__(self, doc: dict, *, resources: Optional[dict] = None,
                  base_uri: str = "", loader=None,
-                 assert_format: bool = False, assert_content: bool = False):
+                 assert_format: bool = False, assert_content: bool = False,
+                 default_draft: Optional[int] = None):
         self.doc = doc
         self.loader = loader
+        # fallback draft for documents WITHOUT $schema (boon
+        # set_default_draft, src/compiler.rs:99-101).  None keeps this
+        # engine's permissive union-of-drafts default.
+        if default_draft is not None and default_draft not in \
+                (4, 6, 7, 2019, 2020):
+            raise CompileError(
+                f"default_draft must be one of 4/6/7/2019/2020, "
+                f"got {default_draft!r}")
+        self.default_draft = default_draft
         # assertion modes (boon enable_format_assertions /
         # enable_content_assertions, src/compiler.rs:105-130): format
         # asserts by default only in drafts <= 7 (or when the metaschema
@@ -460,10 +470,10 @@ class Compiler:
         ``$schema``.  No ``$schema`` → None = permissive union of all
         drafts (this engine's default)."""
         if not isinstance(doc, dict):
-            return None
+            return self.default_draft
         s = doc.get("$schema")
         if not isinstance(s, str):
-            return None
+            return self.default_draft
         d = draft_of_uri(s)
         if d is not None:
             return d
@@ -1090,7 +1100,8 @@ class Compiler:
 def compile_schema(doc: Any, *, resources: Optional[dict] = None,
                    loader=None, assert_format: bool = False,
                    assert_content: bool = False,
-                   fragment: str = "") -> CompiledSchema:
+                   fragment: str = "",
+                   default_draft: Optional[int] = None) -> CompiledSchema:
     """Compile a constraint document.  Accepts either a bare JSON-Schema
     dict or a table-spec dict ``{"schema": {...}, "unique": [...],
     "references": [...], "invariants": [...]}`` carrying the cross-row
@@ -1119,7 +1130,8 @@ def compile_schema(doc: Any, *, resources: Optional[dict] = None,
     assert_content = bool(extra.get("assert_content", assert_content))
     root = Compiler(schema_doc, resources=resources,
                     loader=loader, assert_format=assert_format,
-                    assert_content=assert_content).compile(fragment) \
+                    assert_content=assert_content,
+                    default_draft=default_draft).compile(fragment) \
         if isinstance(schema_doc, (dict, bool)) else None
     if root is None:
         raise CompileError("schema must be a dict or boolean")

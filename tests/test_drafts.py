@@ -200,3 +200,28 @@ def test_wrong_draft_vocab_uri_is_compile_error():
             {"$schema": "https://example.com/meta-wrongdraft",
              "properties": {"a": {"type": "string"}}},
             resources={"https://example.com/meta-wrongdraft": meta})
+
+
+def test_default_draft_applies_without_schema_uri(spark):
+    # boon set_default_draft (src/compiler.rs:99-101): documents without
+    # $schema fall back to the configured draft instead of the
+    # permissive union
+    doc = {"properties": {"xs": {"items": [{"const": 1}]}}}
+    # permissive default: draft<=2019 tuple items accepted
+    eng = Engine.from_schema(doc)
+    df = spark.createDataFrame([([2, 9],)], "xs array<int>")
+    assert [r.valid for r in eng.annotate(df).collect()] == [False]
+    # default_draft=2020: the array form of items was removed
+    with pytest.raises(CompileError, match="prefixItems"):
+        compile_schema(doc, default_draft=2020)
+    # default_draft=7: 2019-keyword unevaluatedProperties is unknown
+    eng7 = Engine.from_schema(
+        {"properties": {"a": {"type": "string"}},
+         "unevaluatedProperties": False}, default_draft=7)
+    df2 = spark.createDataFrame([("x", "y")], "a string, b string")
+    assert [r.valid for r in eng7.annotate(df2).collect()] == [True]
+
+
+def test_default_draft_validated():
+    with pytest.raises(CompileError, match="default_draft"):
+        compile_schema({"type": "object"}, default_draft=5)
