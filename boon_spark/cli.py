@@ -113,6 +113,10 @@ def main(argv=None) -> int:
     ap.add_argument("--assert-content", action="store_true",
                     help="enable content assertions (contentEncoding/"
                          "MediaType/Schema; boon cli --assert-content)")
+    ap.add_argument("--default-draft", type=int, default=None,
+                    choices=[4, 6, 7, 2019, 2020],
+                    help="draft for schemas without $schema (boon "
+                         "set_default_draft; default: permissive union)")
     ap.add_argument("--cacert", default=None,
                     help="CA certificate file for https schema fetches "
                          "(boon cli --cacert)")
@@ -138,7 +142,8 @@ def main(argv=None) -> int:
         # every remote $ref target a second time.
         compiled = compile_schema(spec, loader=ref_loader,
                                   assert_format=args.assert_format,
-                                  assert_content=args.assert_content)
+                                  assert_content=args.assert_content,
+                                  default_draft=args.default_draft)
     except Exception as e:  # schema I/O, YAML/JSON parse, compile errors
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -172,7 +177,8 @@ def main(argv=None) -> int:
                 spark, df, spec, args.partition_col, args.manifest,
                 violations_path=args.violations, row_id=args.row_id,
                 loader=ref_loader, assert_format=args.assert_format,
-                assert_content=args.assert_content)
+                assert_content=args.assert_content,
+                default_draft=args.default_draft)
             print(json.dumps({"pending": out["pending"],
                               "skipped": out["skipped"],
                               "metrics": out["metrics"]}, indent=2))

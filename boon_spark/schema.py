@@ -366,6 +366,13 @@ class Compiler:
         self._abs_prefix = ""
         self._abs_uri = ""
         root_draft = self._draft_for_doc(doc)
+        if root_draft is None:
+            # the default draft applies at the ROOT only; resources
+            # without $schema inherit their referrer's draft (which
+            # itself starts from this default), so a document that
+            # DECLARES a draft keeps it for its embedded resources —
+            # default_draft must not override an explicit declaration
+            root_draft = self.default_draft
         self._ctx.append((doc, root_base, root_draft,
                           self._format_vocab_required(doc, root_draft),
                           self._meta_vocabs(doc, root_draft)))
@@ -454,8 +461,10 @@ class Compiler:
         """format asserts when: explicitly enabled; draft <= 7 (where the
         core vocabulary includes it, boon compiler.rs:488-491); or the
         resource's metaschema requires the format(-assertion) vocabulary.
-        No ``$schema`` (permissive mode) follows boon's default draft
-        (2020-12): annotation-only."""
+        No ``$schema`` follows the configured ``default_draft`` (so
+        ``default_draft<=7`` makes format assert); without one the
+        permissive mode matches boon's default draft (2020-12):
+        annotation-only."""
         draft, fmt_vocab = self._ctx[-1][2], self._ctx[-1][3]
         return (self.assert_format
                 or (draft is not None and draft <= 7)
@@ -470,10 +479,10 @@ class Compiler:
         ``$schema``.  No ``$schema`` → None = permissive union of all
         drafts (this engine's default)."""
         if not isinstance(doc, dict):
-            return self.default_draft
+            return None
         s = doc.get("$schema")
         if not isinstance(s, str):
-            return self.default_draft
+            return None
         d = draft_of_uri(s)
         if d is not None:
             return d
@@ -1118,7 +1127,9 @@ def compile_schema(doc: Any, *, resources: Optional[dict] = None,
     drafts <= 7 (or under a metaschema requiring the format vocabulary)
     and the ``content*`` keywords are annotation-only.  A table-spec dict
     may opt in inline via ``{"assert_format": true, "assert_content":
-    true}``."""
+    true}``.  ``default_draft`` (kwarg or inline spec key) is boon's
+    ``set_default_draft``: the draft applied to documents without
+    ``$schema`` (default: permissive union of all drafts)."""
     if isinstance(doc, dict) and "schema" in doc and not (
             set(doc) & (SUPPORTED - ANNOTATIONS)):
         schema_doc = doc["schema"]
@@ -1128,6 +1139,7 @@ def compile_schema(doc: Any, *, resources: Optional[dict] = None,
         extra = {}
     assert_format = bool(extra.get("assert_format", assert_format))
     assert_content = bool(extra.get("assert_content", assert_content))
+    default_draft = extra.get("default_draft", default_draft)
     root = Compiler(schema_doc, resources=resources,
                     loader=loader, assert_format=assert_format,
                     assert_content=assert_content,

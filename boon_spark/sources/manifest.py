@@ -143,7 +143,8 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
                          violations_mode: str = "overwrite",
                          resources: Optional[dict] = None,
                          loader=None, assert_format: bool = False,
-                         assert_content: bool = False) -> dict:
+                         assert_content: bool = False,
+                         default_draft=None) -> dict:
     """Validate all pending partitions of ``df`` in one job; returns
     ``{"pending": [...], "skipped": [...], "metrics": {partition: {...}}}``.
 
@@ -201,7 +202,8 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
     eng = Engine.from_schema(spec, row_id=row_id,
                              resources=resources, loader=loader,
                              assert_format=assert_format,
-                             assert_content=assert_content)
+                             assert_content=assert_content,
+                             default_draft=default_draft)
     ann = eng.annotate(sub)
 
     if violations_path:

@@ -225,3 +225,29 @@ def test_default_draft_applies_without_schema_uri(spark):
 def test_default_draft_validated():
     with pytest.raises(CompileError, match="default_draft"):
         compile_schema({"type": "object"}, default_draft=5)
+
+
+def test_default_draft_does_not_override_declared_draft():
+    # a document DECLARING draft-07 keeps it for its embedded resources
+    # (boon: one draft per document root; the default is a fallback,
+    # not an override) — sixth review pass
+    doc = {"$schema": D7, "$id": "http://ex/root",
+           "properties": {"a": {"$id": "http://ex/sub",
+                                "items": [{"type": "string"}]}}}
+    compile_schema(doc, default_draft=2020)  # must NOT reject tuple items
+
+
+def test_default_draft_inline_spec_key(spark):
+    spec = {"schema": {"properties": {"xs": {"items": [{"const": 1}]}}},
+            "default_draft": 2020}
+    with pytest.raises(CompileError, match="prefixItems"):
+        compile_schema(spec)
+
+
+def test_default_draft_7_asserts_format(spark):
+    # default_draft<=7 flips format to asserting for no-$schema docs,
+    # exactly like a declared draft-7 $schema
+    eng = Engine.from_schema({"properties": {"d": {"format": "date"}}},
+                             default_draft=7)
+    df = spark.createDataFrame([("2024-01-01",), ("nope",)], "d string")
+    assert [r.valid for r in eng.annotate(df).collect()] == [True, False]
