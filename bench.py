@@ -171,12 +171,29 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float],
     is reported separately in ``queries_cold`` so the compile cost stays
     visible rather than silently dropped."""
     import __spark_entry__ as e
-    qs = e.queries()
+    qs = dict(e.queries())
+
+    def q_minhash_head_fast(spark, sf_dir):
+        # production hash path (perf-only, not oracle-paired): identical
+        # pipeline to minhash_head but the xxhash64 family users actually
+        # run — keeps a regression in the fast path visible even though
+        # the oracle can only reproduce the md5 family
+        from pyspark.sql import functions as F
+        from boon_spark.operators.dedup import (minhash_signature,
+                                                word_shingles)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return docs.select(
+            "doc_id",
+            F.element_at(minhash_signature(
+                word_shingles(F.col("text"), 3), 1,
+                hash_family="xxhash64"), 1).alias("sig0"))
+
+    qs["minhash_head_fast"] = q_minhash_head_fast
     names = ["flag_documents", "items_bounds_embedding", "unique_custkey",
              "referential_custkey", "stats_by_source", "dedup_exact",
              "token_count", "quality_counts", "fingerprint",
              "embedding_topk", "lang_id_counts", "minhash_head",
-             "drift_nchars", "content_json_events"]
+             "minhash_head_fast", "drift_nchars", "content_json_events"]
     out: dict[str, float] = {}
     cold: dict[str, float] = {}
     cache: dict[str, float] = {}
@@ -409,10 +426,45 @@ Run: `python bench.py --scaling` (env: SPARK_GRAFT_SF_DIR={SF_DIR}).
     return summary
 
 
+def headline(rec: dict) -> dict:
+    """Compact (≲1.2 KB) machine-readable summary of a full bench record.
+
+    The driver captures only the LAST ~2000 chars of stdout; round 3's
+    full record grew past that and the round's artifact came back
+    ``parsed: null``.  The full record now goes to BENCH/last_run.json
+    and THIS dict — headline numbers only, no per-pass detail — is the
+    single JSON line printed last."""
+    return {
+        "metric": "headline suite wall time (flagship best-of-4 "
+                  "spin-calibrated; full record in BENCH/last_run.json)",
+        "value": rec["value"],
+        "unit": "sec",
+        "queries": rec["queries"],
+        "sf": rec["sf"],
+        "seq_rows": rec["seq_rows"],
+        "validate_rows_per_sec": rec["validate_rows_per_sec"],
+        "validate_sec_calibrated": rec["validate_sec_calibrated"],
+        "validate_rows_per_sec_calibrated":
+            rec["validate_rows_per_sec_calibrated"],
+        "host_spin_mops_best": rec["host_spin_mops_best"],
+        "cpus": rec["cpus"],
+        "detail": "BENCH/last_run.json",
+    }
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--single":
         print(json.dumps(run_single(int(sys.argv[2]), SEQ_PATH)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        rec = run_bench()
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "last_run.json"), "w") as f:
+            json.dump(rec, f, indent=1)
+        hl = headline(rec)
+        line = json.dumps(hl)
+        if len(line) >= 1900:  # never crash the bench over the summary;
+            hl["metric"] = "headline suite wall time"  # shed prose first
+            line = json.dumps(hl)
+        print(line)

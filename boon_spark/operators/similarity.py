@@ -42,33 +42,62 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _exact_query_chunks(q_all: DataFrame, n_q: int,
+                        max_per_pass: int) -> list[DataFrame]:
+    """Split the query projection into chunks of EXACTLY ≤ max_per_pass
+    rows via row_number over query_id.  The global (single-partition)
+    window is deliberate: the query side is small by contract — it is
+    about to be broadcast — so sorting it on one task is bounded by the
+    same budget as the broadcast itself.  A hash-pmod chunk key only
+    bounds the average chunk; a skewed hash could exceed the broadcast
+    budget the parameter exists to enforce (ADVICE r3)."""
+    if n_q <= max_per_pass:
+        return [q_all]
+    n_chunks = -(-n_q // max_per_pass)
+    w = Window.orderBy("query_id")
+    numbered = q_all.withColumn(
+        "_chunk",
+        F.floor((F.row_number().over(w) - 1) / F.lit(max_per_pass))
+        .cast("int"))
+    return [numbered.filter(F.col("_chunk") == i).drop("_chunk")
+            for i in range(n_chunks)]
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 exclude_self: bool = True, sub_buckets: int = 16,
-                max_queries_per_pass: int = 256) -> DataFrame:
+                max_queries_per_pass: int | None = None) -> DataFrame:
     """Exact top-k neighbors by cosine for each query row.
 
     Returns ``(query_id, neighbor_id, rank)`` with rank 1..k, ties broken
     by ascending neighbor id (deterministic).
 
-    Memory bounds (round-3 hardening):
+    Memory bounds:
 
     - rows whose cosine is NULL (null / ragged corpus or query embeddings)
-      are filtered *before* the partial top-k — previously they sorted
-      first on the negated-cosine key and evicted real neighbors map-side;
+      are filtered *before* the partial top-k — otherwise they sort first
+      on the negated-cosine key and evict real neighbors map-side;
     - the partial-agg group key is ``(_pid, query_id, _sub)`` where
       ``_sub = pmod(xxhash64(neighbor_id), sub_buckets)``: with
       Q × sub_buckets groups per partition the ObjectHashAggregate
       sort-based fallback (threshold 128 distinct keys) engages and
       processes groups one at a time off a spillable sort, so the resident
       ``collect_list`` buffer is one group ≈ partition_rows / sub_buckets
-      — never the whole partition × Q;
-    - ``max_queries_per_pass`` chunks the broadcast query set, bounding
-      both the broadcast size and the per-partition group count; chunks
-      union after the per-chunk partial top-k (each chunk's candidate set
-      is already ≤ P × Q_chunk × sub_buckets × k rows).
+      — never the whole partition × Q.  Because the fallback spills, the
+      per-partition group COUNT does not need bounding: the default is a
+      **single pass over the corpus for any Q** (round-4: the r3 chunk
+      loop re-scanned the full corpus ⌈Q/256⌉ times — 40 corpus scans at
+      Q=10k — to bound a group count that was already spill-safe);
+    - ``max_queries_per_pass`` exists ONLY for broadcast-size grounds:
+      set it when Q × dim × 8B would blow the broadcast budget (e.g.
+      10 MB of query vectors per 256 queries at dim=4096).  Chunks are
+      EXACT (row_number over the small query side, ≤ max per pass — a
+      hash-pmod chunk only bounds the average), and chunked mode
+      ``persist()``\\s the corpus projection so the corpus is still read
+      once, not once per chunk; the cache lives until the session drops
+      it or the caller unpersists via ``spark.catalog.clearCache()``.
 
-    The shuffle still carries only candidate lists, never the corpus×Q
+    The shuffle carries only candidate lists, never the corpus×Q
     cross product.
     """
     q_all = queries.select(F.col(id_col).alias("query_id"),
@@ -76,13 +105,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("_cv"))
 
-    n_q = q_all.count()
-    if n_q > max_queries_per_pass:
-        # deterministic chunking on the query id hash — each pass
-        # broadcasts ≤ max_queries_per_pass queries
-        n_chunks = -(-n_q // max_queries_per_pass)
-        chunk_col = F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_chunks))
-        chunks = [q_all.filter(chunk_col == i) for i in range(n_chunks)]
+    if max_queries_per_pass is not None:
+        # opt-in broadcast chunking: n_q is a driver action on the SMALL
+        # side only, and only in this branch (the default path runs zero
+        # driver jobs before the caller's action)
+        n_q = q_all.count()
+        chunks = _exact_query_chunks(q_all, n_q, max_queries_per_pass)
+        if len(chunks) > 1:
+            from pyspark import StorageLevel
+            c = c.persist(StorageLevel.MEMORY_AND_DISK)
     else:
         chunks = [q_all]
 
@@ -171,38 +202,101 @@ def simhash_signature(vec: Column, dim: int, *, bits: int = 16,
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
                     dim: int, id_col: str = "vec_id",
                     vec_col: str = "embedding", bits: int = 8,
-                    seed: int = 42, multiprobe: bool = True) -> DataFrame:
+                    seed: int = 42, multiprobe: bool = True,
+                    max_bucket: int | None = 1024,
+                    max_queries_per_pass: int | None = None) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by SimHash signature,
     join on the bucket, rank within.  Recall < 1.0 by construction; the
     bucket join replaces the cross product — at scale this is a standard
-    shuffled equi-join on the signature (bounded fan-out).
+    broadcast equi-join on the signature (bounded fan-out).
 
     ``multiprobe`` explodes each QUERY into its bucket plus all 1-bit-
     flipped neighbor buckets (bits+1 probes) — the classic recall lever
     that costs query-side fan-out (small side) instead of corpus passes.
+
+    Skew/size bounds (round-4, mirroring ``dedup.minhash_lsh_pairs``):
+
+    - ``max_bucket`` drops corpus buckets holding more rows — exactly the
+      near-duplicate-heavy buckets this operator attracts would otherwise
+      make the bucket join arbitrarily skewed.  The drop is computed from
+      a count-only aggregation (the shuffle carries ``(_sig, partial
+      count)``, never embeddings — the corpus itself stays un-shuffled)
+      followed by a broadcast anti-join against the tiny over-cap list.
+      Audit the recall loss with :func:`lsh_bucket_stats` (same
+      parameters → the audited buckets ARE the join's buckets);
+    - ``max_queries_per_pass`` chunks the query broadcast (exact chunks
+      via row_number, BEFORE the ×(bits+1) multiprobe fan-out); chunked
+      mode persists the capped corpus projection so the corpus is read
+      once across chunks.
     """
     sig_c = simhash_signature(F.col(vec_col), dim, bits=bits, seed=seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("_cv"), sig_c.alias("_sig"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qv"), sig_c.alias("_sig0"))
-    if multiprobe:
-        probes = F.array(F.col("_sig0"), *[
-            F.col("_sig0").bitwiseXOR(F.lit(1 << b)) for b in range(bits)])
-        q = q.select("query_id", "_qv",
-                     F.explode(probes).alias("_sig"))
+    if max_bucket is not None:
+        over = (c.groupBy("_sig").agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > max_bucket).select("_sig"))
+        c = c.join(F.broadcast(over), on="_sig", how="left_anti")
+    q_all = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("_qv"), sig_c.alias("_sig0"))
+    if max_queries_per_pass is not None:
+        n_q = q_all.count()
+        chunks = _exact_query_chunks(q_all, n_q, max_queries_per_pass)
+        if len(chunks) > 1:
+            from pyspark import StorageLevel
+            c = c.persist(StorageLevel.MEMORY_AND_DISK)
     else:
-        q = q.withColumnRenamed("_sig0", "_sig")
-    joined = (c.join(F.broadcast(q), on="_sig")
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .dropDuplicates(["query_id", "neighbor_id"]))
-    scored = (joined
-              .select("query_id", "neighbor_id",
-                      cosine(F.col("_cv"), F.col("_qv")).alias("cos"))
-              # null cosines (null/ragged embeddings) are never neighbors
-              .filter(F.col("cos").isNotNull()))
+        chunks = [q_all]
+
+    scored_parts = []
+    for q in chunks:
+        if multiprobe:
+            probes = F.array(F.col("_sig0"), *[
+                F.col("_sig0").bitwiseXOR(F.lit(1 << b))
+                for b in range(bits)])
+            q = q.select("query_id", "_qv",
+                         F.explode(probes).alias("_sig"))
+        else:
+            q = q.withColumnRenamed("_sig0", "_sig")
+        joined = (c.join(F.broadcast(q), on="_sig")
+                  .filter(F.col("neighbor_id") != F.col("query_id"))
+                  # query chunks are disjoint by query_id, so per-chunk
+                  # dedup of multiprobe double-hits equals a global dedup
+                  .dropDuplicates(["query_id", "neighbor_id"]))
+        scored_parts.append(
+            joined.select("query_id", "neighbor_id",
+                          cosine(F.col("_cv"), F.col("_qv")).alias("cos"))
+            # null cosines (null/ragged embeddings) are never neighbors
+            .filter(F.col("cos").isNotNull()))
+    scored = scored_parts[0]
+    for extra in scored_parts[1:]:
+        scored = scored.unionByName(extra)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def lsh_bucket_stats(corpus: DataFrame, *, dim: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     bits: int = 8, seed: int = 42,
+                     max_bucket: int | None = 1024) -> DataFrame:
+    """Audit the recall loss of :func:`lsh_bucket_topk`'s bucket cap: one
+    row with (n_buckets, n_kept_buckets, n_dropped_buckets,
+    n_dropped_docs, largest_bucket) for the same signature parameters —
+    the no-silent-truncation companion (pattern:
+    ``dedup.minhash_lsh_bucket_stats``).  Count-only: the shuffle carries
+    (signature, partial count), never embeddings."""
+    cap = max_bucket if max_bucket is not None else (1 << 62)
+    sig_c = simhash_signature(F.col(vec_col), dim, bits=bits, seed=seed)
+    sizes = (corpus.select(sig_c.alias("_sig"))
+             .groupBy("_sig").agg(F.count(F.lit(1)).alias("n")))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(F.sum((F.col("n") <= cap).cast("long")),
+                   F.lit(0)).alias("n_kept_buckets"),
+        F.coalesce(F.sum((F.col("n") > cap).cast("long")),
+                   F.lit(0)).alias("n_dropped_buckets"),
+        F.coalesce(F.sum(F.when(F.col("n") > cap, F.col("n"))),
+                   F.lit(0)).alias("n_dropped_docs"),
+        F.max("n").alias("largest_bucket"))

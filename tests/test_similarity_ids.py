@@ -74,3 +74,105 @@ def test_cosine_topk_collect_is_sub_bucketed(spark):
     assert agg_lines, "map-side partial top-k missing from plan"
     assert any("_sub" in ln for ln in agg_lines), \
         "partial collect group key lost the _sub bound"
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cosine_topk_single_corpus_scan_many_queries(spark, tmp_path):
+    # VERDICT r3 #2: Q > 256 must NOT re-scan the corpus per 256-query
+    # chunk — the _sub sub-bucketing already bounds partial-agg memory,
+    # so the default is one pass (one corpus scan) for any Q
+    path = str(tmp_path / "corpus.parquet")
+    _emb(spark, 50).write.parquet(path)
+    corpus = spark.read.parquet(path)
+    q = _emb(spark, 300)  # range-backed: no parquet scan on the query side
+    plan = _plan(cosine_topk(corpus, q, k=3, id_col="vec_id"))
+    assert plan.count("Scan parquet") == 1, \
+        f"corpus scanned {plan.count('Scan parquet')} times for Q=300"
+
+
+def test_cosine_topk_chunked_mode_caches_corpus(spark, tmp_path):
+    # opt-in broadcast chunking (max_queries_per_pass) must read the
+    # corpus through a persisted projection, not once per chunk
+    path = str(tmp_path / "corpus2.parquet")
+    _emb(spark, 40).write.parquet(path)
+    corpus = spark.read.parquet(path)
+    q = _emb(spark, 30)
+    try:
+        out = cosine_topk(corpus, q, k=3, id_col="vec_id",
+                          max_queries_per_pass=7)
+        assert "InMemoryTableScan" in _plan(out), \
+            "chunked mode lost the corpus persist"
+        assert len(out.collect()) == 30 * 3
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_cosine_topk_exact_chunks(spark):
+    # ADVICE r3: chunking must bound the MAX chunk, not the average —
+    # row_number chunks are exactly <= max_queries_per_pass
+    from boon_spark.operators.similarity import _exact_query_chunks
+    q = _emb(spark, 23).select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").alias("_qv"))
+    try:
+        chunks = _exact_query_chunks(q, 23, 7)
+        assert len(chunks) == 4
+        sizes = [c.count() for c in chunks]
+        assert all(s <= 7 for s in sizes), sizes
+        assert sum(sizes) == 23
+    finally:
+        spark.catalog.clearCache()
+
+
+def _hot_corpus(spark, n_hot=50, n_cold=20, dim=16):
+    # n_hot identical vectors (one SimHash bucket) + n_cold spread ones
+    hot = spark.range(n_hot).select(
+        (F.col("id") + 1000).alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(dim)),
+                    lambda i: (i / 10.0).cast("float")).alias("embedding"))
+    cold = spark.range(n_cold).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(dim)),
+                    lambda i: ((F.pmod(F.xxhash64(F.col("id"), i),
+                                       F.lit(1000)) / 500.0) - 1.0)
+                    .cast("float")).alias("embedding"))
+    return hot.unionByName(cold)
+
+
+def test_lsh_bucket_cap_drops_hot_bucket(spark):
+    # VERDICT r3 #3: a near-duplicate-heavy bucket (exactly where LSH
+    # ANN gets used) must be droppable via max_bucket instead of skewing
+    # the bucket join; the stats companion audits the loss
+    from boon_spark.operators.similarity import (lsh_bucket_stats,
+                                                 lsh_bucket_topk)
+    corpus = _hot_corpus(spark)
+    q = corpus.filter(F.col("vec_id") == 1000)  # a hot-bucket member
+    uncapped = lsh_bucket_topk(corpus, q, k=5, dim=16, bits=6,
+                               max_bucket=None).collect()
+    assert any(r.neighbor_id >= 1000 for r in uncapped), \
+        "sanity: uncapped join must surface hot-bucket neighbors"
+    capped = lsh_bucket_topk(corpus, q, k=5, dim=16, bits=6,
+                             max_bucket=10).collect()
+    assert all(r.neighbor_id < 1000 for r in capped), \
+        "capped join must not read the over-cap bucket"
+    stats = lsh_bucket_stats(corpus, dim=16, bits=6, max_bucket=10) \
+        .collect()[0]
+    assert stats.n_dropped_buckets >= 1
+    assert stats.n_dropped_docs >= 50
+    assert stats.largest_bucket >= 50
+    assert stats.n_buckets == stats.n_kept_buckets + stats.n_dropped_buckets
+
+
+def test_lsh_topk_chunked_matches_single_pass(spark):
+    from boon_spark.operators.similarity import lsh_bucket_topk
+    corpus = _hot_corpus(spark, n_hot=5, n_cold=40)
+    q = corpus.filter(F.col("vec_id") < 12)
+    try:
+        chunked = lsh_bucket_topk(corpus, q, k=4, dim=16, bits=4,
+                                  max_queries_per_pass=3).collect()
+        single = lsh_bucket_topk(corpus, q, k=4, dim=16, bits=4).collect()
+        assert sorted(map(tuple, chunked)) == sorted(map(tuple, single))
+    finally:
+        spark.catalog.clearCache()
