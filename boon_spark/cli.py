@@ -21,6 +21,26 @@ import json
 import sys
 
 
+#: JVM error signatures that mean BAD INPUT (corrupt/malformed records,
+#: FAILFAST parse aborts, missing files) rather than an engine defect —
+#: the only Py4J failures the CLI converts to its 2-line error contract
+_INPUT_ERROR_MARKS = (
+    "MALFORMED_RECORD",          # JSON/CSV FAILFAST (Spark 4 error class)
+    "Malformed records are detected",   # pre-error-class wording
+    "BadRecordException",
+    "FAILED_READ_FILE",
+    "PATH_NOT_FOUND",
+    "Path does not exist",
+    "_corrupt_record",
+    "is not a Parquet file",
+    "Unable to infer schema",
+)
+
+
+def _looks_like_input_error(e) -> bool:
+    return any(m in str(e) for m in _INPUT_ERROR_MARKS)
+
+
 def make_ssl_context(cacert=None, insecure=False):
     """TLS options for remote schema fetches — boon cli --cacert /
     -k/--insecure (cli/src/main.rs:205-209,234-260).  None → library
@@ -244,6 +264,12 @@ def main(argv=None) -> int:
         # error contract: "error: ..." + exit 1.  Deliberately NOT a
         # bare `except Exception`: an internal TypeError must stay a
         # traceback, not be laundered into the user-error contract.
+        # Py4JJavaError is broader than the contract — any JVM failure
+        # (codegen bug, OOM, engine-defect AnalysisException) lands
+        # there too; only re-wrap the expected bad-input shapes and let
+        # everything else surface as a traceback (ADVICE r3).
+        if isinstance(e, Py4JJavaError) and not _looks_like_input_error(e):
+            raise
         # Spark/Py4J messages embed a JVM stack — keep the head only.
         head = "\n".join(str(e).strip().splitlines()[:2])[:400]
         print(f"error: {head}", file=sys.stderr)

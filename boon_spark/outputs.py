@@ -31,7 +31,13 @@ _ONE_TOKEN = frozenset({
     "items", "additionalItems", "contains", "not", "if", "then", "else",
     "propertyNames", "contentSchema", "additionalProperties",
     "unevaluatedProperties", "unevaluatedItems", "$ref",
+    "$recursiveRef", "$dynamicRef",
 })
+
+# keyword tokens that dereference into another schema location — a
+# violation reached through any of them carries an absolute keyword
+# location that differs from its use-site pointer
+_REF_TOKENS = ("/$ref", "/$recursiveRef", "/$dynamicRef")
 
 
 def _frames(keyword_location: str) -> tuple[tuple[str, ...], str]:
@@ -76,11 +82,12 @@ def _leaf_unit(v: dict) -> dict:
     unit = {"valid": False,
             "keywordLocation": v["keyword_location"]}
     abs_loc = v.get("absolute_keyword_location")
-    # boon includes absoluteKeywordLocation only inside a $ref
+    # boon includes absoluteKeywordLocation only inside a ref scope
     # (output.rs:102-106, InRef) — i.e. when it differs from the
-    # use-site keyword location
+    # use-site keyword location; $recursiveRef/$dynamicRef scopes count
+    # (ADVICE r3)
     if abs_loc and abs_loc.lstrip("#") != v["keyword_location"] \
-            and "/$ref" in v["keyword_location"]:
+            and any(t in v["keyword_location"] for t in _REF_TOKENS):
         unit["absoluteKeywordLocation"] = abs_loc
     unit["instanceLocation"] = v["instance_location"]
     unit["error"] = v["error"]

@@ -508,14 +508,20 @@ class Compiler:
                             f"vocabulary {uri!r}")
         return self._draft_for_doc(meta, _depth=_depth + 1)
 
-    def _scan_resource(self, doc: Any) -> tuple[dict, dict, dict]:
+    def _scan_resource(self, doc: Any) -> tuple[dict, dict, dict, dict]:
         """Anchor names and embedded ``$id`` resources of one document,
         mirroring boon's resource/anchor collection
-        (src/draft.rs:239-297, src/root.rs:112-117).  Cached per doc."""
+        (src/draft.rs:239-297, src/root.rs:112-117).  Cached per doc.
+        Returns ``(anchors, embedded, dynamic, anchor_paths)`` —
+        ``anchor_paths`` maps each anchor name to the JSON pointer of the
+        anchored subschema within this resource, so anchor-form refs can
+        report the definition-site absoluteKeywordLocation like boon's
+        per-schema ``loc`` does (src/compiler.rs Schema.loc)."""
         key = id(doc)
         if key in self._scans:
             return self._scans[key]
         anchors: dict[str, Any] = {}
+        apaths: dict[str, str] = {}
         embedded: dict[str, Any] = {}
         # duplicate-$id detection compares RESOLVED ids ("item.json" vs
         # "./item.json" — and vs "https://base/item.json" when the
@@ -539,7 +545,10 @@ class Compiler:
         # be collected as (or collide with) a real anchor
         data_keys = {"const", "enum", "default", "examples"}
 
-        def walk(v: Any, top: bool):
+        def esc(tok: str) -> str:  # RFC 6901 pointer-token escaping
+            return tok.replace("~", "~0").replace("/", "~1")
+
+        def walk(v: Any, top: bool, path: str):
             if isinstance(v, dict):
                 rid = v.get("$id")
                 if isinstance(rid, str) and not top:
@@ -557,6 +566,7 @@ class Compiler:
                     if a in anchors:
                         raise CompileError(f"duplicate $anchor {a!r}")
                     anchors[a] = v
+                    apaths[a] = path
                 da = v.get("$dynamicAnchor")
                 if isinstance(da, str):
                     if da in dynamic:
@@ -569,16 +579,17 @@ class Compiler:
                         raise CompileError(f"duplicate $anchor {da!r}")
                     dynamic[da] = v
                     anchors[da] = v
+                    apaths[da] = path
                 for k, sub in v.items():
                     if k not in data_keys:
-                        walk(sub, False)
+                        walk(sub, False, f"{path}/{esc(k)}")
             elif isinstance(v, list):
-                for sub in v:
-                    walk(sub, False)
+                for i, sub in enumerate(v):
+                    walk(sub, False, f"{path}/{i}")
 
-        walk(doc, True)
-        self._scans[key] = (anchors, embedded, dynamic)
-        return anchors, embedded, dynamic
+        walk(doc, True, "")
+        self._scans[key] = (anchors, embedded, dynamic, apaths)
+        return anchors, embedded, dynamic, apaths
 
     def compile(self, fragment: str = "") -> Node:
         """Compile the root document, or — boon
@@ -608,7 +619,7 @@ class Compiler:
         """One sweep scanning any not-yet-scanned embedded resources;
         True if something new was scanned (callers loop to fixpoint)."""
         changed = False
-        for _a, embedded, _d in list(self._scans.values()):
+        for _a, embedded, _d, _p in list(self._scans.values()):
             for sub in embedded.values():
                 if id(sub) not in self._scans:
                     self._scan_resource(sub)
@@ -625,7 +636,7 @@ class Compiler:
         # reveal resources nested inside it (each $id starts a new
         # anchor namespace, so scans stop at resource boundaries)
         while True:
-            for _anchors, embedded, _dyn in list(self._scans.values()):
+            for _anchors, embedded, _dyn, _p in list(self._scans.values()):
                 if uri in embedded:
                     return embedded[uri]
             if not self._scan_new_embedded():
@@ -656,7 +667,7 @@ class Compiler:
         from urllib.parse import unquote
         frag = unquote(frag)  # percent-decode, like boon src/util.rs:161-176
         if not frag.startswith("/"):  # "name" = $anchor reference
-            anchors, _, _ = self._scan_resource(doc)
+            anchors, _, _, _ = self._scan_resource(doc)
             if frag in anchors:
                 return anchors[frag]
             raise CompileError(f"$ref {ref!r}: no $anchor named {frag!r}")
@@ -696,7 +707,14 @@ class Compiler:
                 else:
                     raise
         val = self._walk_fragment(doc, frag, ref)
-        ptr = frag if frag.startswith("/") or frag == "" else None
+        from urllib.parse import unquote
+        dec = unquote(frag)  # pointer-vs-anchor on the decoded form,
+        if dec.startswith("/") or dec == "":  # like _walk_fragment
+            ptr = dec
+        else:
+            # anchor-form fragment: report the anchored subschema's
+            # definition pointer, like boon's per-schema `loc`
+            ptr = self._scan_resource(doc)[3].get(dec)
         return val, doc, uri, ptr
 
     def _compile_ref_kw(self, kw: str, ref: Any, loc: str) -> Node:
@@ -779,18 +797,20 @@ class Compiler:
                 for d, u, *_rest in self._ctx:
                     if not isinstance(d, dict):
                         continue
-                    dyn = self._scan_resource(d)[2]
-                    if anchor in dyn:
-                        target, t_doc, t_uri, ptr = dyn[anchor], d, u, None
+                    scan = self._scan_resource(d)
+                    if anchor in scan[2]:
+                        target, t_doc, t_uri, ptr = \
+                            scan[2][anchor], d, u, scan[3].get(anchor)
                         break
-        # dereferenced prefix: pointer refs substitute the definition
-        # pointer (cross-resource ones carry their resource URI); anchor
-        # refs keep the use-site location
+        # dereferenced prefix: both pointer and anchor refs substitute
+        # the definition-site pointer (anchor paths come from the
+        # resource scan; cross-resource targets carry their resource
+        # URI) — boon's absoluteKeywordLocation is always the target
+        # schema's own location (src/output.rs:416-445)
         old = (self._loc_prefix, self._abs_prefix, self._abs_uri)
         if ptr is not None:
-            from urllib.parse import unquote
             self._loc_prefix = f"{loc}/{kw}"
-            self._abs_prefix = unquote(ptr)
+            self._abs_prefix = ptr
             self._abs_uri = (t_uri if t_uri != self._ctx[0][1]
                              else "")
         # a foreign resource's own $schema selects its draft;

@@ -85,6 +85,10 @@ class ValidationManifest:
             # the same batch_id, and the streaming bridge uses this to
             # skip re-accumulating an already-applied batch
             "batch_id": int(metrics.get("batch_id", -1)),
+            # the streaming run that applied that batch: batch ids are
+            # per-checkpoint, so replay detection keys on (run, batch) —
+            # a fresh checkpoint's batch 0 is new work, not a replay
+            "run_id": str(metrics.get("run_id", "")),
             "finished_at": time.time(),
         }
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")

@@ -107,24 +107,38 @@ def stream_to_manifest(stream_df: DataFrame, spec, *, partition_col: str,
     Replay idempotency: Structured Streaming's ``foreachBatch`` is
     at-least-once — after a crash/restart the LAST micro-batch is
     re-delivered with the SAME ``batch_id``.  Each manifest entry carries
-    the batch_id that last touched it; a partition whose entry already
-    records the incoming batch_id is skipped entirely (no re-accumulated
-    counts, no duplicate violation appends).
+    the (run_id, batch_id) pair that last touched it; a partition whose
+    entry already records the incoming pair is skipped entirely (no
+    re-accumulated counts, no duplicate violation appends).  The run_id
+    is derived from the checkpoint path: micro-batch ids are
+    per-checkpoint, so a manifest reused with a FRESH checkpoint (ids
+    restart at 0) must not mistake the new query's batch 0 for the old
+    run's batch 0 and silently drop it (ADVICE r3).
 
     Returns the started StreamingQuery.
     """
     handle = manifest_batch_handler(
         spec, partition_col=partition_col, manifest_path=manifest_path,
-        violations_path=violations_path, row_id=row_id)
+        violations_path=violations_path, row_id=row_id,
+        run_id=run_id_for_checkpoint(checkpoint))
     return (stream_df.writeStream
             .foreachBatch(handle)
             .option("checkpointLocation", checkpoint)
             .start())
 
 
+def run_id_for_checkpoint(checkpoint: str) -> str:
+    """Stable identifier for one streaming query incarnation: micro-batch
+    ids are only unique WITHIN a checkpoint, so replay detection must key
+    on (run, batch), not batch alone."""
+    import hashlib
+    return hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
+
+
 def manifest_batch_handler(spec, *, partition_col: str, manifest_path: str,
                            violations_path: Optional[str] = None,
-                           row_id: Optional[str] = None):
+                           row_id: Optional[str] = None,
+                           run_id: str = ""):
     """The ``foreachBatch`` handler behind :func:`stream_to_manifest`,
     exposed so the replay-idempotency contract is directly testable."""
     from ..sources.manifest import (ValidationManifest, spec_hash,
@@ -141,11 +155,14 @@ def manifest_batch_handler(spec, *, partition_col: str, manifest_path: str,
         # batch's partitions re-validate
         prior = {e["partition"]: e for e in manifest.entries()
                  if e["spec_hash"] == shash and e["partition"] in seen}
-        # a replayed batch: partitions already stamped with this batch_id
-        # stay complete in the manifest, so validate_partitioned neither
-        # re-scans them nor re-appends their violations
+        # a replayed batch: partitions already stamped with this
+        # (run_id, batch_id) pair stay complete in the manifest, so
+        # validate_partitioned neither re-scans them nor re-appends
+        # their violations.  A matching batch_id from a DIFFERENT run
+        # (fresh checkpoint, ids restarted at 0) is NOT a replay.
         pending = {p for p in seen
-                   if prior.get(p, {}).get("batch_id") != batch_id}
+                   if prior.get(p, {}).get("batch_id") != batch_id
+                   or prior.get(p, {}).get("run_id") != run_id}
         if not pending:
             return
         for p in pending:
@@ -166,6 +183,7 @@ def manifest_batch_handler(spec, *, partition_col: str, manifest_path: str,
                 "valid": bool(m["valid"]) and
                     (bool(old["valid"]) if old else True),
                 "batch_id": batch_id,
+                "run_id": run_id,
             })
 
     return handle

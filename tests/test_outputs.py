@@ -178,3 +178,34 @@ def test_render_simple_and_alt(res_two_level):
     assert any(l.startswith("  - at ") for l in lines[1:])
     alt = render_simple(tree, alt=True, schema_url="x")
     assert "[S#/required]" in alt
+
+
+def test_detailed_tree_nests_through_dynamic_ref(spark):
+    # ADVICE r3: $recursiveRef/$dynamicRef are ref scopes like $ref —
+    # causes below one must nest under the ref's scope frame and carry
+    # absoluteKeywordLocation (boon output.rs:102-106 InRef covers all
+    # three ref keywords)
+    eng = Engine.from_schema({
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$id": "https://example.com/dyn.schema.json",
+        "$defs": {"num": {"$dynamicAnchor": "num",
+                          "minimum": 1, "multipleOf": 3}},
+        "properties": {"n": {"$dynamicRef": "#num"}},
+    }, row_id="k")
+    df = spark.createDataFrame([("a", -5)], "k string, n int")
+    tree = eng.validate(df).detailed_tree()[0]
+    # two causes (minimum, multipleOf) group under the $dynamicRef scope
+    scope = tree
+    while "errors" in scope and scope["keywordLocation"] != \
+            "/properties/n/$dynamicRef":
+        subs = [u for u in scope["errors"] if "errors" in u]
+        assert subs, f"no $dynamicRef scope in {scope}"
+        scope = subs[0]
+    assert scope["keywordLocation"] == "/properties/n/$dynamicRef"
+    leaves = scope["errors"]
+    assert {u["keywordLocation"] for u in leaves} == {
+        "/properties/n/$dynamicRef/minimum",
+        "/properties/n/$dynamicRef/multipleOf"}
+    for u in leaves:
+        assert u["absoluteKeywordLocation"].startswith(
+            "https://example.com/dyn.schema.json#/$defs/num/")

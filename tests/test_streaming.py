@@ -172,6 +172,44 @@ def test_manifest_batch_replay_is_idempotent(spark, tmp_path):
     assert snapshot() == (after, viols_after)
 
 
+def test_manifest_new_run_batch_zero_is_not_a_replay(spark, tmp_path):
+    # ADVICE r3: batch ids are per-checkpoint.  A manifest that outlives
+    # its checkpoint sees the NEW query's batch 0 with the same batch_id
+    # an old entry recorded — it must accumulate, not skip, because the
+    # run_id differs.
+    from boon_spark.sources.manifest import ValidationManifest
+    from boon_spark.streaming.validate_stream import (
+        manifest_batch_handler, run_id_for_checkpoint)
+
+    mk = lambda run: manifest_batch_handler(
+        SPEC, partition_col="source", manifest_path=str(tmp_path / "m"),
+        violations_path=str(tmp_path / "v"), row_id="doc_id", run_id=run)
+    b = spark.createDataFrame(
+        [("d1", 50, "web"), ("d2", 999, "web")],
+        "doc_id string, n_tok int, source string")
+
+    run_a = run_id_for_checkpoint(str(tmp_path / "ckpt_a"))
+    run_b = run_id_for_checkpoint(str(tmp_path / "ckpt_b"))
+    assert run_a != run_b
+    handle_a = mk(run_a)
+    handle_a(b, 0)
+    ent = {e["partition"]: e
+           for e in ValidationManifest(str(tmp_path / "m")).entries()}
+    assert ent["web"]["n_rows"] == 2 and ent["web"]["run_id"] == run_a
+    # same handler, same batch -> replay, skipped
+    handle_a(b, 0)
+    ent = {e["partition"]: e
+           for e in ValidationManifest(str(tmp_path / "m")).entries()}
+    assert ent["web"]["n_rows"] == 2
+    # NEW run (fresh checkpoint), its own batch 0 -> must accumulate
+    handle_b = mk(run_b)
+    handle_b(b, 0)
+    ent = {e["partition"]: e
+           for e in ValidationManifest(str(tmp_path / "m")).entries()}
+    assert ent["web"]["n_rows"] == 4, "fresh-checkpoint batch 0 dropped"
+    assert ent["web"]["run_id"] == run_b
+
+
 # ---------------------------------------------------------------- drift
 
 
