@@ -471,6 +471,20 @@ def q_embedding_near_dups(spark, sf_dir):
         .select("id_a", "id_b")
 
 
+def q_lsh_topk(spark, sf_dir):
+    """Approximate ANN top-k (the scale path), integer-exact variant:
+    quantized coordinates, integer-hyperplane SimHash buckets with
+    multiprobe, capped hot buckets, and a scaled quantized-cos² integer
+    rank key — bit-identical in the DuckDB oracle (float LSH risks
+    sign/rank flips between engines)."""
+    from boon_spark.operators.similarity import lsh_topk_quantized
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk_quantized(emb, qs, k=5, dim=64).select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_multimodal_decode(spark, sf_dir):
     """multimodal decode plumbing end-to-end: documents.text encoded to a
     binary payload column, decoded via mapInPandas with the deterministic
@@ -547,6 +561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dups": q_embedding_near_dups,
+    "lsh_topk": q_lsh_topk,
 }
 
 
@@ -569,6 +584,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
+
+
+def _lsh_topk_oracle() -> str:
+    from boon_spark.operators.similarity import lsh_topk_quantized_oracle_sql
+    return lsh_topk_quantized_oracle_sql(k=5, dim=64,
+                                         query_pred="vid < 5")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1039,6 +1060,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dups": embedding_near_dups_oracle_sql(
             dim=64, threshold_num=2, threshold_den=5, bits=4, seed=42),
+        "lsh_topk": _lsh_topk_oracle(),
         "multimodal_decode": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    CASE WHEN COALESCE(octet_length(encode(text)), 0) < 4

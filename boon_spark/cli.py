@@ -106,7 +106,8 @@ def main(argv=None) -> int:
                          "JSON/JSONL/CSV file (boon validates raw JSON "
                          "instances; JSONL is its distributed shape)")
     ap.add_argument("--table-format", default="auto",
-                    choices=["auto", "parquet", "iceberg", "json", "csv"],
+                    choices=["auto", "parquet", "iceberg", "json", "csv",
+                             "yaml"],
                     help="input format (auto: by extension)")
     ap.add_argument("--row-id", default=None,
                     help="column used for instance pointers")

@@ -277,6 +277,187 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
             .select("query_id", "neighbor_id", "rank"))
 
 
+def lsh_topk_quantized(corpus: DataFrame, queries: DataFrame, *, k: int,
+                       dim: int, id_col: str = "vec_id",
+                       vec_col: str = "embedding", bits: int = 6,
+                       seed: int = 42, q_bits: int = 6,
+                       rank_shift: int = 20, multiprobe: bool = True,
+                       max_bucket: int | None = 1024) -> DataFrame:
+    """Integer-exact approximate top-k — the oracle-pairable variant of
+    :func:`lsh_bucket_topk` (same construction as
+    ``dedup.embedding_near_dups_quantized``: float LSH risks sign flips
+    on near-zero projections and float-cosine rank flips between
+    engines; every step here is int64 arithmetic, bit-identical
+    everywhere).
+
+    - coordinates quantize to ``floor(x·2^q_bits)`` (power-of-two
+      multiply = exact in binary FP);
+    - bucket signatures are signs of integer dot products with
+      integer-quantized hyperplanes (multiprobe = the signature plus its
+      ``bits`` 1-bit flips, query-side fan-out only);
+    - over-``max_bucket`` corpus buckets are DROPPED (count-only agg +
+      broadcast anti-join; audit with :func:`lsh_bucket_stats`-style
+      companions) — the hot near-duplicate bucket never skews the join;
+    - the rank key is the **scaled quantized squared cosine**
+      ``sign(dot) · (dot²·2^rank_shift DIV (‖a‖²·‖b‖²))`` — integer
+      floor-division, resolution 2^-rank_shift on cos², ties broken by
+      ascending neighbor id.  Overflow bound: ``dot ≤ dim·2^(2·q_bits)``
+      so ``dot²·2^rank_shift ≤ dim²·2^(4·q_bits+rank_shift) < 2^62``
+      (dim ≤ 128 at the defaults).
+
+    Returns ``(query_id, neighbor_id, rank)``, rank 1..k.
+    """
+    assert dim * dim * (1 << (4 * q_bits + rank_shift)) < (1 << 62), \
+        "rank-key overflow: lower q_bits or rank_shift"
+    from .dedup import quantized_planes
+    planes = quantized_planes(dim, bits, seed)
+    scale = 1 << q_bits
+    qv = F.transform(F.col(vec_col),
+                     lambda x: F.floor(x * F.lit(scale)).cast("long"))
+    # ragged/null vectors excluded identically in both engines (see
+    # dedup.embedding_near_dups_quantized NULL-poisoning note)
+    clean = (F.size(F.col(vec_col)) == dim) & \
+        (F.size(F.filter(F.col(vec_col), lambda x: x.isNull())) == 0)
+
+    def idot(x: Column, y: Column) -> Column:
+        return F.aggregate(F.zip_with(x, y, lambda u, v: u * v),
+                           F.lit(0).cast("long"), lambda acc, u: acc + u)
+
+    def sig_of(qcol: Column) -> Column:
+        s = None
+        for b in range(bits):
+            pl = F.array(*[F.lit(p).cast("long") for p in planes[b]])
+            proj = F.aggregate(F.zip_with(qcol, pl, lambda x, y: x * y),
+                               F.lit(0).cast("long"),
+                               lambda acc, x: acc + x)
+            term = F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+            s = term if s is None else s + term
+        return s.cast("long")
+
+    c = (corpus.filter(clean)
+         .select(F.col(id_col).alias("neighbor_id"), qv.alias("_cq"))
+         .withColumn("_sig", sig_of(F.col("_cq")))
+         .filter(idot(F.col("_cq"), F.col("_cq")) > 0))
+    if max_bucket is not None:
+        over = (c.groupBy("_sig").agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > max_bucket).select("_sig"))
+        c = c.join(F.broadcast(over), on="_sig", how="left_anti")
+    q = (queries.filter(clean)
+         .select(F.col(id_col).alias("query_id"), qv.alias("_qq"))
+         .withColumn("_sig0", sig_of(F.col("_qq")))
+         .filter(idot(F.col("_qq"), F.col("_qq")) > 0))
+    if multiprobe:
+        probes = F.array(F.col("_sig0"), *[
+            F.col("_sig0").bitwiseXOR(F.lit(1 << b)) for b in range(bits)])
+        q = q.select("query_id", "_qq", F.explode(probes).alias("_sig"))
+    else:
+        q = q.withColumnRenamed("_sig0", "_sig")
+    joined = (c.join(F.broadcast(q), on="_sig")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    dot = idot(F.col("_cq"), F.col("_qq"))
+    na = idot(F.col("_qq"), F.col("_qq"))
+    nb = idot(F.col("_cq"), F.col("_cq"))
+    scaled = F.expr(f"(_dot * _dot * {1 << rank_shift}) DIV (_na * _nb)")
+    key = (F.when(F.col("_dot") > 0, scaled)
+           .when(F.col("_dot") < 0, -scaled)
+           .otherwise(F.lit(0)))
+    scored = (joined.select("query_id", "neighbor_id", dot.alias("_dot"),
+                            na.alias("_na"), nb.alias("_nb"))
+              .withColumn("_key", key))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_key").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def lsh_topk_quantized_oracle_sql(*, k: int, dim: int, bits: int = 6,
+                                  seed: int = 42, q_bits: int = 6,
+                                  rank_shift: int = 20,
+                                  multiprobe: bool = True,
+                                  max_bucket: int | None = 1024,
+                                  table: str = "embeddings",
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  query_pred: str = "vid < 5") -> str:
+    """DuckDB SQL reproducing :func:`lsh_topk_quantized` bit-for-bit:
+    hyperplane constants inlined as integer literals, the same integer
+    floor-division rank key (both engines' integer DIV truncate toward
+    zero; the key applies it to non-negative operands only, where
+    truncation == floor)."""
+    from .dedup import quantized_planes
+    planes = quantized_planes(dim, bits, seed)
+    scale = 1 << q_bits
+
+    def proj_sql(b: int) -> str:
+        terms = " + ".join(f"qv[{j + 1}]*({planes[b][j]})"
+                           for j in range(dim))
+        return f"(CASE WHEN {terms} >= 0 THEN {1 << b} ELSE 0 END)"
+
+    sig_sql = " + ".join(proj_sql(b) for b in range(bits))
+    if multiprobe:
+        probe_list = ", ".join(["sig"] + [f"xor(sig, {1 << b})"
+                                          for b in range(bits)])
+        probes_cte = f"""
+        qp AS (SELECT vid, qv, nrm, unnest([{probe_list}]) AS sig
+               FROM qs),"""
+        qjoin = "qp"
+    else:
+        probes_cte = ""
+        qjoin = "qs"
+    cap_cte = f"""
+        keep AS (SELECT sig FROM cs GROUP BY sig
+                 HAVING count(*) <= {max_bucket}),""" \
+        if max_bucket is not None else ""
+    cap_join = "JOIN keep USING (sig)" if max_bucket is not None else ""
+    return f"""
+        WITH q0 AS (
+          SELECT {id_col} AS vid,
+                 list_transform({vec_col},
+                                x -> CAST(floor(x * {scale}) AS BIGINT)) AS qv
+          FROM {table}
+          WHERE len({vec_col}) = {dim}
+            AND len(list_filter({vec_col}, x -> x IS NULL)) = 0),
+        n0 AS (
+          SELECT vid, qv,
+                 CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT)
+                   AS nrm,
+                 {sig_sql} AS sig
+          FROM q0),
+        cs AS (SELECT * FROM n0 WHERE nrm > 0),
+        qs AS (SELECT * FROM cs WHERE {query_pred}),{probes_cte}{cap_cte}
+        pairs AS (
+          SELECT DISTINCT q.vid AS query_id, c.vid AS neighbor_id,
+                 q.qv AS qa, c.qv AS qb, q.nrm AS na, c.nrm AS nb
+          FROM {qjoin} q JOIN cs c USING (sig) {cap_join}
+          WHERE c.vid <> q.vid),
+        m AS (
+          SELECT query_id, neighbor_id,
+                 CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                              j -> qa[j]*qb[j]))
+                      AS BIGINT) AS dot,
+                 na, nb
+          FROM pairs),
+        keyed AS (
+          SELECT query_id, neighbor_id,
+                 CASE WHEN dot > 0
+                        THEN (dot*dot*{1 << rank_shift}) // (na*nb)
+                      WHEN dot < 0
+                        THEN -((dot*dot*{1 << rank_shift}) // (na*nb))
+                      ELSE 0 END AS rkey
+          FROM m),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rkey DESC, neighbor_id ASC)
+                   AS rank
+          FROM keyed)
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def lsh_bucket_stats(corpus: DataFrame, *, dim: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      bits: int = 8, seed: int = 42,

@@ -332,15 +332,30 @@ class Compiler:
         # keywords are annotation-only unless enabled, in every draft
         self.assert_format = assert_format
         self.assert_content = assert_content
-        root_id = doc.get("$id") if isinstance(doc, dict) else None
-        root_base = root_id if isinstance(root_id, str) else base_uri
+        # root base URI: draft-4 spells the id keyword "id"
+        # (src/draft.rs:18); the resource id ignores any fragment part
+        # (draft.rs:198).  Standard-URI check only here — custom
+        # metaschemas resolve later, and they are 2019+ (with $id).
+        _sv = doc.get("$schema") if isinstance(doc, dict) else None
+        _rd = draft_of_uri(_sv) if isinstance(_sv, str) else None
+        if _rd is None and not isinstance(_sv, str):
+            _rd = default_draft
+        root_id = doc.get("id" if _rd == 4 else "$id") \
+            if isinstance(doc, dict) else None
+        if isinstance(root_id, str) and _rd is not None and _rd < 2019:
+            root_id = root_id.split("#", 1)[0]
+        root_base = root_id if isinstance(root_id, str) and root_id \
+            else base_uri
         self.resources: dict[str, Any] = dict(resources or {})
         if root_base:
             self.resources.setdefault(root_base, doc)
         self._ref_stack: list[tuple[str, str]] = []
         self._ref_cache: dict[tuple[str, str, str], Node] = {}
         # id(doc) → (anchors, embedded $id resources, dynamic anchors)
-        self._scans: dict[int, tuple[dict, dict, dict]] = {}
+        self._scans: dict[int, tuple[dict, dict, dict, dict]] = {}
+        # id(doc) → the draft that governed its scan (embedded resources
+        # without $schema inherit the embedding document's draft)
+        self._scan_draft: dict[int, Optional[int]] = {}
         # resource-context stack: (document, base URI, draft,
         # format_vocab_required, meta_vocabs) — "#..." refs and relative
         # URIs resolve against the TOP of this stack; each resource's
@@ -508,7 +523,9 @@ class Compiler:
                             f"vocabulary {uri!r}")
         return self._draft_for_doc(meta, _depth=_depth + 1)
 
-    def _scan_resource(self, doc: Any) -> tuple[dict, dict, dict, dict]:
+    def _scan_resource(self, doc: Any,
+                       inherit_draft: Optional[int] = None
+                       ) -> tuple[dict, dict, dict, dict]:
         """Anchor names and embedded ``$id`` resources of one document,
         mirroring boon's resource/anchor collection
         (src/draft.rs:239-297, src/root.rs:112-117).  Cached per doc.
@@ -523,18 +540,47 @@ class Compiler:
         anchors: dict[str, Any] = {}
         apaths: dict[str, str] = {}
         embedded: dict[str, Any] = {}
+        # per-draft id model (boon src/draft.rs:18,46,131 `id` field +
+        # collect_anchors:239-297): draft-4 spells the keyword "id";
+        # drafts <2019 take anchors from the id keyword's FRAGMENT part
+        # (`"$id": "#foo"` / draft-4 `"id": "#foo"`), and the resource
+        # id ignores the fragment (draft.rs:198); $anchor/$dynamicAnchor
+        # exist only from 2019/2020.  draft None (permissive union)
+        # accepts every form.  Like boon, one draft governs the whole
+        # document scan (the root's $schema).
+        draft = self._draft_for_doc(doc)
+        if draft is None:
+            draft = inherit_draft if inherit_draft is not None \
+                else self.default_draft
+        self._scan_draft[key] = draft
+        idkw = "id" if draft == 4 else "$id"
+        legacy = draft is not None and draft < 2019   # id-fragment anchors
+        permissive = draft is None
+        new_anchors = permissive or draft >= 2019     # $anchor keyword
+        dyn_anchors = permissive or draft >= 2020     # $dynamicAnchor
         # duplicate-$id detection compares RESOLVED ids ("item.json" vs
         # "./item.json" — and vs "https://base/item.json" when the
         # resource's own $id gives an absolute base — are the same
         # resource; boon's DuplicateId keys on the resolved URI).  All
         # embedded ids of one document resolve against the same base;
         # a dummy base stands in when the resource has no absolute $id.
-        from urllib.parse import urljoin
-        own = doc.get("$id") if isinstance(doc, dict) else None
+        from urllib.parse import unquote, urljoin
+
+        def split_id(rid: str) -> tuple[str, str]:
+            """(resource-id part, decoded fragment part)."""
+            if "#" in rid:
+                base, frag = rid.split("#", 1)
+                return base, unquote(frag)
+            return rid, ""
+
+        own = doc.get(idkw) if isinstance(doc, dict) else None
+        own_frag = ""
+        if isinstance(own, str) and legacy:
+            own, own_frag = split_id(own)
         id_base = own if isinstance(own, str) and "://" in own \
             else "http://dup-check/"
         id_norms: dict[str, Any] = {urljoin(id_base, own): doc} \
-            if isinstance(own, str) else {}
+            if isinstance(own, str) and own else {}
         # $dynamicAnchor names of THIS resource (dynamic-scope resolution,
         # boon's per-resource dynamic_anchors map, src/root.rs /
         # src/validator.rs:636-652).  A $dynamicAnchor also creates a
@@ -548,27 +594,44 @@ class Compiler:
         def esc(tok: str) -> str:  # RFC 6901 pointer-token escaping
             return tok.replace("~", "~0").replace("/", "~1")
 
+        def add_anchor(name: str, v: Any, path: str):
+            if name in anchors and anchors[name] is not v:
+                raise CompileError(f"duplicate $anchor {name!r}")
+            anchors[name] = v
+            apaths[name] = path
+
         def walk(v: Any, top: bool, path: str):
             if isinstance(v, dict):
-                rid = v.get("$id")
-                if isinstance(rid, str) and not top:
-                    # an embedded $id starts a NEW resource: record it,
-                    # but its anchors belong to ITS namespace (collected
-                    # when that resource is scanned), not this one
+                rid = v.get(idkw)
+                frag = ""
+                if isinstance(rid, str) and legacy:
+                    rid, frag = split_id(rid)
+                if isinstance(rid, str) and rid and not top:
+                    # an embedded id starts a NEW resource: record it,
+                    # but its anchors (including a legacy id-fragment
+                    # anchor riding on this same id) belong to ITS
+                    # namespace — collected when that resource is
+                    # scanned, not this one
                     nid = urljoin(id_base, rid)
                     if nid in id_norms and id_norms[nid] is not v:
                         raise CompileError(f"duplicate $id {rid!r}")
                     id_norms[nid] = v
                     embedded[rid] = v
                     return
+                if legacy and frag and not frag.startswith("/") \
+                        and "$ref" not in v:
+                    # drafts <2019: the id keyword's fragment declares an
+                    # anchor at this node ($ref-bearing objects declare
+                    # none — boon draft.rs:269-283)
+                    add_anchor(frag, v, path)
                 a = v.get("$anchor")
-                if isinstance(a, str):
+                if isinstance(a, str) and new_anchors:
                     if a in anchors:
                         raise CompileError(f"duplicate $anchor {a!r}")
                     anchors[a] = v
                     apaths[a] = path
                 da = v.get("$dynamicAnchor")
-                if isinstance(da, str):
+                if isinstance(da, str) and dyn_anchors:
                     if da in dynamic:
                         raise CompileError(f"duplicate $dynamicAnchor {da!r}")
                     # a $dynamicAnchor also creates a plain anchor
@@ -587,6 +650,8 @@ class Compiler:
                 for i, sub in enumerate(v):
                     walk(sub, False, f"{path}/{i}")
 
+        if legacy and own_frag and not own_frag.startswith("/"):
+            add_anchor(own_frag, doc, "")  # root id with anchor fragment
         walk(doc, True, "")
         self._scans[key] = (anchors, embedded, dynamic, apaths)
         return anchors, embedded, dynamic, apaths
@@ -619,10 +684,13 @@ class Compiler:
         """One sweep scanning any not-yet-scanned embedded resources;
         True if something new was scanned (callers loop to fixpoint)."""
         changed = False
-        for _a, embedded, _d, _p in list(self._scans.values()):
+        for pkey, (_a, embedded, _d, _p) in list(self._scans.items()):
             for sub in embedded.values():
                 if id(sub) not in self._scans:
-                    self._scan_resource(sub)
+                    # an embedded resource without its own $schema is
+                    # governed by the embedding document's draft
+                    self._scan_resource(
+                        sub, inherit_draft=self._scan_draft.get(pkey))
                     changed = True
         return changed
 
@@ -852,7 +920,13 @@ class Compiler:
 
     def compile_value(self, v: Any, loc: str) -> Node:
         if isinstance(v, dict):
-            rid = v.get("$id")
+            cur_draft = self._ctx[-1][2]
+            rid = v.get("id" if cur_draft == 4 else "$id")
+            if isinstance(rid, str) and cur_draft is not None \
+                    and cur_draft < 2019:
+                # the resource id ignores the fragment part (a legacy
+                # anchor declaration, handled by the resource scan)
+                rid = rid.split("#", 1)[0] or None
             if isinstance(rid, str) and v is not self._ctx[-1][0]:
                 # descending into an embedded $id starts a NEW resource:
                 # its base URI governs relative refs inside it, and it
@@ -1169,8 +1243,17 @@ def compile_schema(doc: Any, *, resources: Optional[dict] = None,
         raise CompileError("schema must be a dict or boolean")
     unique = [[c] if isinstance(c, str) else list(c) for c in extra.get("unique", [])]
     base = ""
-    if isinstance(schema_doc, dict) and isinstance(schema_doc.get("$id"), str):
-        base = schema_doc["$id"]
+    if isinstance(schema_doc, dict):
+        _sv = schema_doc.get("$schema")
+        _d = draft_of_uri(_sv) if isinstance(_sv, str) else None
+        if _d is None and not isinstance(_sv, str):
+            _d = default_draft
+        rid = schema_doc.get("id" if _d == 4 else "$id")
+        if isinstance(rid, str):
+            # legacy drafts: the id's fragment is an anchor, not part of
+            # the resource URI
+            base = rid.split("#", 1)[0] if _d is not None and _d < 2019 \
+                else rid
     return CompiledSchema(
         root=root,
         base_uri=base,

@@ -49,6 +49,32 @@ def read_table(spark: SparkSession, location: str, *,
         df = spark.read.option("multiLine", str(multi).lower()) \
             .option("columnNameOfCorruptRecord", _CORRUPT) \
             .json(location)
+    elif fmt == "yaml" or (fmt == "auto" and
+                           low.endswith((".yaml", ".yml"))):
+        # boon's CLI accepts YAML *instances* (cli/src/main.rs:219-228).
+        # A YAML "table" is a small-file, driver-side shape by nature
+        # (YAML has no splittable row framing): safe_load on the driver,
+        # one row per document (stream of docs) or per list element,
+        # then parallelize.  NOT a 10^12-row path — use JSONL/parquet
+        # for scale; this exists for CLI parity.
+        import yaml
+        with open(location) as f:
+            docs = [d for d in yaml.safe_load_all(f.read()) if d is not None]
+        if len(docs) == 1 and isinstance(docs[0], list):
+            docs = docs[0]
+        if not docs:
+            raise ValueError(f"{location}: no YAML documents found")
+        if not all(isinstance(d, dict) for d in docs):
+            raise ValueError(
+                f"{location}: YAML table rows must be mappings "
+                f"(a document stream or one top-level list of them)")
+        # route through the JSON reader so type widening/schema inference
+        # matches the .json path exactly (a hand-rolled createDataFrame
+        # would infer e.g. int-vs-double differently)
+        import json as _json
+        df = spark.read.option("columnNameOfCorruptRecord", _CORRUPT) \
+            .json(spark.sparkContext.parallelize(
+                [_json.dumps(d) for d in docs]))
     elif fmt == "csv" or (fmt == "auto" and low.endswith(".csv")):
         # FAILFAST: a malformed CSV row would otherwise PERMISSIVE-fill
         # NULLs that validate (same silent-false-verdict hazard as JSON)

@@ -297,3 +297,24 @@ def test_malformed_csv_fails_loudly(tmp_path, spark):
     f.write_text('doc_id,n\n"a",5\n"unterminated,\n')
     with pytest.raises(Exception, match="FAILFAST|[Mm]alformed"):
         read_table(spark, str(f)).collect()
+
+
+def test_yaml_instance_table(tmp_path, spark):
+    # boon's CLI accepts YAML instances (cli/src/main.rs:219-228): a
+    # document stream becomes rows, matching the .json reader's types
+    from boon_spark.sources.reader import read_table
+    f = tmp_path / "rows.yaml"
+    f.write_text("doc_id: a\nn_tok: 5\n---\ndoc_id: b\nn_tok: 9000\n")
+    df = read_table(spark, str(f))
+    assert df.count() == 2
+    assert set(df.columns) == {"doc_id", "n_tok"}
+    # top-level list form too
+    g = tmp_path / "list.yml"
+    g.write_text("- {doc_id: c, n_tok: 1}\n- {doc_id: d, n_tok: 2}\n")
+    assert read_table(spark, str(g)).count() == 2
+    # non-mapping rows fail loudly rather than validating as NULLs
+    import pytest as _pytest
+    h = tmp_path / "bad.yaml"
+    h.write_text("- 1\n- 2\n")
+    with _pytest.raises(ValueError, match="mappings"):
+        read_table(spark, str(h))

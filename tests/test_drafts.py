@@ -251,3 +251,112 @@ def test_default_draft_7_asserts_format(spark):
                              default_draft=7)
     df = spark.createDataFrame([("2024-01-01",), ("nope",)], "d string")
     assert [r.valid for r in eng.annotate(df).collect()] == [True, False]
+
+
+# ------------------------------------------------- per-draft id model
+# boon src/draft.rs:18,46,131 (the `id` field) + collect_anchors:239-297:
+# draft-4 spells the resource-id keyword "id"; drafts <2019 declare
+# anchors via the id keyword's fragment; $anchor is 2019+.
+
+def test_draft4_id_is_base_uri_and_resource(spark):
+    eng = Engine.from_schema({
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "id": "http://example.com/d4root.json",
+        "definitions": {
+            "lib": {"id": "http://example.com/d4lib.json",
+                    "definitions": {"pos": {"minimum": 1}}}},
+        "properties": {"n": {
+            "$ref": "http://example.com/d4lib.json#/definitions/pos"}},
+    }, row_id="k")
+    df = spark.createDataFrame([("a", 0), ("b", 2)], "k string, n int")
+    rows = eng.validate(df).violations().collect()
+    assert len(rows) == 1
+    assert rows[0].keyword_location == "/properties/n/$ref/minimum"
+    assert rows[0].absolute_keyword_location == \
+        "http://example.com/d4lib.json#/definitions/pos/minimum"
+
+
+def test_draft4_id_fragment_is_anchor(spark):
+    eng = Engine.from_schema({
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "definitions": {"pos": {"id": "#posi", "minimum": 1}},
+        "properties": {"n": {"$ref": "#posi"}},
+    }, row_id="k")
+    df = spark.createDataFrame([("a", 0)], "k string, n int")
+    r = eng.validate(df).violations().collect()[0]
+    assert r.keyword_location == "/properties/n/$ref/minimum"
+    # anchor refs report the anchored subschema's definition pointer
+    assert r.absolute_keyword_location == "#/definitions/pos/minimum"
+
+
+def test_draft6_dollar_id_fragment_is_anchor(spark):
+    eng = Engine.from_schema({
+        "$schema": "http://json-schema.org/draft-06/schema#",
+        "definitions": {"pos": {"$id": "#posi", "minimum": 1}},
+        "properties": {"n": {"$ref": "#posi"}},
+    }, row_id="k")
+    df = spark.createDataFrame([("a", 0)], "k string, n int")
+    assert eng.validate(df).violations().count() == 1
+
+
+def test_draft4_ignores_dollar_id_anchor():
+    # "$id" is an unknown keyword in draft 4 — the anchor must not exist
+    import pytest as _pytest
+    from boon_spark.schema import CompileError
+    with _pytest.raises(CompileError, match="posi"):
+        Engine.from_schema({
+            "$schema": "http://json-schema.org/draft-04/schema#",
+            "definitions": {"pos": {"$id": "#posi", "minimum": 1}},
+            "properties": {"n": {"$ref": "#posi"}},
+        })
+
+
+def test_draft6_ignores_legacy_id_anchor():
+    import pytest as _pytest
+    from boon_spark.schema import CompileError
+    with _pytest.raises(CompileError, match="posi"):
+        Engine.from_schema({
+            "$schema": "http://json-schema.org/draft-06/schema#",
+            "definitions": {"pos": {"id": "#posi", "minimum": 1}},
+            "properties": {"n": {"$ref": "#posi"}},
+        })
+
+
+def test_draft7_ignores_dollar_anchor_keyword():
+    # $anchor is 2019+; in draft 7 it is an unknown keyword
+    import pytest as _pytest
+    from boon_spark.schema import CompileError
+    with _pytest.raises(CompileError, match="posi"):
+        Engine.from_schema({
+            "$schema": "http://json-schema.org/draft-07/schema#",
+            "definitions": {"pos": {"$anchor": "posi", "minimum": 1}},
+            "properties": {"n": {"$ref": "#posi"}},
+        })
+
+
+def test_legacy_anchor_not_collected_from_ref_object():
+    # drafts <2019: an object containing $ref declares no anchor
+    # (boon draft.rs:269-271)
+    import pytest as _pytest
+    from boon_spark.schema import CompileError
+    with _pytest.raises(CompileError, match="aa"):
+        Engine.from_schema({
+            "$schema": "http://json-schema.org/draft-07/schema#",
+            "definitions": {
+                "pos": {"minimum": 1},
+                "alias": {"$id": "#aa", "$ref": "#/definitions/pos"}},
+            "properties": {"n": {"$ref": "#aa"}},
+        })
+
+
+def test_draft4_root_id_with_fragment_strips_for_base(spark):
+    # the resource id ignores the fragment part (boon draft.rs:198)
+    eng = Engine.from_schema({
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "id": "http://example.com/d4frag.json#rootanchor",
+        "properties": {"n": {"minimum": 1}},
+    }, row_id="k")
+    df = spark.createDataFrame([("a", 0)], "k string, n int")
+    r = eng.validate(df).violations().collect()[0]
+    assert r.absolute_keyword_location == \
+        "http://example.com/d4frag.json#/properties/n/minimum"

@@ -176,3 +176,42 @@ def test_lsh_topk_chunked_matches_single_pass(spark):
         assert sorted(map(tuple, chunked)) == sorted(map(tuple, single))
     finally:
         spark.catalog.clearCache()
+
+
+def test_lsh_topk_quantized_recall_and_determinism(spark):
+    # the integer-exact approximate path must (a) be deterministic across
+    # runs and (b) recover a decent fraction of the exact top-k
+    from boon_spark.operators.similarity import (cosine_topk,
+                                                 lsh_topk_quantized)
+    emb = _emb(spark, 300, dim=16)
+    q = emb.filter(F.col("vec_id") < 8)
+    a = sorted(map(tuple, lsh_topk_quantized(
+        emb, q, k=5, dim=16, bits=4).collect()))
+    b = sorted(map(tuple, lsh_topk_quantized(
+        emb, q, k=5, dim=16, bits=4).collect()))
+    assert a == b, "quantized LSH topk must be deterministic"
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r[0], r[1]) for r in a}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25, f"recall {recall:.2f} too low"
+
+
+def test_lsh_topk_quantized_overflow_guard():
+    from boon_spark.operators.similarity import lsh_topk_quantized
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="overflow"):
+        lsh_topk_quantized(None, None, k=1, dim=128, q_bits=16)
+
+
+def test_lsh_topk_quantized_caps_hot_bucket(spark):
+    from boon_spark.operators.similarity import lsh_topk_quantized
+    corpus = _hot_corpus(spark, n_hot=40, n_cold=30)
+    q = corpus.filter(F.col("vec_id") == 1000)
+    capped = lsh_topk_quantized(corpus, q, k=5, dim=16, bits=5,
+                                max_bucket=8).collect()
+    assert all(r.neighbor_id < 1000 for r in capped), \
+        "over-cap bucket must be dropped"
+    uncapped = lsh_topk_quantized(corpus, q, k=5, dim=16, bits=5,
+                                  max_bucket=None).collect()
+    assert any(r.neighbor_id >= 1000 for r in uncapped)
