@@ -485,6 +485,21 @@ def q_lsh_topk(spark, sf_dir):
         F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) approximate ANN: deterministic hash-seeded
+    Lloyd clustering, n_probe nearest cells per query.  NO oracle_sql
+    entry by design — iterative k-means is not SQL-expressible (the
+    brief's documented rows-only category); correctness is pinned by
+    test_similarity_ids (determinism, recall, and the completeness
+    property n_probe==n_centroids ≡ exact top-k)."""
+    from boon_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_multimodal_decode(spark, sf_dir):
     """multimodal decode plumbing end-to-end: documents.text encoded to a
     binary payload column, decoded via mapInPandas with the deterministic
@@ -562,6 +577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dups": q_embedding_near_dups,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
 }
 
 

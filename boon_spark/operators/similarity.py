@@ -458,6 +458,134 @@ def lsh_topk_quantized_oracle_sql(*, k: int, dim: int, bits: int = 6,
     """
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, n_probe: int = 3, iters: int = 2,
+             seed: int = 42,
+             max_cell: int | None = 100_000) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the centroid-bucketed
+    scale path alongside the LSH variants: cluster the corpus into
+    ``n_centroids`` Voronoi cells with a few Lloyd iterations, then each
+    query scans only its ``n_probe`` nearest cells.
+
+    Deterministic throughout (no RNG state): initial centroids are the
+    ``n_centroids`` corpus vectors minimizing ``xxhash64(id, seed)`` —
+    a uniform, reproducible sample — and Lloyd updates are exact means,
+    so repeated runs (and plan re-executions) agree.  This is an
+    ITERATIVE algorithm: each Lloyd step is one assignment join + one
+    tiny mean-aggregation, materialized to the driver (centroids are
+    ``n_centroids × dim`` floats — kilobytes), so the corpus is scanned
+    ``iters + 1`` times total and every join broadcasts only centroids.
+
+    Scale shape at 10^12 rows: assignment = narrow map stage against
+    broadcast centroids (no shuffle of the corpus); the mean-agg shuffle
+    carries ``n_centroids × dim`` partial sums per task; the final
+    search joins each query to its probed cells — a broadcast join on
+    cell id with per-cell fan-out bounded by ``max_cell`` (over-cap
+    cells are dropped like the LSH ``max_bucket``; at sane
+    ``n_centroids`` the cap only trims pathological all-duplicate
+    corpora).
+
+    Returns ``(query_id, neighbor_id, rank)``, rank 1..k by cosine,
+    ties by ascending neighbor id.
+    """
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_cv"))
+         .filter(F.col("_cv").isNotNull()))
+
+    def assign(cents: list[list[float]], vcol: str) -> Column:
+        # argmin over squared L2 distance to each broadcast centroid:
+        # sort a small array of (distance, index) structs and take the
+        # head — LINEAR expression size.  (A when-chain that threads
+        # `best_d` through each step embeds the previous best twice per
+        # centroid — O(2^n) expression-tree blowup that OOMs the driver
+        # at plan time by n=16.)  Ties break on the lower centroid index
+        # (struct field order), deterministic.
+        structs = []
+        for ci, cv in enumerate(cents):
+            arr = F.array(*[F.lit(float(x)) for x in cv])
+            d = F.aggregate(F.zip_with(F.col(vcol), arr,
+                                       lambda a, b: (a - b) * (a - b)),
+                            F.lit(0.0), lambda acc, x: acc + x)
+            structs.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
+        return F.element_at(F.sort_array(F.array(*structs)), 1)["c"]
+
+    # deterministic uniform seed sample: the n_centroids corpus vectors
+    # with the smallest hash — one small top-k, no RNG
+    seed_rows = (c.select("_cv",
+                          F.xxhash64(F.col("neighbor_id"), F.lit(seed))
+                          .alias("_h"))
+                 .orderBy("_h").limit(n_centroids).collect())
+    cents = [list(r._cv) for r in seed_rows if r._cv]
+    # seeds must agree on dimensionality (ragged/null-element vectors are
+    # excluded from the corpus below with the same rule)
+    cents = [v for v in cents
+             if len(v) == len(cents[0]) and all(x is not None for x in v)]
+    if not cents:
+        return (c.select(F.col("neighbor_id").alias("query_id"),
+                         "neighbor_id", F.lit(1).alias("rank"))
+                .limit(0))
+    dim_idx = len(cents[0])
+    # ragged / null-element vectors would NULL-poison distances (zip_with
+    # pads with NULL) and ANSI element_at would abort the mean agg —
+    # exclude them up front, identically for corpus and queries
+    well_formed = (F.size(F.col("_cv")) == dim_idx) & \
+        (F.size(F.filter(F.col("_cv"), lambda x: x.isNull())) == 0)
+    c = c.filter(well_formed)
+    for _ in range(iters):
+        assigned = c.withColumn("_cell", assign(cents, "_cv"))
+        means = (assigned.filter(F.col("_cell").isNotNull())
+                 .groupBy("_cell")
+                 .agg(*[F.avg(F.element_at("_cv", j + 1)).alias(f"m{j}")
+                        for j in range(dim_idx)],
+                      F.count(F.lit(1)).alias("_n"))
+                 .collect())
+        # empty cells keep their previous centroid (standard Lloyd)
+        for r in means:
+            cents[r._cell] = [float(r[f"m{j}"]) for j in range(dim_idx)]
+
+    cc = c.withColumn("_cell", assign(cents, "_cv")) \
+        .filter(F.col("_cell").isNotNull())
+    if max_cell is not None:
+        over = (cc.groupBy("_cell").agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > max_cell).select("_cell"))
+        cc = cc.join(F.broadcast(over), on="_cell", how="left_anti")
+
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qv"))
+         .filter(F.col("_qv").isNotNull())
+         .filter((F.size(F.col("_qv")) == dim_idx) &
+                 (F.size(F.filter(F.col("_qv"),
+                                  lambda x: x.isNull())) == 0)))
+    # probe list: the n_probe nearest centroids per query — small side,
+    # computed as an array rank over the broadcast centroid distances
+    dists = []
+    for ci, cv in enumerate(cents):
+        arr = F.array(*[F.lit(float(x)) for x in cv])
+        dists.append(F.struct(
+            F.aggregate(F.zip_with(F.col("_qv"), arr,
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+            F.lit(ci).alias("c")))
+    probes = F.slice(F.sort_array(F.array(*dists)), 1,
+                     min(n_probe, len(cents)))
+    q = q.select("query_id", "_qv",
+                 F.explode(F.transform(probes, lambda s: s.c))
+                 .alias("_cell"))
+
+    joined = (cc.join(F.broadcast(q), on="_cell")
+              .filter(F.col("neighbor_id") != F.col("query_id")))
+    scored = (joined.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("_cv"), F.col("_qv")).alias("cos"))
+        .filter(F.col("cos").isNotNull()))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
 def lsh_bucket_stats(corpus: DataFrame, *, dim: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      bits: int = 8, seed: int = 42,

@@ -215,3 +215,39 @@ def test_lsh_topk_quantized_caps_hot_bucket(spark):
     uncapped = lsh_topk_quantized(corpus, q, k=5, dim=16, bits=5,
                                   max_bucket=None).collect()
     assert any(r.neighbor_id >= 1000 for r in uncapped)
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    # IVF (centroid-bucketed) ANN: deterministic seeding/Lloyd, decent
+    # recall vs exact at modest n_probe
+    from boon_spark.operators.similarity import cosine_topk, ivf_topk
+    emb = _emb(spark, 300, dim=16)
+    q = emb.filter(F.col("vec_id") < 8)
+    a = sorted(map(tuple, ivf_topk(emb, q, k=5, n_centroids=8,
+                                   n_probe=3).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, q, k=5, n_centroids=8,
+                                   n_probe=3).collect()))
+    assert a == b, "ivf_topk must be deterministic"
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r[0], r[1]) for r in a}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall {recall:.2f} too low"
+    # probing ALL cells = exact (the IVF completeness property)
+    full = {(r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, q, k=5, n_centroids=8,
+                              n_probe=8).collect()}
+    assert full == exact, "n_probe == n_centroids must equal exact top-k"
+
+
+def test_ivf_topk_handles_ragged_and_null_vectors(spark):
+    from boon_spark.operators.similarity import ivf_topk
+    emb = _emb(spark, 40, dim=8)
+    bad = spark.createDataFrame(
+        [(1000, None), (1001, [0.1] * 3), (1002, [0.1, None] * 4)],
+        "vec_id long, embedding array<float>")
+    corpus = emb.unionByName(bad)
+    q = emb.filter(F.col("vec_id") < 2)
+    out = ivf_topk(corpus, q, k=4, n_centroids=4, n_probe=4).collect()
+    assert len(out) == 8
+    assert all(r.neighbor_id < 1000 for r in out)
