@@ -265,11 +265,14 @@ def main(argv=None) -> int:
         # error contract: "error: ..." + exit 1.  Deliberately NOT a
         # bare `except Exception`: an internal TypeError must stay a
         # traceback, not be laundered into the user-error contract.
-        # Py4JJavaError is broader than the contract — any JVM failure
-        # (codegen bug, OOM, engine-defect AnalysisException) lands
-        # there too; only re-wrap the expected bad-input shapes and let
-        # everything else surface as a traceback (ADVICE r3).
-        if isinstance(e, Py4JJavaError) and not _looks_like_input_error(e):
+        # Py4JJavaError / PySparkException are broader than the contract
+        # — any JVM failure (codegen bug, OOM, engine-defect
+        # AnalysisException) lands there too; only re-wrap the expected
+        # bad-input shapes and let everything else surface as a
+        # traceback (ADVICE r3; PySparkException arm included because in
+        # PySpark 4 AnalysisException subclasses it).
+        if isinstance(e, (Py4JJavaError, PySparkException)) and \
+                not _looks_like_input_error(e):
             raise
         # Spark/Py4J messages embed a JVM stack — keep the head only.
         head = "\n".join(str(e).strip().splitlines()[:2])[:400]

@@ -50,7 +50,14 @@ def _exact_query_chunks(q_all: DataFrame, n_q: int,
     about to be broadcast — so sorting it on one task is bounded by the
     same budget as the broadcast itself.  A hash-pmod chunk key only
     bounds the average chunk; a skewed hash could exceed the broadcast
-    budget the parameter exists to enforce (ADVICE r3)."""
+    budget the parameter exists to enforce (ADVICE r3).
+
+    ``n_q`` comes from a driver-time count while chunk assignment runs
+    at execution time; if the query plan is nondeterministic or its
+    source grew in between, extra rows land past the planned range —
+    the LAST chunk uses ``>=`` so they are still processed (one chunk
+    may exceed the broadcast bound in that pathological case) instead
+    of silently dropped."""
     if n_q <= max_per_pass:
         return [q_all]
     n_chunks = -(-n_q // max_per_pass)
@@ -59,8 +66,21 @@ def _exact_query_chunks(q_all: DataFrame, n_q: int,
         "_chunk",
         F.floor((F.row_number().over(w) - 1) / F.lit(max_per_pass))
         .cast("int"))
-    return [numbered.filter(F.col("_chunk") == i).drop("_chunk")
-            for i in range(n_chunks)]
+    return [numbered.filter(
+        (F.col("_chunk") == i) if i < n_chunks - 1
+        else (F.col("_chunk") >= i)).drop("_chunk")
+        for i in range(n_chunks)]
+
+
+def _attach_cached(out: DataFrame, cached) -> DataFrame:
+    """Expose a chunked-mode persisted corpus projection on the result as
+    ``result.cached_corpus`` so callers can ``.unpersist()`` it after
+    their action instead of leaking one MEMORY_AND_DISK cache per call
+    (``spark.catalog.clearCache()`` is the blunt fallback — it drops
+    unrelated caches too)."""
+    if cached is not None:
+        out.cached_corpus = cached
+    return out
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
@@ -105,6 +125,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("_cv"))
 
+    cached = None
     if max_queries_per_pass is not None:
         # opt-in broadcast chunking: n_q is a driver action on the SMALL
         # side only, and only in this branch (the default path runs zero
@@ -113,7 +134,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
         chunks = _exact_query_chunks(q_all, n_q, max_queries_per_pass)
         if len(chunks) > 1:
             from pyspark import StorageLevel
-            c = c.persist(StorageLevel.MEMORY_AND_DISK)
+            c = cached = c.persist(StorageLevel.MEMORY_AND_DISK)
     else:
         chunks = [q_all]
 
@@ -156,10 +177,11 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
         cand = cand.unionByName(extra)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (cand
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank"))
+    out = (cand
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("query_id", "neighbor_id", "rank"))
+    return _attach_cached(out, cached)
 
 
 # ---------------------------------------------------------------------------
@@ -238,12 +260,13 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
         c = c.join(F.broadcast(over), on="_sig", how="left_anti")
     q_all = queries.select(F.col(id_col).alias("query_id"),
                            F.col(vec_col).alias("_qv"), sig_c.alias("_sig0"))
+    cached = None
     if max_queries_per_pass is not None:
         n_q = q_all.count()
         chunks = _exact_query_chunks(q_all, n_q, max_queries_per_pass)
         if len(chunks) > 1:
             from pyspark import StorageLevel
-            c = c.persist(StorageLevel.MEMORY_AND_DISK)
+            c = cached = c.persist(StorageLevel.MEMORY_AND_DISK)
     else:
         chunks = [q_all]
 
@@ -258,10 +281,7 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
         else:
             q = q.withColumnRenamed("_sig0", "_sig")
         joined = (c.join(F.broadcast(q), on="_sig")
-                  .filter(F.col("neighbor_id") != F.col("query_id"))
-                  # query chunks are disjoint by query_id, so per-chunk
-                  # dedup of multiprobe double-hits equals a global dedup
-                  .dropDuplicates(["query_id", "neighbor_id"]))
+                  .filter(F.col("neighbor_id") != F.col("query_id")))
         scored_parts.append(
             joined.select("query_id", "neighbor_id",
                           cosine(F.col("_cv"), F.col("_qv")).alias("cos"))
@@ -270,11 +290,16 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     scored = scored_parts[0]
     for extra in scored_parts[1:]:
         scored = scored.unionByName(extra)
+    # dedup multiprobe double-hits AFTER the union: duplicate query_id
+    # rows can straddle a chunk boundary, so a per-chunk dedup would let
+    # the same (query, neighbor) pair take two of the k slots
+    scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank"))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("query_id", "neighbor_id", "rank"))
+    return _attach_cached(out, cached)
 
 
 def lsh_topk_quantized(corpus: DataFrame, queries: DataFrame, *, k: int,
@@ -282,7 +307,8 @@ def lsh_topk_quantized(corpus: DataFrame, queries: DataFrame, *, k: int,
                        vec_col: str = "embedding", bits: int = 6,
                        seed: int = 42, q_bits: int = 6,
                        rank_shift: int = 20, multiprobe: bool = True,
-                       max_bucket: int | None = 1024) -> DataFrame:
+                       max_bucket: int | None = 1024,
+                       coord_bound: float = 1.0) -> DataFrame:
     """Integer-exact approximate top-k — the oracle-pairable variant of
     :func:`lsh_bucket_topk` (same construction as
     ``dedup.embedding_near_dups_quantized``: float LSH risks sign flips
@@ -301,23 +327,35 @@ def lsh_topk_quantized(corpus: DataFrame, queries: DataFrame, *, k: int,
     - the rank key is the **scaled quantized squared cosine**
       ``sign(dot) · (dot²·2^rank_shift DIV (‖a‖²·‖b‖²))`` — integer
       floor-division, resolution 2^-rank_shift on cos², ties broken by
-      ascending neighbor id.  Overflow bound: ``dot ≤ dim·2^(2·q_bits)``
-      so ``dot²·2^rank_shift ≤ dim²·2^(4·q_bits+rank_shift) < 2^62``
-      (dim ≤ 128 at the defaults).
+      ascending neighbor id;
+    - overflow safety is a CONTRACT, not an assumption: rows with any
+      ``|coordinate| > coord_bound`` are excluded (identically in the
+      oracle — ANSI mode would otherwise turn an int64 overflow into a
+      job abort on unnormalized embeddings), and the derived bound
+      ``(dim·B²)²·2^rank_shift < 2^63`` with ``B =
+      floor(coord_bound·2^q_bits)+1`` is checked with a real exception
+      (an ``assert`` disappears under ``python -O``).
 
     Returns ``(query_id, neighbor_id, rank)``, rank 1..k.
     """
-    assert dim * dim * (1 << (4 * q_bits + rank_shift)) < (1 << 62), \
-        "rank-key overflow: lower q_bits or rank_shift"
+    B = int(coord_bound * (1 << q_bits)) + 1
+    if (dim * B * B) ** 2 * (1 << rank_shift) >= (1 << 63):
+        raise ValueError(
+            f"rank-key overflow: dim={dim}, q_bits={q_bits}, "
+            f"rank_shift={rank_shift}, coord_bound={coord_bound} exceeds "
+            f"int64 — lower q_bits/rank_shift/coord_bound")
     from .dedup import quantized_planes
     planes = quantized_planes(dim, bits, seed)
     scale = 1 << q_bits
     qv = F.transform(F.col(vec_col),
                      lambda x: F.floor(x * F.lit(scale)).cast("long"))
-    # ragged/null vectors excluded identically in both engines (see
-    # dedup.embedding_near_dups_quantized NULL-poisoning note)
+    # ragged/null/out-of-bound vectors excluded identically in both
+    # engines (see dedup.embedding_near_dups_quantized NULL-poisoning
+    # note; the coord_bound arm is the overflow contract above)
     clean = (F.size(F.col(vec_col)) == dim) & \
-        (F.size(F.filter(F.col(vec_col), lambda x: x.isNull())) == 0)
+        (F.size(F.filter(F.col(vec_col),
+                         lambda x: x.isNull() |
+                         (F.abs(x) > F.lit(float(coord_bound))))) == 0)
 
     def idot(x: Column, y: Column) -> Column:
         return F.aggregate(F.zip_with(x, y, lambda u, v: u * v),
@@ -380,6 +418,7 @@ def lsh_topk_quantized_oracle_sql(*, k: int, dim: int, bits: int = 6,
                                   table: str = "embeddings",
                                   id_col: str = "vec_id",
                                   vec_col: str = "embedding",
+                                  coord_bound: float = 1.0,
                                   query_pred: str = "vid < 5") -> str:
     """DuckDB SQL reproducing :func:`lsh_topk_quantized` bit-for-bit:
     hyperplane constants inlined as integer literals, the same integer
@@ -418,7 +457,8 @@ def lsh_topk_quantized_oracle_sql(*, k: int, dim: int, bits: int = 6,
                                 x -> CAST(floor(x * {scale}) AS BIGINT)) AS qv
           FROM {table}
           WHERE len({vec_col}) = {dim}
-            AND len(list_filter({vec_col}, x -> x IS NULL)) = 0),
+            AND len(list_filter({vec_col},
+                    x -> x IS NULL OR abs(x) > {float(coord_bound)!r})) = 0),
         n0 AS (
           SELECT vid, qv,
                  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT)
@@ -461,7 +501,7 @@ def lsh_topk_quantized_oracle_sql(*, k: int, dim: int, bits: int = 6,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 16, n_probe: int = 3, iters: int = 2,
-             seed: int = 42,
+             seed: int = 42, dim: int | None = None,
              max_cell: int | None = 100_000) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the centroid-bucketed
     scale path alongside the LSH variants: cluster the corpus into
@@ -517,10 +557,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
                           .alias("_h"))
                  .orderBy("_h").limit(n_centroids).collect())
     cents = [list(r._cv) for r in seed_rows if r._cv]
-    # seeds must agree on dimensionality (ragged/null-element vectors are
-    # excluded from the corpus below with the same rule)
-    cents = [v for v in cents
-             if len(v) == len(cents[0]) and all(x is not None for x in v)]
+    cents = [v for v in cents if all(x is not None for x in v)]
+    # seeds must agree on dimensionality.  With explicit `dim` that is
+    # the contract; when inferring, take the MODAL seed length — pinning
+    # to the first (hash-minimal) seed would let one ragged vector set a
+    # wrong dim and the well-formed filter would then silently discard
+    # the entire real corpus
+    if dim is None and cents:
+        from collections import Counter
+        dim = Counter(len(v) for v in cents).most_common(1)[0][0]
+    cents = [v for v in cents if len(v) == dim]
     if not cents:
         return (c.select(F.col("neighbor_id").alias("query_id"),
                          "neighbor_id", F.lit(1).alias("rank"))

@@ -297,6 +297,28 @@ def _check_regex(pat: str, loc: str) -> tuple[str, str]:
     return java, py
 
 
+def root_base_uri(doc: Any, default_draft: Optional[int]) -> str:
+    """Root document's base URI under the per-draft id model: draft-4
+    spells the id keyword ``id`` (boon src/draft.rs:18), and drafts
+    <2019 ignore the fragment part of a resource id (draft.rs:198 — the
+    fragment is a legacy anchor declaration).  Standard-URI ``$schema``
+    check only: custom metaschemas are 2019+ (with ``$id``), so the
+    ``$id`` spelling is always right for them.  Returns "" when the
+    document declares no id."""
+    if not isinstance(doc, dict):
+        return ""
+    sv = doc.get("$schema")
+    rd = draft_of_uri(sv) if isinstance(sv, str) else None
+    if rd is None and not isinstance(sv, str):
+        rd = default_draft
+    rid = doc.get("id" if rd == 4 else "$id")
+    if not isinstance(rid, str):
+        return ""
+    if rd is not None and rd < 2019:
+        rid = rid.split("#", 1)[0]
+    return rid
+
+
 class Compiler:
     """Worklist-free recursive compiler (our schemas are trees after $ref
     inlining; boon needs a FIFO queue, src/compiler.rs:937-985, because it
@@ -332,20 +354,7 @@ class Compiler:
         # keywords are annotation-only unless enabled, in every draft
         self.assert_format = assert_format
         self.assert_content = assert_content
-        # root base URI: draft-4 spells the id keyword "id"
-        # (src/draft.rs:18); the resource id ignores any fragment part
-        # (draft.rs:198).  Standard-URI check only here — custom
-        # metaschemas resolve later, and they are 2019+ (with $id).
-        _sv = doc.get("$schema") if isinstance(doc, dict) else None
-        _rd = draft_of_uri(_sv) if isinstance(_sv, str) else None
-        if _rd is None and not isinstance(_sv, str):
-            _rd = default_draft
-        root_id = doc.get("id" if _rd == 4 else "$id") \
-            if isinstance(doc, dict) else None
-        if isinstance(root_id, str) and _rd is not None and _rd < 2019:
-            root_id = root_id.split("#", 1)[0]
-        root_base = root_id if isinstance(root_id, str) and root_id \
-            else base_uri
+        root_base = root_base_uri(doc, default_draft) or base_uri
         self.resources: dict[str, Any] = dict(resources or {})
         if root_base:
             self.resources.setdefault(root_base, doc)
@@ -1242,18 +1251,7 @@ def compile_schema(doc: Any, *, resources: Optional[dict] = None,
     if root is None:
         raise CompileError("schema must be a dict or boolean")
     unique = [[c] if isinstance(c, str) else list(c) for c in extra.get("unique", [])]
-    base = ""
-    if isinstance(schema_doc, dict):
-        _sv = schema_doc.get("$schema")
-        _d = draft_of_uri(_sv) if isinstance(_sv, str) else None
-        if _d is None and not isinstance(_sv, str):
-            _d = default_draft
-        rid = schema_doc.get("id" if _d == 4 else "$id")
-        if isinstance(rid, str):
-            # legacy drafts: the id's fragment is an anchor, not part of
-            # the resource URI
-            base = rid.split("#", 1)[0] if _d is not None and _d < 2019 \
-                else rid
+    base = root_base_uri(schema_doc, default_draft)
     return CompiledSchema(
         root=root,
         base_uri=base,

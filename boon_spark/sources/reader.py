@@ -25,6 +25,28 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _yaml_jsonable(v, location: str):
+    """Normalize PyYAML's YAML-1.1 native scalars into the JSON data
+    model: unquoted ISO dates/timestamps parse to datetime objects,
+    which json.dumps rejects — render them as ISO-8601 strings, exactly
+    what the reference's YAML 1.2 pipeline sees (so ``format: date``
+    keeps working).  Anything else non-JSON (e.g. ``!!binary``) fails
+    loudly.  (YAML-1.1 booleans like unquoted ``yes`` still parse to
+    true — quote them in the source if a string is meant.)"""
+    import datetime
+    if isinstance(v, dict):
+        return {str(k): _yaml_jsonable(x, location) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_yaml_jsonable(x, location) for x in v]
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    raise ValueError(
+        f"{location}: YAML value of type {type(v).__name__} has no JSON "
+        f"equivalent (quote it as a string if that is what is meant)")
+
+
 def read_table(spark: SparkSession, location: str, *,
                fmt: str = "auto") -> DataFrame:
     """``location`` is an Iceberg table identifier (``catalog.db.tbl``),
@@ -58,8 +80,16 @@ def read_table(spark: SparkSession, location: str, *,
         # then parallelize.  NOT a 10^12-row path — use JSONL/parquet
         # for scale; this exists for CLI parity.
         import yaml
-        with open(location) as f:
-            docs = [d for d in yaml.safe_load_all(f.read()) if d is not None]
+        try:
+            with open(location) as f:
+                docs = [d for d in yaml.safe_load_all(f.read())
+                        if d is not None]
+        except yaml.YAMLError as e:
+            # ValueError keeps the CLI's bad-input error contract — a raw
+            # ScannerError/ParserError would traceback instead
+            raise ValueError(
+                f"{location}: malformed YAML: "
+                f"{str(e).strip().splitlines()[0]}") from e
         if len(docs) == 1 and isinstance(docs[0], list):
             docs = docs[0]
         if not docs:
@@ -68,6 +98,7 @@ def read_table(spark: SparkSession, location: str, *,
             raise ValueError(
                 f"{location}: YAML table rows must be mappings "
                 f"(a document stream or one top-level list of them)")
+        docs = [_yaml_jsonable(d, location) for d in docs]
         # route through the JSON reader so type widening/schema inference
         # matches the .json path exactly (a hand-rolled createDataFrame
         # would infer e.g. int-vs-double differently)

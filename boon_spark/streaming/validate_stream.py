@@ -110,44 +110,84 @@ def stream_to_manifest(stream_df: DataFrame, spec, *, partition_col: str,
     the (run_id, batch_id) pair that last touched it; a partition whose
     entry already records the incoming pair is skipped entirely (no
     re-accumulated counts, no duplicate violation appends).  The run_id
-    is derived from the checkpoint path: micro-batch ids are
-    per-checkpoint, so a manifest reused with a FRESH checkpoint (ids
-    restart at 0) must not mistake the new query's batch 0 for the old
-    run's batch 0 and silently drop it (ADVICE r3).
+    is the query id from ``<checkpoint>/metadata`` (resolved lazily on
+    the first batch): micro-batch ids are per-checkpoint, so a manifest
+    reused with a FRESH checkpoint — including one wiped and recreated
+    at the SAME path — must not mistake the new query's batch 0 for the
+    old run's batch 0 and silently drop it (ADVICE r3).
 
     Returns the started StreamingQuery.
     """
     handle = manifest_batch_handler(
         spec, partition_col=partition_col, manifest_path=manifest_path,
         violations_path=violations_path, row_id=row_id,
-        run_id=run_id_for_checkpoint(checkpoint))
+        checkpoint=checkpoint)
     return (stream_df.writeStream
             .foreachBatch(handle)
             .option("checkpointLocation", checkpoint)
             .start())
 
 
-def run_id_for_checkpoint(checkpoint: str) -> str:
-    """Stable identifier for one streaming query incarnation: micro-batch
-    ids are only unique WITHIN a checkpoint, so replay detection must key
-    on (run, batch), not batch alone."""
+def run_id_for_checkpoint(checkpoint: str, spark=None) -> str:
+    """Stable identifier for one streaming query INCARNATION: micro-batch
+    ids are only unique within a checkpoint, so replay detection must key
+    on (run, batch), not batch alone.
+
+    The identity is the query id Structured Streaming persists in
+    ``<checkpoint>/metadata`` — regenerated when the checkpoint is wiped
+    and recreated, which is precisely the case a path hash gets wrong
+    (same path, fresh ids: the new run's batch 0 must NOT look like the
+    old run's batch 0).  Read through the Hadoop FS API when a session
+    is given (works for s3/hdfs/... checkpoints); the path hash is only
+    the fallback while the metadata file does not exist yet."""
     import hashlib
+    import json as _json
+    try:
+        if spark is not None:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(checkpoint + "/metadata")
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(p):
+                stream = fs.open(p)
+                try:
+                    raw = bytes(
+                        jvm.org.apache.commons.io.IOUtils.toByteArray(
+                            stream))
+                finally:
+                    stream.close()
+                qid = _json.loads(raw.decode()).get("id")
+                if qid:
+                    return str(qid)
+    except Exception:
+        pass  # metadata not readable → fall back to the path identity
     return hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
 
 
 def manifest_batch_handler(spec, *, partition_col: str, manifest_path: str,
                            violations_path: Optional[str] = None,
                            row_id: Optional[str] = None,
-                           run_id: str = ""):
+                           run_id: str = "",
+                           checkpoint: Optional[str] = None):
     """The ``foreachBatch`` handler behind :func:`stream_to_manifest`,
-    exposed so the replay-idempotency contract is directly testable."""
+    exposed so the replay-idempotency contract is directly testable.
+    Pass either an explicit ``run_id`` (tests) or a ``checkpoint`` path —
+    with a checkpoint, the run identity is resolved LAZILY on the first
+    batch from ``<checkpoint>/metadata`` (the file exists once the query
+    has started; resolving at handler-build time would fall back to a
+    path hash, which collides when a checkpoint is wiped and recreated
+    at the same path)."""
     from ..sources.manifest import (ValidationManifest, spec_hash,
                                     validate_partitioned)
+    state = {"run_id": run_id}
 
     def handle(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        run_id = state["run_id"]
+        if not run_id and checkpoint:
+            run_id = state["run_id"] = \
+                run_id_for_checkpoint(checkpoint, spark)
         manifest = ValidationManifest(manifest_path)
         shash = spec_hash(spec)
         seen = set(batch_partition_keys(batch_df, partition_col))

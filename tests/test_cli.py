@@ -318,3 +318,22 @@ def test_yaml_instance_table(tmp_path, spark):
     h.write_text("- 1\n- 2\n")
     with _pytest.raises(ValueError, match="mappings"):
         read_table(spark, str(h))
+
+
+def test_yaml_native_scalars_and_malformed(tmp_path, spark):
+    # YAML-1.1 native scalars (unquoted dates/timestamps) must land as
+    # ISO strings — PyYAML parses them to datetime objects that
+    # json.dumps rejects; and malformed YAML keeps the bad-input error
+    # contract (ValueError), not a ScannerError traceback
+    from boon_spark.sources.reader import read_table
+    f = tmp_path / "dates.yaml"
+    f.write_text("doc_id: a\ncreated: 2024-01-31\n"
+                 "ts: 2024-01-31 10:11:12\n")
+    row = read_table(spark, str(f)).collect()[0]
+    assert row.created == "2024-01-31"
+    assert row.ts.startswith("2024-01-31T10:11:12")
+    import pytest as _pytest
+    g = tmp_path / "bad.yaml"
+    g.write_text("a: [unclosed\n")
+    with _pytest.raises(ValueError, match="malformed YAML"):
+        read_table(spark, str(g))

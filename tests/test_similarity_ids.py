@@ -127,11 +127,13 @@ def test_cosine_topk_exact_chunks(spark):
 
 
 def _hot_corpus(spark, n_hot=50, n_cold=20, dim=16):
-    # n_hot identical vectors (one SimHash bucket) + n_cold spread ones
+    # n_hot identical vectors (one SimHash bucket) + n_cold spread ones;
+    # coordinates stay within [-1, 1] (the quantized variant's default
+    # coord_bound excludes out-of-bound rows by contract)
     hot = spark.range(n_hot).select(
         (F.col("id") + 1000).alias("vec_id"),
         F.transform(F.sequence(F.lit(1), F.lit(dim)),
-                    lambda i: (i / 10.0).cast("float")).alias("embedding"))
+                    lambda i: (i / 20.0).cast("float")).alias("embedding"))
     cold = spark.range(n_cold).select(
         F.col("id").alias("vec_id"),
         F.transform(F.sequence(F.lit(1), F.lit(dim)),
@@ -198,10 +200,28 @@ def test_lsh_topk_quantized_recall_and_determinism(spark):
 
 
 def test_lsh_topk_quantized_overflow_guard():
+    # a real exception, not an assert (assert vanishes under python -O)
     from boon_spark.operators.similarity import lsh_topk_quantized
     import pytest as _pytest
-    with _pytest.raises(AssertionError, match="overflow"):
+    with _pytest.raises(ValueError, match="overflow"):
         lsh_topk_quantized(None, None, k=1, dim=128, q_bits=16)
+    with _pytest.raises(ValueError, match="overflow"):
+        # unnormalized embeddings: declared coord_bound enters the bound
+        lsh_topk_quantized(None, None, k=1, dim=64, q_bits=6,
+                           coord_bound=1000.0)
+
+
+def test_lsh_topk_quantized_excludes_out_of_bound_coords(spark):
+    # |coordinate| > coord_bound rows are excluded (the overflow
+    # CONTRACT) instead of aborting the job under ANSI int64 overflow
+    from boon_spark.operators.similarity import lsh_topk_quantized
+    emb = _emb(spark, 30, dim=8)
+    big = spark.createDataFrame(
+        [(2000, [1e6] * 8)], "vec_id long, embedding array<float>")
+    corpus = emb.unionByName(big)
+    q = emb.filter(F.col("vec_id") < 2)
+    out = lsh_topk_quantized(corpus, q, k=3, dim=8, bits=4).collect()
+    assert out and all(r.neighbor_id < 2000 for r in out)
 
 
 def test_lsh_topk_quantized_caps_hot_bucket(spark):
@@ -250,4 +270,46 @@ def test_ivf_topk_handles_ragged_and_null_vectors(spark):
     q = emb.filter(F.col("vec_id") < 2)
     out = ivf_topk(corpus, q, k=4, n_centroids=4, n_probe=4).collect()
     assert len(out) == 8
+    assert all(r.neighbor_id < 1000 for r in out)
+
+
+def test_exact_chunks_sweep_overflow_rows(spark):
+    # rows past the planned range (source grew between count and
+    # execution) land in the LAST chunk rather than being dropped
+    from boon_spark.operators.similarity import _exact_query_chunks
+    q = _emb(spark, 20).select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").alias("_qv"))
+    chunks = _exact_query_chunks(q, 10, 4)  # claimed 10, actually 20
+    assert len(chunks) == 3
+    total = sum(c.count() for c in chunks)
+    assert total == 20, "overflow rows must not be silently dropped"
+    assert chunks[-1].count() == 20 - 8  # last chunk sweeps the rest
+
+
+def test_lsh_bucket_topk_dup_query_rows_across_chunks(spark):
+    # duplicate query_id rows straddling a chunk boundary must not let
+    # the same (query, neighbor) pair take two of the k slots
+    from boon_spark.operators.similarity import lsh_bucket_topk
+    emb = _emb(spark, 40, dim=8)
+    q1 = emb.filter(F.col("vec_id") == 1)
+    dup_q = q1.unionByName(q1).unionByName(q1)  # 3 copies of query 1
+    out = lsh_bucket_topk(emb, dup_q, k=4, dim=8, bits=3,
+                          max_queries_per_pass=1).collect()
+    pairs = [(r.query_id, r.neighbor_id) for r in out]
+    assert len(pairs) == len(set(pairs)), \
+        f"duplicate pair occupied multiple slots: {sorted(pairs)}"
+
+
+def test_ivf_topk_ragged_seed_does_not_poison_dim(spark):
+    # every corpus row becomes a seed (n_centroids > corpus size): the
+    # ragged ones must lose to the modal dimensionality, not set dim
+    from boon_spark.operators.similarity import ivf_topk
+    emb = _emb(spark, 20, dim=8)
+    bad = spark.createDataFrame(
+        [(1000, [0.5] * 3), (1001, [0.5] * 3)],
+        "vec_id long, embedding array<float>")
+    corpus = emb.unionByName(bad)
+    q = emb.filter(F.col("vec_id") < 2)
+    out = ivf_topk(corpus, q, k=3, n_centroids=64, n_probe=64).collect()
+    assert len(out) == 6, "real corpus silently discarded"
     assert all(r.neighbor_id < 1000 for r in out)

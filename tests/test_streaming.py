@@ -279,3 +279,41 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.doc_id for r in spark.sql("select * from t_dd").collect())
     assert got == ["a", "b", "c"]  # the duplicate 'a' dropped
+
+
+def test_run_id_reads_checkpoint_metadata(spark, tmp_path):
+    # the run identity is the query id persisted in <checkpoint>/metadata
+    # (regenerated when a checkpoint is wiped and recreated at the SAME
+    # path — a pure path hash would collide there and batch 0 of the new
+    # run would be skipped as a replay)
+    import json as _json
+    from boon_spark.streaming.validate_stream import run_id_for_checkpoint
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "metadata").write_text(_json.dumps({"id": "query-aaa"}))
+    assert run_id_for_checkpoint(str(ckpt), spark) == "query-aaa"
+    # wipe + recreate at the same path -> new query id -> new run id
+    (ckpt / "metadata").write_text(_json.dumps({"id": "query-bbb"}))
+    assert run_id_for_checkpoint(str(ckpt), spark) == "query-bbb"
+    # no metadata yet (query not started) -> deterministic path fallback
+    empty = tmp_path / "ckpt2"
+    assert run_id_for_checkpoint(str(empty), spark) == \
+        run_id_for_checkpoint(str(empty), spark)
+
+
+def test_manifest_handler_lazy_run_id_from_checkpoint(spark, tmp_path):
+    # handler built with checkpoint= resolves the run id on first batch
+    import json as _json
+    from boon_spark.sources.manifest import ValidationManifest
+    from boon_spark.streaming.validate_stream import manifest_batch_handler
+    ckpt = tmp_path / "ck"
+    ckpt.mkdir()
+    (ckpt / "metadata").write_text(_json.dumps({"id": "q-1"}))
+    handle = manifest_batch_handler(
+        SPEC, partition_col="source", manifest_path=str(tmp_path / "m"),
+        row_id="doc_id", checkpoint=str(ckpt))
+    b = spark.createDataFrame([("d1", 50, "web")],
+                              "doc_id string, n_tok int, source string")
+    handle(b, 0)
+    ent = ValidationManifest(str(tmp_path / "m")).entries()[0]
+    assert ent["run_id"] == "q-1"
