@@ -471,6 +471,21 @@ def q_embedding_near_dups(spark, sf_dir):
         .select("id_a", "id_b")
 
 
+def q_contamination(spark, sf_dir):
+    """Train/benchmark decontamination: corpus docs whose shingle
+    CONTAINMENT of a benchmark doc (sources src0/src1 stand in for the
+    benchmark) reaches 0.5 — md5 hash family so the full two-table
+    MinHash band pipeline is oracle-reproduced (4 genuine hits at
+    sf0.01, containment 0.97-1.0)."""
+    from boon_spark.operators.dedup import cross_table_contamination
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("source").isin("src0", "src1"))
+    corpus = docs.filter(~F.col("source").isin("src0", "src1"))
+    return cross_table_contamination(
+        corpus, bench, threshold=0.5, metric="containment",
+        hash_family="md5").select("corpus_id", "benchmark_id")
+
+
 def q_lsh_topk(spark, sf_dir):
     """Approximate ANN top-k (the scale path), integer-exact variant:
     quantized coordinates, integer-hyperplane SimHash buckets with
@@ -578,6 +593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "contamination": q_contamination,
 }
 
 
@@ -1077,6 +1093,42 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": embedding_near_dups_oracle_sql(
             dim=64, threshold_num=2, threshold_den=5, bits=4, seed=42),
         "lsh_topk": _lsh_topk_oracle(),
+        "contamination": """
+            WITH base AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(words) - 3, 0) + 2),
+                       i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS shingles
+              FROM (SELECT doc_id, source,
+                           string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS words
+                    FROM documents)),
+            sh AS (SELECT * FROM base WHERE len(shingles) > 0),
+            bc AS (SELECT * FROM sh WHERE source NOT IN ('src0', 'src1')),
+            bb AS (SELECT * FROM sh WHERE source IN ('src0', 'src1')),
+            tc AS (SELECT doc_id AS corpus_id,
+                          CAST(concat('0x', substr(md5(concat(t.s, '#0')), 1, 15)) AS BIGINT) AS h
+                   FROM bc, unnest(shingles) AS t(s)),
+            tb AS (SELECT doc_id AS benchmark_id,
+                          CAST(concat('0x', substr(md5(concat(t.s, '#0')), 1, 15)) AS BIGINT) AS h
+                   FROM bb, unnest(shingles) AS t(s)),
+            hot AS (SELECT h FROM tc GROUP BY h HAVING count(*) > 10000),
+            cand AS (
+              SELECT tc.corpus_id, tb.benchmark_id
+              FROM tc
+              ANTI JOIN hot ON tc.h = hot.h
+              JOIN tb ON tb.h = tc.h
+              GROUP BY tc.corpus_id, tb.benchmark_id
+              HAVING count(*) >= 1),
+            verified AS (
+              SELECT c.corpus_id, c.benchmark_id,
+                     CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                       / len(y.shingles) AS overlap
+              FROM cand c
+              JOIN bc x ON x.doc_id = c.corpus_id
+              JOIN bb y ON y.doc_id = c.benchmark_id)
+            SELECT corpus_id, benchmark_id FROM verified
+            WHERE overlap >= 0.5
+        """,
         "multimodal_decode": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    CASE WHEN COALESCE(octet_length(encode(text)), 0) < 4

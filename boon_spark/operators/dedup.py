@@ -239,6 +239,121 @@ def minhash_lsh_bucket_stats(df: DataFrame, *, text_col: str = "text",
         F.max("n").alias("largest_bucket"))
 
 
+def cross_table_contamination(corpus: DataFrame, benchmark: DataFrame, *,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              num_hashes: int = 16, bands: int = 4,
+                              shingle_n: int = 3,
+                              threshold: float = 0.5,
+                              metric: str = "containment",
+                              max_bucket: int = 64,
+                              max_df: int = 10_000,
+                              min_shared: int = 1,
+                              hash_family: str = "xxhash64") -> DataFrame:
+    """Train/benchmark decontamination: documents of ``corpus`` whose
+    n-gram overlap with any ``benchmark`` document reaches ``threshold``
+    — the standard pre-training hygiene check (a training document that
+    contains an eval item inflates benchmark scores).
+
+    Two candidate-generation strategies, because the right one depends
+    on the metric:
+
+    - ``metric="containment"`` (the decontamination default):
+      ``|A∩B| / |B|`` with B the BENCHMARK side.  Candidates come from
+      an **n-gram collision index** (the published decontamination
+      recipe): benchmark shingle hashes — a small table by contract —
+      are broadcast and joined against the corpus' exploded shingle
+      hashes.  MinHash-LSH would be WRONG here: a 10k-token training
+      doc that embeds a whole 100-token eval item has Jaccard ~0.01, so
+      no band ever collides, while its containment is 1.0.  Skew guard:
+      shingles whose corpus document-frequency exceeds ``max_df``
+      (boilerplate) are dropped from the index via a count-only agg +
+      broadcast anti-join; ``min_shared`` requires that many distinct
+      shared shingles before the exact verify.
+    - ``metric="jaccard"``: symmetric near-duplicate semantics —
+      MinHash banding per TABLE (same pipeline as
+      :func:`minhash_lsh_pairs`; the band exchange carries only
+      ``(_id, band, key)``), candidates are cross-table bucket
+      collisions, corpus-side buckets capped at ``max_bucket``.
+
+    Both paths verify candidates with the exact shingle overlap (the
+    candidate pair set ≪ corpus, AQE broadcasts it).
+
+    Returns ``(corpus_id, benchmark_id, overlap)`` rows ≥ threshold.
+    """
+    if metric not in ("containment", "jaccard"):
+        raise ValueError(f"metric must be containment|jaccard, "
+                         f"got {metric!r}")
+    fast = hash_family == "xxhash64"
+
+    if metric == "containment":
+        def shingled(df):
+            return (df.select(F.col(id_col).alias("_id"),
+                              word_shingles(F.col(text_col),
+                                            shingle_n).alias("_sh"))
+                    .filter(F.size("_sh") > 0))
+
+        sh_c, sh_b = shingled(corpus), shingled(benchmark)
+        hasher = _min_hasher(0, fast)
+
+        def tokens(sh, out_id):
+            return (sh.select(F.col("_id").alias(out_id),
+                              F.explode("_sh").alias("_s"))
+                    .select(out_id, hasher(F.col("_s")).alias("_h")))
+
+        tok_c = tokens(sh_c, "corpus_id")
+        tok_b = tokens(sh_b, "benchmark_id")
+        # shingles are distinct within a document (word_shingles), so
+        # the count per hash IS the corpus document frequency
+        hot = (tok_c.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > max_df).select("_h"))
+        tok_c = tok_c.join(F.broadcast(hot), on="_h", how="left_anti")
+        cand = (tok_c.join(F.broadcast(tok_b), on="_h")
+                .groupBy("corpus_id", "benchmark_id")
+                .agg(F.count(F.lit(1)).alias("_shared"))
+                .filter(F.col("_shared") >= min_shared)
+                .select("corpus_id", "benchmark_id"))
+        sig_c, sig_b = sh_c, sh_b
+    else:
+        sig_c, band_c = _minhash_banded(
+            corpus, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            hash_family=hash_family)
+        sig_b, band_b = _minhash_banded(
+            benchmark, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            hash_family=hash_family)
+        # cap the CORPUS side per bucket (count-only agg; the benchmark
+        # side is small by contract) before the cross-table bucket join
+        csize = (band_c.groupBy("band", "key")
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .filter(F.col("_n") <= max_bucket).select("band", "key"))
+        band_c = band_c.join(csize, on=["band", "key"])
+        cand = (band_c.select(F.col("_id").alias("corpus_id"),
+                              "band", "key")
+                .join(band_b.select(F.col("_id").alias("benchmark_id"),
+                                    "band", "key"),
+                      on=["band", "key"])
+                .select("corpus_id", "benchmark_id")
+                .dropDuplicates(["corpus_id", "benchmark_id"]))
+
+    pairs = (cand
+             .join(sig_c.select(F.col("_id").alias("corpus_id"),
+                                F.col("_sh").alias("sh_c")),
+                   on="corpus_id")
+             .join(sig_b.select(F.col("_id").alias("benchmark_id"),
+                                F.col("_sh").alias("sh_b")),
+                   on="benchmark_id"))
+    inter = F.size(F.array_intersect("sh_c", "sh_b"))
+    if metric == "containment":
+        overlap = inter / F.size("sh_b")
+    else:
+        overlap = inter / (F.size("sh_c") + F.size("sh_b") - inter)
+    return (pairs.select("corpus_id", "benchmark_id",
+                         overlap.alias("overlap"))
+            .filter(F.col("overlap") >= threshold))
+
+
 def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", group_col: str,
                         shingle_n: int = 3,

@@ -237,3 +237,44 @@ def test_simhash_max_hamming_zero(spark):
                                "doc_id string, text string")
     out = simhash_near_dups(df, max_hamming=0).collect()
     assert {(r.id_a, r.id_b) for r in out} == {("a", "b")}
+
+
+def test_cross_table_contamination_containment_vs_jaccard(spark):
+    # a training doc that EMBEDS a whole benchmark item: containment
+    # (|A∩B|/|B|) flags it at 1.0 while Jaccard dilutes toward 0 —
+    # exactly why decontamination defaults to containment
+    from boon_spark.operators.dedup import cross_table_contamination
+    eval_item = "the quick brown fox jumps over the lazy dog again"
+    filler = " ".join(f"tok{i} pad{i} fill{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [("train1", filler + " " + eval_item + " " + filler),
+         ("train2", "совершенно unrelated content here " * 5)],
+        "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("bench1", eval_item)], "doc_id string, text string")
+    hits = cross_table_contamination(
+        corpus, bench, threshold=0.9, metric="containment").collect()
+    assert [(r.corpus_id, r.benchmark_id) for r in hits] == \
+        [("train1", "bench1")]
+    assert hits[0].overlap >= 0.9
+    jac = cross_table_contamination(
+        corpus, bench, threshold=0.9, metric="jaccard").collect()
+    assert jac == [], "jaccard must dilute an embedded eval item"
+
+
+def test_cross_table_contamination_caps_hot_corpus_bucket(spark):
+    # boilerplate text shared by many corpus docs = hot shingles; the
+    # document-frequency cap drops them from the collision index
+    from boon_spark.operators.dedup import cross_table_contamination
+    boiler = "copyright notice all rights reserved standard header " * 3
+    corpus = spark.createDataFrame(
+        [(f"c{i}", boiler) for i in range(30)],
+        "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("b1", boiler)], "doc_id string, text string")
+    capped = cross_table_contamination(
+        corpus, bench, threshold=0.5, max_df=10).collect()
+    assert capped == [], "hot boilerplate shingles must be dropped"
+    uncapped = cross_table_contamination(
+        corpus, bench, threshold=0.5, max_df=1000).collect()
+    assert len(uncapped) == 30
