@@ -335,3 +335,86 @@ def test_recursive_ref_matches_python_evaluator(_spark, node, rows):
     got = [r.valid for r in eng.annotate(df).select("valid").collect()]
     want = [eval_tree(schema["$defs"]["node"], r) for r in rows]
     assert got == want, f"node={node} rows={rows}"
+
+
+# ---------------------------------------------------------------------------
+# draft dispatch (round 4): a keyword a draft does not define must behave
+# exactly as if it were deleted from the schema
+# ---------------------------------------------------------------------------
+
+# INDEPENDENT gating tables (not imported from boon_spark.schema — that
+# would fuzz the engine against itself), written from the specs/boon
+# draft.rs:202-235
+_INTRO = {"const": 6, "contains": 6, "dependentRequired": 2019}
+_REMOVED = {"dependencies": 2019}
+_DRAFT_URI = {
+    4: "http://json-schema.org/draft-04/schema#",
+    6: "http://json-schema.org/draft-06/schema#",
+    7: "http://json-schema.org/draft-07/schema#",
+    2019: "https://json-schema.org/draft/2019-09/schema",
+    2020: "https://json-schema.org/draft/2020-12/schema",
+}
+
+
+def _strip_for_draft(schema, draft):
+    if isinstance(schema, list):
+        return [_strip_for_draft(s, draft) for s in schema]
+    if not isinstance(schema, dict):
+        return schema
+    out = {}
+    for kw, v in schema.items():
+        if _INTRO.get(kw, 4) > draft:
+            continue
+        if kw in _REMOVED and draft >= _REMOVED[kw]:
+            continue
+        if kw == "properties":
+            out[kw] = {k: _strip_for_draft(s, draft) for k, s in v.items()}
+        elif kw in ("items", "contains", "not", "anyOf"):
+            out[kw] = _strip_for_draft(v, draft)
+        else:
+            out[kw] = v
+    return out
+
+
+_dep_st = st.fixed_dictionaries({}, optional={
+    "n": st.lists(st.sampled_from(["s", "xs"]), min_size=1, max_size=2,
+                  unique=True),
+    "s": st.lists(st.sampled_from(["n"]), min_size=1, max_size=1),
+})
+
+dd_spec_st = st.fixed_dictionaries({
+    "properties": st.fixed_dictionaries({}, optional={
+        "n": num_kw, "s": str_kw, "xs": arr_kw}),
+}, optional={
+    "required": st.lists(st.sampled_from(["n", "s", "xs"]), unique=True),
+    "dependentRequired": _dep_st,
+    "dependencies": _dep_st,
+})
+
+
+def _eval_row_dd(spec, row):
+    ok = eval_row(spec, row, int_cols={"n", "xs"})
+    deps = {}
+    deps.update(spec.get("dependencies", {}))
+    deps.update(spec.get("dependentRequired", {}))
+    for src, reqs in deps.items():
+        if row.get(src) is not None:
+            ok &= all(row.get(r) is not None for r in reqs)
+    return bool(ok)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(spec=dd_spec_st, draft=st.sampled_from([4, 6, 7, 2019, 2020]),
+       rows=st.lists(row_st, min_size=1, max_size=6))
+def test_draft_gating_matches_stripped_schema(_spark, spec, draft, rows):
+    df = _spark.createDataFrame(
+        [(r["k"], r["n"], r["s"], r["xs"]) for r in rows],
+        "k bigint, n bigint, s string, xs array<bigint>")
+    eng = Engine.from_schema({"$schema": _DRAFT_URI[draft], **spec},
+                             row_id="k")
+    got = [r.valid for r in eng.annotate(df).select("valid").collect()]
+    stripped = _strip_for_draft(spec, draft)
+    want = [_eval_row_dd(stripped, r) for r in rows]
+    assert got == want, f"draft={draft} spec={spec} rows={rows}"
