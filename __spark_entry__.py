@@ -474,9 +474,11 @@ def q_embedding_near_dups(spark, sf_dir):
 def q_contamination(spark, sf_dir):
     """Train/benchmark decontamination: corpus docs whose shingle
     CONTAINMENT of a benchmark doc (sources src0/src1 stand in for the
-    benchmark) reaches 0.5 — md5 hash family so the full two-table
-    MinHash band pipeline is oracle-reproduced (4 genuine hits at
-    sf0.01, containment 0.97-1.0)."""
+    benchmark) reaches 0.5 — md5 hash family so the full n-gram
+    COLLISION-INDEX pipeline (shingle hash → df-cap → cross-table join
+    → exact containment verify; the containment metric does not use
+    MinHash banding) is oracle-reproduced (4 genuine hits at sf0.01,
+    containment 0.97-1.0)."""
     from boon_spark.operators.dedup import cross_table_contamination
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("source").isin("src0", "src1"))

@@ -127,6 +127,18 @@ def minhash_signature(shingles: Column, num_hashes: int = 16, *,
     return F.array(*sigs)
 
 
+def _shingle_base(df: DataFrame, *, text_col: str, id_col: str,
+                  shingle_n: int) -> DataFrame:
+    """The ``(_id, _sh)`` shingle projection shared by every shingle
+    consumer (banding, collision index) — one implementation so the
+    containment and jaccard paths of the same operator can never shingle
+    differently."""
+    return (df.select(F.col(id_col).alias("_id"),
+                      word_shingles(F.col(text_col),
+                                    shingle_n).alias("_sh"))
+            .filter(F.size("_sh") > 0))
+
+
 def _minhash_banded(df: DataFrame, *, text_col: str, id_col: str,
                     num_hashes: int, bands: int, shingle_n: int,
                     hash_family: str) -> tuple[DataFrame, DataFrame]:
@@ -139,10 +151,8 @@ def _minhash_banded(df: DataFrame, *, text_col: str, id_col: str,
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("_sh"))
-    base = base.filter(F.size("_sh") > 0)
+    base = _shingle_base(df, text_col=text_col, id_col=id_col,
+                         shingle_n=shingle_n)
     sig = base.select(
         "_id", "_sh",
         minhash_signature(F.col("_sh"), num_hashes,
@@ -279,6 +289,13 @@ def cross_table_contamination(corpus: DataFrame, benchmark: DataFrame, *,
     Both paths verify candidates with the exact shingle overlap (the
     candidate pair set ≪ corpus, AQE broadcasts it).
 
+    Resolution limit: a benchmark doc SHORTER than ``shingle_n`` words
+    yields one clamped whole-text shingle, which only collides with
+    near-identical short corpus docs — an eval item embedded verbatim
+    inside a longer training doc is invisible below the n-gram size.
+    Run short eval items with a smaller ``shingle_n`` (published
+    decontamination recipes pick n ≤ the shortest meaningful item).
+
     Returns ``(corpus_id, benchmark_id, overlap)`` rows ≥ threshold.
     """
     if metric not in ("containment", "jaccard"):
@@ -287,13 +304,10 @@ def cross_table_contamination(corpus: DataFrame, benchmark: DataFrame, *,
     fast = hash_family == "xxhash64"
 
     if metric == "containment":
-        def shingled(df):
-            return (df.select(F.col(id_col).alias("_id"),
-                              word_shingles(F.col(text_col),
-                                            shingle_n).alias("_sh"))
-                    .filter(F.size("_sh") > 0))
-
-        sh_c, sh_b = shingled(corpus), shingled(benchmark)
+        sh_c = _shingle_base(corpus, text_col=text_col, id_col=id_col,
+                             shingle_n=shingle_n)
+        sh_b = _shingle_base(benchmark, text_col=text_col, id_col=id_col,
+                             shingle_n=shingle_n)
         hasher = _min_hasher(0, fast)
 
         def tokens(sh, out_id):

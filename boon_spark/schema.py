@@ -83,10 +83,15 @@ KEYWORD_INTRODUCED = {
 }
 
 # keyword → first draft where it is no longer defined
+# Reference-parity note: boon keeps `dependencies` compiled in EVERY
+# draft (compile_draft4 runs unconditionally, compiler.rs:400-414) and
+# `$recursiveRef`/`$recursiveAnchor` in every draft >= 2019 (the
+# dispatcher calls compile_draft2019 for 2020 too, compiler.rs:339-341)
+# even though the specs dropped them — compat behavior we mirror.
+# `additionalItems`/tuple-items ARE gated out at 2020
+# (compiler.rs:363-371 `if draft_version() < 2020`).
 KEYWORD_REMOVED = {
-    "dependencies": 2019,
     "additionalItems": 2020,
-    "$recursiveRef": 2020, "$recursiveAnchor": 2020,
 }
 
 # standard vocabulary URI prefixes of 2019-09/2020-12 — anything else
@@ -1132,17 +1137,34 @@ class Compiler:
                         all(isinstance(d, str) for d in deps),
                         loc, f"dependentRequired/{prop}",
                         "array of strings", deps)
-        dep_req = dict(v.get("dependentRequired", {}))
+        dep_req = {k: list(vv)
+                   for k, vv in v.get("dependentRequired", {}).items()}
         dep_sch = {}
         for prop, dep in v.get("dependencies", {}).items():  # draft<=7 form
             if isinstance(dep, list):
-                dep_req[prop] = dep
+                # boon enforces `dependencies` in every draft alongside
+                # 2019's dependentRequired (both compiled,
+                # compiler.rs:400-414 + 568-573) — UNION the required
+                # lists; overwriting would drop one keyword's demands
+                dep_req[prop] = list(dict.fromkeys(
+                    dep_req.get(prop, []) + dep))
             else:
                 dep_sch[prop] = self.compile_value(
                     dep, f"{loc}/dependencies/{prop}")
         for prop, sub in v.get("dependentSchemas", {}).items():  # 2019+
-            dep_sch[prop] = self.compile_value(
-                sub, f"{loc}/dependentSchemas/{prop}")
+            node = self.compile_value(sub, f"{loc}/dependentSchemas/{prop}")
+            if prop in dep_sch:
+                # schema-form dependencies AND dependentSchemas on the
+                # same property: both apply (allOf), same union rule as
+                # the required-list forms above
+                both = Node(loc=f"{loc}/dependentSchemas/{prop}",
+                            abs_loc=self._abs(
+                                f"{loc}/dependentSchemas/{prop}"),
+                            abs_uri=self._abs_uri_of(loc),
+                            all_of=[dep_sch[prop], node])
+                dep_sch[prop] = both
+            else:
+                dep_sch[prop] = node
         if dep_req:
             n.dependent_required = {k: list(vv) for k, vv in dep_req.items()}
         if dep_sch:

@@ -346,7 +346,10 @@ def test_recursive_ref_matches_python_evaluator(_spark, node, rows):
 # would fuzz the engine against itself), written from the specs/boon
 # draft.rs:202-235
 _INTRO = {"const": 6, "contains": 6, "dependentRequired": 2019}
-_REMOVED = {"dependencies": 2019}
+# boon compiles `dependencies` in EVERY draft (compile_draft4 runs
+# unconditionally, reference compiler.rs:400-414) — nothing in this
+# keyword set is removed by a later draft
+_REMOVED = {}
 _DRAFT_URI = {
     4: "http://json-schema.org/draft-04/schema#",
     6: "http://json-schema.org/draft-06/schema#",
