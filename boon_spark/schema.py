@@ -130,7 +130,10 @@ KEYWORD_VOCABS = {
         "properties", "patternProperties", "additionalProperties",
         "dependentSchemas", "propertyNames", "items", "prefixItems",
         "additionalItems", "contains", "allOf", "anyOf", "oneOf",
-        "not", "if", "then", "else")},
+        "not", "if", "then", "else",
+        # compiled in every draft (compat) but still inside boon's
+        # has_vocab("applicator") block, compiler.rs:357-415
+        "dependencies")},
     # unevaluated*: "applicator" in 2019, "unevaluated" in 2020 —
     # resolved in _vocab_enabled (boon compiler.rs:581-586)
 }

@@ -360,3 +360,36 @@ def test_draft4_root_id_with_fragment_strips_for_base(spark):
     r = eng.validate(df).violations().collect()[0]
     assert r.absolute_keyword_location == \
         "http://example.com/d4frag.json#/properties/n/minimum"
+
+
+def test_metaschema_without_applicator_disables_dependencies(spark):
+    # boon compiles `dependencies` in every draft but inside the
+    # applicator vocab block (compiler.rs:357-415): a custom metaschema
+    # without the applicator vocabulary disables it
+    meta = _meta("core", "validation")
+    eng = Engine.from_schema(
+        {"$schema": "https://example.com/meta-noapp2",
+         "dependencies": {"a": ["b"]},
+         "dependentRequired": {"a": ["b"]}},
+        resources={"https://example.com/meta-noapp2": meta})
+    df = spark.createDataFrame([("x", None)], "a string, b string")
+    # dependencies (applicator) disabled; dependentRequired (validation)
+    # still asserts -> row invalid through dependentRequired only
+    assert [r.valid for r in eng.annotate(df).collect()] == [False]
+    eng2 = Engine.from_schema(
+        {"$schema": "https://example.com/meta-noapp2",
+         "dependencies": {"a": ["b"]}},
+        resources={"https://example.com/meta-noapp2": meta})
+    assert [r.valid for r in eng2.annotate(df).collect()] == [True]
+
+
+def test_2019_dependencies_and_recursive_ref_active(spark):
+    # reference-parity: both survive into 2019/2020 (compat over spec
+    # removal) — asserted here at the API level, fixtures cover dispatch
+    eng = Engine.from_schema({
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "dependencies": {"a": ["b"]},
+    }, row_id="k")
+    df = spark.createDataFrame([("r1", "x", None)],
+                               "k string, a string, b string")
+    assert [r.valid for r in eng.annotate(df).collect()] == [False]
