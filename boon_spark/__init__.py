@@ -14,6 +14,7 @@ semantics and error output; the execution strategy is Catalyst's.
 
 from .engine import Engine, ValidationResult, validate_table
 from .errors import CompileError, UnsupportedKeyword
+from .loaders import file_loader, scheme_loader
 from .schema import compile_schema
 from .functions.formats import register_format
 from .functions.content import (register_content_encoding,
@@ -23,6 +24,7 @@ __all__ = [
     "Engine", "ValidationResult", "validate_table", "compile_schema",
     "CompileError", "UnsupportedKeyword", "register_format",
     "register_content_encoding", "register_content_media_type",
+    "file_loader", "scheme_loader",
 ]
 
 __version__ = "0.1.0"

@@ -308,3 +308,35 @@ def test_fragment_slash_selects_empty_key_member(spark):
     eng2 = Engine.from_schema({"required": ["a"]}, row_id="k", fragment="#")
     v2 = eng2.validate(df).violations().collect()[0]
     assert v2.absolute_keyword_location == "#/required"
+
+
+def test_scheme_loader_dispatch_and_unsupported(tmp_path, spark):
+    # boon SchemeUrlLoader parity (loader.rs:46-72): per-scheme dispatch,
+    # unsupported scheme -> CompileError (UnsupportedUrlScheme)
+    import json as _json
+
+    import pytest as _pytest
+
+    from boon_spark import Engine, file_loader, scheme_loader
+    from boon_spark.errors import CompileError
+
+    lib = {"$id": "file://" + str(tmp_path / "lib.json"),
+           "$defs": {"pos": {"minimum": 1}}}
+    (tmp_path / "lib.json").write_text(_json.dumps(lib))
+    loader = scheme_loader({"file": file_loader})
+    eng = Engine.from_schema(
+        {"properties": {"n": {
+            "$ref": f"file://{tmp_path}/lib.json#/$defs/pos"}}},
+        row_id="k", loader=loader)
+    df = spark.createDataFrame([("a", 0)], "k string, n int")
+    assert eng.validate(df).violations().count() == 1
+    with _pytest.raises(CompileError, match="unsupported URL scheme"):
+        Engine.from_schema(
+            {"properties": {"n": {"$ref": "ftp://x/lib.json#/$defs/pos"}}},
+            loader=loader)
+
+
+def test_file_loader_yaml(tmp_path):
+    from boon_spark import file_loader
+    (tmp_path / "s.yaml").write_text("minimum: 3\n")
+    assert file_loader(str(tmp_path / "s.yaml")) == {"minimum": 3}
