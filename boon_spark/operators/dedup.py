@@ -128,33 +128,36 @@ def minhash_signature(shingles: Column, num_hashes: int = 16, *,
 
 
 def _shingle_base(df: DataFrame, *, text_col: str, id_col: str,
-                  shingle_n: int) -> DataFrame:
-    """The ``(_id, _sh)`` shingle projection shared by every shingle
-    consumer (banding, collision index) — one implementation so the
-    containment and jaccard paths of the same operator can never shingle
-    differently."""
+                  shingle_n: int, passthrough: tuple = ()) -> DataFrame:
+    """The ``(_id, _sh, *passthrough)`` shingle projection shared by
+    every shingle consumer (banding, collision index, streaming) — one
+    implementation so no two paths can shingle differently."""
     return (df.select(F.col(id_col).alias("_id"),
                       word_shingles(F.col(text_col),
-                                    shingle_n).alias("_sh"))
+                                    shingle_n).alias("_sh"),
+                      *[F.col(c) for c in passthrough])
             .filter(F.size("_sh") > 0))
 
 
 def _minhash_banded(df: DataFrame, *, text_col: str, id_col: str,
                     num_hashes: int, bands: int, shingle_n: int,
-                    hash_family: str) -> tuple[DataFrame, DataFrame]:
+                    hash_family: str,
+                    passthrough: tuple = ()) -> tuple[DataFrame, DataFrame]:
     """Shared shingle → signature → band-key pipeline: returns
     ``(sig, banded)`` where sig = (_id, _sh, _sig) and banded =
-    (_id, band, key).  ONE implementation feeds both the capped pair
-    join and its recall-loss audit, so the two can never band
-    differently (a drifted copy would make the audit count buckets the
-    join never formed)."""
+    (_id, band, key, *passthrough).  ONE implementation feeds the capped
+    pair join, its recall-loss audit, AND the streaming collision
+    detector, so none of them can band differently (a drifted copy would
+    make the audit count buckets the join never formed).
+    ``passthrough`` columns (e.g. an event-time ts) ride along the
+    banded rows untouched."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
     base = _shingle_base(df, text_col=text_col, id_col=id_col,
-                         shingle_n=shingle_n)
+                         shingle_n=shingle_n, passthrough=passthrough)
     sig = base.select(
-        "_id", "_sh",
+        "_id", "_sh", *passthrough,
         minhash_signature(F.col("_sh"), num_hashes,
                           hash_family=hash_family).alias("_sig"))
 
@@ -176,8 +179,9 @@ def _minhash_banded(df: DataFrame, *, text_col: str, id_col: str,
     # shingle arrays here would duplicate the corpus text bands× through
     # the shuffle (the round-1 scale bug); shingles are re-joined by the
     # caller for the (tiny) surviving candidate-pair set instead
-    banded = sig.select("_id", F.explode(F.array(*band_cols)).alias("bk")) \
-        .select("_id", "bk.band", "bk.key")
+    banded = sig.select("_id", *passthrough,
+                        F.explode(F.array(*band_cols)).alias("bk")) \
+        .select("_id", "bk.band", "bk.key", *passthrough)
     return sig, banded
 
 

@@ -317,3 +317,89 @@ def test_manifest_handler_lazy_run_id_from_checkpoint(spark, tmp_path):
     handle(b, 0)
     ent = ValidationManifest(str(tmp_path / "m")).entries()[0]
     assert ent["run_id"] == "q-1"
+
+
+# ---------------------------------------------------------- near-dup
+
+
+def test_near_dup_stream_cross_batch_collisions(spark, tmp_path):
+    # near-identical docs arriving in DIFFERENT micro-batches collide
+    # against the horizon's FIRST document; unique docs emit nothing
+    from boon_spark.streaming.near_dup import near_dup_stream
+    text_x = "the quick brown fox jumps over the lazy dog " * 3
+    text_y = "completely different content about something else " * 3
+    ddl = "doc_id string, text string, ts string"
+    b1 = spark.createDataFrame(
+        [("dA", text_x, "2024-01-01 00:00:00"),
+         ("dU", text_y, "2024-01-01 00:00:30")], ddl) \
+        .withColumn("ts", F.to_timestamp("ts"))
+    b2 = spark.createDataFrame(
+        [("dB", text_x, "2024-01-01 00:01:00"),
+         ("dC", text_x + "with a small tail change", "2024-01-01 00:01:30")],
+        ddl).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "nd_in")
+    b1.coalesce(1).write.parquet(path + "/p1")
+    b2.coalesce(1).write.parquet(path + "/p2")
+    stream = (spark.readStream
+              .schema("doc_id string, text string, ts timestamp")
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    out = near_dup_stream(stream, watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("t_nd")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from t_nd").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.first_id)
+    # dB is an exact near-dup of dA: every band collides with dA
+    assert by_doc.get("dB") == {"dA"}
+    assert len([r for r in rows if r.doc_id == "dB"]) == 4  # all 4 bands
+    # dC shares most shingles -> at least one band collision vs dA
+    assert "dA" in by_doc.get("dC", set())
+    # the unique doc and the first arrival never emit
+    assert "dU" not in by_doc and "dA" not in by_doc
+
+
+def test_near_dup_collider_state_contract():
+    # direct unit test of the stateful function: first arrival sets
+    # state silently; later arrivals emit; timeout removes state
+    import pandas as pd
+
+    from boon_spark.streaming.near_dup import make_collider
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self.hasTimedOut = False, False
+            self._v, self.removed, self.timeout_ms = None, False, None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    fn = make_collider(600_000)
+    st = FakeState()
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+    out = list(fn((0, 123), iter([pd.DataFrame(
+        {"_id": ["a", "b"], "ts": [ts, ts + pd.Timedelta(seconds=5)]})]),
+        st))
+    assert st._v == ("a", 2)
+    assert len(out) == 1 and list(out[0]["doc_id"]) == ["b"]
+    assert out[0]["n_prior"].iloc[0] == 1
+    # horizon rides the LAST arrival
+    assert st.timeout_ms == int(
+        (ts + pd.Timedelta(seconds=5)).timestamp() * 1000) + 600_000
+    # timed-out call removes the entry and emits nothing
+    st2 = FakeState()
+    st2.hasTimedOut = True
+    assert list(fn((0, 123), iter([]), st2)) == []
+    assert st2.removed
