@@ -403,3 +403,42 @@ def test_near_dup_collider_state_contract():
     st2.hasTimedOut = True
     assert list(fn((0, 123), iter([]), st2)) == []
     assert st2.removed
+
+
+def test_contamination_stream_matches_batch(spark, tmp_path):
+    # stateless streaming decontamination converges to the batch
+    # operator's verdicts on the same data (same shingle/hash exprs)
+    from boon_spark.operators.dedup import cross_table_contamination
+    from boon_spark.streaming.contamination_stream import (
+        build_benchmark_index, contamination_stream)
+    eval_item = "the quick brown fox jumps over the lazy dog again"
+    filler = " ".join(f"tok{i} pad{i} fill{i}" for i in range(40))
+    ddl = "doc_id string, text string"
+    bench = spark.createDataFrame([("b1", eval_item)], ddl)
+    corpus_rows = [("train1", filler + " " + eval_item + " " + filler),
+                   ("train2", "unrelated content here entirely " * 5),
+                   ("train3", eval_item)]
+    batch_corpus = spark.createDataFrame(corpus_rows, ddl)
+    expected = {(r.corpus_id, r.benchmark_id)
+                for r in cross_table_contamination(
+                    batch_corpus, bench, threshold=0.9).collect()}
+    assert expected == {("train1", "b1"), ("train3", "b1")}
+
+    path = str(tmp_path / "cs_in")
+    batch_corpus.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(ddl).parquet(path)
+    out = contamination_stream(stream, bench, threshold=0.9)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("t_cs")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.benchmark_id)
+           for r in spark.sql("select * from t_cs").collect()}
+    assert got == expected
+    overlaps = {r.doc_id: r.overlap
+                for r in spark.sql("select * from t_cs").collect()}
+    assert overlaps["train3"] == 1.0
+
+    # index sanity: hash -> [bench ids], per-bench distinct shingles
+    idx, sizes = build_benchmark_index(bench)
+    assert sizes["b1"] > 0 and all(v == ["b1"] for v in idx.values())
