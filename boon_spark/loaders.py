@@ -27,11 +27,15 @@ Loader = Callable[[str], object]
 def file_loader(uri: str):
     """boon ``FileLoader``: load a ``file://`` URI (or bare path) as a
     JSON document; ``.yaml``/``.yml`` parse as YAML like the reference
-    CLI's schema loading."""
+    CLI's schema loading.  The path is percent-DECODED (boon goes
+    through ``Url::to_file_path``, which decodes — a resolved URI keeps
+    ``%20`` for spaces)."""
+    from urllib.parse import unquote
     path = uri
     if path.startswith("file://"):
         path = path[len("file://"):]
-    with open(path) as f:
+        path = unquote(path)
+    with open(path, encoding="utf-8") as f:
         text = f.read()
     if path.endswith((".yaml", ".yml")):
         import yaml
@@ -49,7 +53,13 @@ def scheme_loader(loaders: dict[str, Loader]) -> Loader:
     ``UnsupportedUrlScheme``) rather than silently failing resolution.
     """
     def load(uri: str):
-        scheme = uri.split("://", 1)[0] if "://" in uri else "file"
+        import re
+        # RFC 3986 scheme (not a "://" probe — urn:/mailto: URIs have a
+        # scheme but no authority and must NOT fall through to file)
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]+):", uri)
+        scheme = m.group(1).lower() if m else "file"  # bare path
+        # (single letters are technically schemes but in practice are
+        # Windows drive letters — treated as bare paths)
         fn = loaders.get(scheme)
         if fn is None:
             raise CompileError(

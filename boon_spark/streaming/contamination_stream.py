@@ -56,13 +56,18 @@ def build_benchmark_index(benchmark: DataFrame, *, text_col: str = "text",
     rows = (sh.select(F.col("_id").cast("string").alias("_id"),
                       F.transform("_sh", hasher).alias("_hs"))
             .collect())
+    # duplicate benchmark doc_ids (un-deduped eval dumps) UNION their
+    # shingle sets — appending per row would double-count shared hashes
+    # in the scorer and report overlap > 1.0
+    by_id: dict[str, set] = {}
+    for r in rows:
+        by_id.setdefault(r._id, set()).update(r._hs)
     index: dict[int, list] = {}
     sizes: dict[str, int] = {}
-    for r in rows:
-        hs = set(r._hs)
-        sizes[r._id] = len(hs)
+    for bid, hs in by_id.items():
+        sizes[bid] = len(hs)
         for h in hs:
-            index.setdefault(h, []).append(r._id)
+            index.setdefault(h, []).append(bid)
     if max_df is not None:
         index = {h: ids for h, ids in index.items() if len(ids) <= max_df}
     return index, sizes

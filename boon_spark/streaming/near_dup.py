@@ -33,24 +33,56 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "first_id string, n long"
+STATE_SCHEMA = "first_id string, n long, timeout_ms long"
 OUTPUT_SCHEMA = ("doc_id string, band int, key long, first_id string, "
                  "n_prior long")
 
 
 def _horizon_ms(watermark: str) -> int:
-    qty, unit = watermark.split()
-    mult = {"millisecond": 1, "milliseconds": 1,
-            "second": 1_000, "seconds": 1_000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-            "day": 86_400_000, "days": 86_400_000}[unit]
-    return int(qty) * mult
+    """Milliseconds of a Spark interval string.  Accepts the compound
+    and abbreviated forms ``withWatermark`` itself accepts ("1 hour 30
+    minutes", "10 min"), failing with a clear message otherwise —
+    silently supporting a narrower grammar than the API this forwards
+    to would surface as an unpacking error."""
+    mult = {"millisecond": 1, "ms": 1,
+            "second": 1_000, "sec": 1_000, "s": 1_000,
+            "minute": 60_000, "min": 60_000, "m": 60_000,
+            "hour": 3_600_000, "hr": 3_600_000, "h": 3_600_000,
+            "day": 86_400_000, "d": 86_400_000,
+            "week": 604_800_000, "w": 604_800_000}
+    toks = watermark.replace(",", " ").split()
+    if len(toks) % 2 or not toks:
+        raise ValueError(f"cannot parse watermark interval {watermark!r}")
+    total = 0
+    for qty, unit in zip(toks[::2], toks[1::2]):
+        u = unit.lower()
+        if u not in ("ms", "s"):  # rstrip would turn "ms" into minutes
+            u = u.rstrip("s")
+        if u not in mult or not qty.lstrip("-").isdigit():
+            raise ValueError(
+                f"cannot parse watermark interval {watermark!r} "
+                f"(token {qty!r} {unit!r})")
+        total += int(qty) * mult[u]
+    return total
 
 
-def make_collider(horizon_ms: int):
+def make_collider(horizon_ms: int, session_tz: str = "UTC"):
     """The per-band-key stateful function, exposed for direct unit
-    testing of the state/timeout contract."""
+    testing of the state/timeout contract.
+
+    Timeout bookkeeping has two traps this handles explicitly:
+
+    * Arrow hands event times to pandas tz-NAIVE **in the session
+      timezone** — a bare ``.timestamp()`` would read them as UTC,
+      mis-setting the timeout by the tz offset (aborting the query west
+      of UTC where the target lands below the watermark, leaking state
+      east of it).  The batch max is localized to ``session_tz`` first
+      (``ambiguous=False`` pins the DST fold hour to standard time —
+      deterministic, ≤1h conservative during the fold);
+    * a late-but-within-horizon batch must not move eviction BACKWARD,
+      so the timeout target is stored in state and only ever advances
+      (and the engine requires it to exceed the current watermark).
+    """
 
     def collide(key, pdfs: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
@@ -64,23 +96,26 @@ def make_collider(horizon_ms: int):
         # event-time order within the batch so "first" is deterministic
         rows = rows.sort_values(["ts", "_id"], kind="mergesort")
         if state.exists:
-            first_id, n = state.get
+            first_id, n, prev_timeout = state.get
         else:
-            first_id, n = None, 0
+            first_id, n, prev_timeout = None, 0, 0
         out = []
-        max_ts = None
-        for doc_id, ts in zip(rows["_id"], rows["ts"]):
+        for doc_id in rows["_id"]:
             if first_id is None:
                 first_id = doc_id
             elif doc_id != first_id:
                 out.append({"doc_id": doc_id, "band": band, "key": bkey,
                             "first_id": first_id, "n_prior": n})
             n += 1
-            max_ts = ts
-        state.update((first_id, n))
-        if max_ts is not None:
-            state.setTimeoutTimestamp(
-                int(max_ts.timestamp() * 1000) + horizon_ms)
+        max_ts = pd.Timestamp(rows["ts"].max())
+        if max_ts.tzinfo is None:
+            max_ts = max_ts.tz_localize(session_tz, ambiguous=False,
+                                        nonexistent="shift_forward")
+        target = max(prev_timeout,
+                     int(max_ts.timestamp() * 1000) + horizon_ms,
+                     state.getCurrentWatermarkMs() + 1)
+        state.update((first_id, n, target))
+        state.setTimeoutTimestamp(target)
         if out:
             yield pd.DataFrame(out)
 
@@ -107,8 +142,10 @@ def near_dup_stream(stream_df: DataFrame, *, text_col: str = "text",
         hash_family=hash_family, passthrough=(ts_col,))
     banded = banded.withColumnRenamed(ts_col, "ts") \
         .withWatermark("ts", watermark)
+    session_tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone")
     return (banded.groupBy("band", "key")
             .applyInPandasWithState(
-                make_collider(_horizon_ms(watermark)),
+                make_collider(_horizon_ms(watermark), session_tz),
                 OUTPUT_SCHEMA, STATE_SCHEMA,
                 "append", GroupStateTimeout.EventTimeTimeout))

@@ -340,3 +340,21 @@ def test_file_loader_yaml(tmp_path):
     from boon_spark import file_loader
     (tmp_path / "s.yaml").write_text("minimum: 3\n")
     assert file_loader(str(tmp_path / "s.yaml")) == {"minimum": 3}
+
+
+def test_file_loader_percent_decoded_and_scheme_parse(tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from boon_spark import file_loader, scheme_loader
+    from boon_spark.errors import CompileError
+    d = tmp_path / "my docs"
+    d.mkdir()
+    (d / "lib.json").write_text(_json.dumps({"minimum": 1}))
+    uri = "file://" + str(d).replace(" ", "%20") + "/lib.json"
+    assert file_loader(uri) == {"minimum": 1}
+    # urn: has a scheme but no authority — must raise, not misdispatch
+    loader = scheme_loader({"file": file_loader})
+    with _pytest.raises(CompileError, match="unsupported URL scheme"):
+        loader("urn:example:schemas:x")

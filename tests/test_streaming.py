@@ -386,18 +386,34 @@ def test_near_dup_collider_state_contract():
         def setTimeoutTimestamp(self, ms):
             self.timeout_ms = ms
 
-    fn = make_collider(600_000)
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    fn = make_collider(600_000, "UTC")
     st = FakeState()
     ts = pd.Timestamp("2024-01-01 00:00:00")
     out = list(fn((0, 123), iter([pd.DataFrame(
         {"_id": ["a", "b"], "ts": [ts, ts + pd.Timedelta(seconds=5)]})]),
         st))
-    assert st._v == ("a", 2)
+    assert st._v[:2] == ("a", 2)
     assert len(out) == 1 and list(out[0]["doc_id"]) == ["b"]
     assert out[0]["n_prior"].iloc[0] == 1
-    # horizon rides the LAST arrival
-    assert st.timeout_ms == int(
-        (ts + pd.Timedelta(seconds=5)).timestamp() * 1000) + 600_000
+    # horizon rides the LAST arrival (UTC session tz: naive == epoch)
+    expect = int((ts + pd.Timedelta(seconds=5))
+                 .tz_localize("UTC").timestamp() * 1000) + 600_000
+    assert st.timeout_ms == expect and st._v[2] == expect
+    # a LATER batch with only older rows must not move eviction backward
+    out2 = list(fn((0, 123), iter([pd.DataFrame(
+        {"_id": ["c"], "ts": [ts - pd.Timedelta(minutes=5)]})]), st))
+    assert st.timeout_ms == expect, "timeout moved backward"
+    assert list(out2[0]["doc_id"]) == ["c"]
+    # session tz is honored: naive timestamps are NOT epoch-UTC east of
+    # Greenwich — +05:30 lands 19800s EARLIER in true epoch
+    fn_tz = make_collider(600_000, "Asia/Kolkata")
+    st3 = FakeState()
+    list(fn_tz((0, 9), iter([pd.DataFrame(
+        {"_id": ["a"], "ts": [ts]})]), st3))
+    assert st3.timeout_ms == expect - 5_000 - 19_800_000
     # timed-out call removes the entry and emits nothing
     st2 = FakeState()
     st2.hasTimedOut = True
@@ -442,3 +458,31 @@ def test_contamination_stream_matches_batch(spark, tmp_path):
     # index sanity: hash -> [bench ids], per-bench distinct shingles
     idx, sizes = build_benchmark_index(bench)
     assert sizes["b1"] > 0 and all(v == ["b1"] for v in idx.values())
+
+
+def test_horizon_ms_parses_spark_interval_forms():
+    import pytest as _pytest
+    from boon_spark.streaming.near_dup import _horizon_ms
+    assert _horizon_ms("10 minutes") == 600_000
+    assert _horizon_ms("1 hour 30 minutes") == 5_400_000
+    assert _horizon_ms("10 min") == 600_000
+    assert _horizon_ms("45 seconds") == 45_000
+    assert _horizon_ms("250 ms") == 250
+    assert _horizon_ms("2 days") == 172_800_000
+    with _pytest.raises(ValueError, match="cannot parse"):
+        _horizon_ms("soonish")
+    with _pytest.raises(ValueError, match="cannot parse"):
+        _horizon_ms("10 lightyears")
+
+
+def test_benchmark_index_unions_duplicate_ids(spark):
+    from boon_spark.streaming.contamination_stream import (
+        build_benchmark_index)
+    bench = spark.createDataFrame(
+        [("b1", "alpha beta gamma delta"),
+         ("b1", "alpha beta gamma delta epsilon")],
+        "doc_id string, text string")
+    idx, sizes = build_benchmark_index(bench)
+    # union, not per-row append: each hash maps b1 ONCE
+    assert all(ids == ["b1"] for ids in idx.values())
+    assert sizes["b1"] == len(idx)
