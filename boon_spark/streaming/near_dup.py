@@ -97,6 +97,14 @@ def make_collider(horizon_ms: int, session_tz: str = "UTC"):
         rows = rows.sort_values(["ts", "_id"], kind="mergesort")
         if state.exists:
             first_id, n, prev_timeout = state.get
+            # an EventTimeTimeout only fires in a trigger where the key
+            # has NO new data — a key whose horizon the watermark has
+            # already passed but that receives a row in this very
+            # trigger would otherwise collide against logically-expired
+            # state.  Honor the horizon semantics directly: expired
+            # state resets before processing.
+            if prev_timeout and state.getCurrentWatermarkMs() > prev_timeout:
+                first_id, n = None, 0
         else:
             first_id, n, prev_timeout = None, 0, 0
         out = []

@@ -486,3 +486,35 @@ def test_benchmark_index_unions_duplicate_ids(spark):
     # union, not per-row append: each hash maps b1 ONCE
     assert all(ids == ["b1"] for ids in idx.values())
     assert sizes["b1"] == len(idx)
+
+
+def test_near_dup_stream_state_evicted_after_horizon(spark, tmp_path):
+    # end-to-end eviction: once the watermark passes a band key's
+    # horizon, a later duplicate is a NEW first arrival (no collision) —
+    # the state store stays bounded by the horizon, by construction
+    from boon_spark.streaming.near_dup import near_dup_stream
+    text_x = "some repeated training document body here " * 3
+    ddl = "doc_id string, text string, ts string"
+
+    def write(rows, part):
+        spark.createDataFrame(rows, ddl) \
+            .withColumn("ts", F.to_timestamp("ts")) \
+            .coalesce(1).write.parquet(str(tmp_path / "ev_in" / part))
+
+    write([("dA", text_x, "2024-01-01 00:00:00")], "p1")
+    # far-future filler pushes the watermark well past dA's horizon
+    write([("zz", "totally unrelated filler text content " * 3,
+            "2024-01-01 02:00:00")], "p2")
+    write([("dB", text_x, "2024-01-01 02:00:30")], "p3")
+    stream = (spark.readStream
+              .schema("doc_id string, text string, ts timestamp")
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "ev_in")))
+    out = near_dup_stream(stream, watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("t_ev")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from t_ev").collect()
+    # dA's band keys were evicted before dB arrived: dB emits nothing
+    assert rows == [], f"expected no collisions, got {rows}"
