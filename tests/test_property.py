@@ -397,12 +397,13 @@ dd_spec_st = st.fixed_dictionaries({
 
 def _eval_row_dd(spec, row):
     ok = eval_row(spec, row, int_cols={"n", "xs"})
-    deps = {}
-    deps.update(spec.get("dependencies", {}))
-    deps.update(spec.get("dependentRequired", {}))
-    for src, reqs in deps.items():
-        if row.get(src) is not None:
-            ok &= all(row.get(r) is not None for r in reqs)
+    # both keywords apply independently — a dict.update merge would
+    # drop one keyword's requirements for a shared trigger property
+    # (exactly the engine bug the boon-parity alignment fixed)
+    for kw in ("dependencies", "dependentRequired"):
+        for src, reqs in spec.get(kw, {}).items():
+            if row.get(src) is not None:
+                ok &= all(row.get(r) is not None for r in reqs)
     return bool(ok)
 
 
