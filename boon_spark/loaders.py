@@ -25,16 +25,21 @@ Loader = Callable[[str], object]
 
 
 def file_loader(uri: str):
-    """boon ``FileLoader``: load a ``file://`` URI (or bare path) as a
+    """boon ``FileLoader``: load a ``file:`` URI (or bare path) as a
     JSON document; ``.yaml``/``.yml`` parse as YAML like the reference
-    CLI's schema loading.  The path is percent-DECODED (boon goes
-    through ``Url::to_file_path``, which decodes — a resolved URI keeps
-    ``%20`` for spaces)."""
-    from urllib.parse import unquote
+    CLI's schema loading.  URI handling mirrors ``Url::to_file_path``:
+    the path is percent-DECODED (a resolved URI keeps ``%20`` for
+    spaces), the RFC 8089 forms ``file:/p``, ``file:///p`` and
+    ``file://localhost/p`` all resolve, the scheme is case-insensitive,
+    and a non-local authority is an error."""
     path = uri
-    if path.startswith("file://"):
-        path = path[len("file://"):]
-        path = unquote(path)
+    if uri[:5].lower() == "file:":
+        from urllib.parse import unquote, urlparse
+        p = urlparse(uri)
+        if p.netloc not in ("", "localhost"):
+            raise CompileError(
+                f"file URI with non-local authority {p.netloc!r}: {uri!r}")
+        path = unquote(p.path)
     with open(path, encoding="utf-8") as f:
         text = f.read()
     if path.endswith((".yaml", ".yml")):

@@ -43,11 +43,20 @@ def _hash_expr(hash_family: str):
 def build_benchmark_index(benchmark: DataFrame, *, text_col: str = "text",
                           id_col: str = "doc_id", shingle_n: int = 3,
                           hash_family: str = "xxhash64",
-                          max_df: int | None = None) -> tuple[dict, dict]:
-    """Driver-side ``(hash → [benchmark ids], id → shingle count)`` index
-    from the same Spark-side shingle/hash expressions the batch operator
-    uses.  ``max_df`` optionally drops shingles shared by more than that
-    many BENCHMARK docs (benchmark-internal boilerplate)."""
+                          max_df: int | None = None
+                          ) -> tuple[dict, dict, set]:
+    """Driver-side ``(hash → [benchmark ids], id → shingle count,
+    hot hashes)`` index from the same Spark-side shingle/hash
+    expressions the batch operator uses.
+
+    ``max_df`` marks shingles shared by more than that many BENCHMARK
+    docs as HOT (benchmark-internal boilerplate).  Hot hashes gate
+    CANDIDACY only — the overlap count and the per-doc sizes both use
+    the full sets, mirroring the batch operator where ``max_df`` prunes
+    candidate generation but the verify runs on exact full shingle sets
+    (dropping hot hashes from the numerator while the denominator keeps
+    them would systematically under-report overlap — a silent
+    decontamination false negative)."""
     from ..operators.dedup import _shingle_base
 
     sh = _shingle_base(benchmark, text_col=text_col, id_col=id_col,
@@ -68,9 +77,9 @@ def build_benchmark_index(benchmark: DataFrame, *, text_col: str = "text",
         sizes[bid] = len(hs)
         for h in hs:
             index.setdefault(h, []).append(bid)
-    if max_df is not None:
-        index = {h: ids for h, ids in index.items() if len(ids) <= max_df}
-    return index, sizes
+    hot = set() if max_df is None else \
+        {h for h, ids in index.items() if len(ids) > max_df}
+    return index, sizes, hot
 
 
 def contamination_stream(stream_df: DataFrame, benchmark: DataFrame, *,
@@ -84,11 +93,11 @@ def contamination_stream(stream_df: DataFrame, benchmark: DataFrame, *,
     rows — stateless, so any output mode/trigger works."""
     from ..operators.dedup import word_shingles
 
-    index, sizes = build_benchmark_index(
+    index, sizes, hot = build_benchmark_index(
         benchmark, text_col=text_col, id_col=id_col, shingle_n=shingle_n,
         hash_family=hash_family, max_df=max_df)
     spark = stream_df.sparkSession
-    b_index = spark.sparkContext.broadcast((index, sizes, threshold))
+    b_index = spark.sparkContext.broadcast((index, sizes, hot, threshold))
 
     hasher = _hash_expr(hash_family)
     projected = stream_df.select(
@@ -97,18 +106,23 @@ def contamination_stream(stream_df: DataFrame, benchmark: DataFrame, *,
                     hasher).alias("_hs"))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx, szs, thr = b_index.value
+        idx, szs, hot_hs, thr = b_index.value
         for pdf in batches:
             out = []
             for doc_id, hs in zip(pdf["doc_id"], pdf["_hs"]):
                 if hs is None:
                     continue
                 shared: dict[str, int] = {}
+                cand: set[str] = set()
                 for h in set(hs):
                     for bid in idx.get(h, ()):
                         shared[bid] = shared.get(bid, 0) + 1
-                for bid, n in shared.items():
-                    size = szs[bid]
+                        if h not in hot_hs:
+                            cand.add(bid)
+                # hot (boilerplate) hashes never CREATE a candidate,
+                # but a candidate's overlap counts its full shared set
+                for bid in cand:
+                    n, size = shared[bid], szs[bid]
                     if size and n / size >= thr:
                         out.append({"doc_id": doc_id,
                                     "benchmark_id": bid,

@@ -39,31 +39,19 @@ OUTPUT_SCHEMA = ("doc_id string, band int, key long, first_id string, "
 
 
 def _horizon_ms(watermark: str) -> int:
-    """Milliseconds of a Spark interval string.  Accepts the compound
-    and abbreviated forms ``withWatermark`` itself accepts ("1 hour 30
-    minutes", "10 min"), failing with a clear message otherwise —
-    silently supporting a narrower grammar than the API this forwards
-    to would surface as an unpacking error."""
-    mult = {"millisecond": 1, "ms": 1,
-            "second": 1_000, "sec": 1_000, "s": 1_000,
-            "minute": 60_000, "min": 60_000, "m": 60_000,
-            "hour": 3_600_000, "hr": 3_600_000, "h": 3_600_000,
-            "day": 86_400_000, "d": 86_400_000,
-            "week": 604_800_000, "w": 604_800_000}
-    toks = watermark.replace(",", " ").split()
-    if len(toks) % 2 or not toks:
-        raise ValueError(f"cannot parse watermark interval {watermark!r}")
-    total = 0
-    for qty, unit in zip(toks[::2], toks[1::2]):
-        u = unit.lower()
-        if u not in ("ms", "s"):  # rstrip would turn "ms" into minutes
-            u = u.rstrip("s")
-        if u not in mult or not qty.lstrip("-").isdigit():
-            raise ValueError(
-                f"cannot parse watermark interval {watermark!r} "
-                f"(token {qty!r} {unit!r})")
-        total += int(qty) * mult[u]
-    return total
+    """Milliseconds of a Spark interval string — delegated to
+    ``pd.Timedelta``, which parses the same compound/abbreviated forms
+    ``withWatermark`` accepts ("1 hour 30 minutes", "10 min", "250 ms");
+    a clear message (not an unpacking error) otherwise."""
+    try:
+        ms = int(pd.Timedelta(watermark).total_seconds() * 1000)
+    except ValueError as e:
+        raise ValueError(
+            f"cannot parse watermark interval {watermark!r}: {e}") from e
+    if ms <= 0:
+        raise ValueError(
+            f"watermark interval must be positive, got {watermark!r}")
+    return ms
 
 
 def make_collider(horizon_ms: int, session_tz: str = "UTC"):

@@ -358,3 +358,20 @@ def test_file_loader_percent_decoded_and_scheme_parse(tmp_path):
     loader = scheme_loader({"file": file_loader})
     with _pytest.raises(CompileError, match="unsupported URL scheme"):
         loader("urn:example:schemas:x")
+
+
+def test_file_loader_rfc8089_forms(tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from boon_spark import file_loader
+    from boon_spark.errors import CompileError
+    (tmp_path / "x.json").write_text(_json.dumps({"minimum": 2}))
+    p = str(tmp_path / "x.json")
+    assert file_loader(f"file://{p}") == {"minimum": 2}
+    assert file_loader(f"file:{p}") == {"minimum": 2}      # single-slash
+    assert file_loader(f"file://localhost{p}") == {"minimum": 2}
+    assert file_loader(f"File://{p}") == {"minimum": 2}    # scheme case
+    with _pytest.raises(CompileError, match="non-local authority"):
+        file_loader(f"file://otherhost{p}")

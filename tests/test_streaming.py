@@ -456,8 +456,9 @@ def test_contamination_stream_matches_batch(spark, tmp_path):
     assert overlaps["train3"] == 1.0
 
     # index sanity: hash -> [bench ids], per-bench distinct shingles
-    idx, sizes = build_benchmark_index(bench)
+    idx, sizes, hot = build_benchmark_index(bench)
     assert sizes["b1"] > 0 and all(v == ["b1"] for v in idx.values())
+    assert hot == set()
 
 
 def test_horizon_ms_parses_spark_interval_forms():
@@ -482,7 +483,7 @@ def test_benchmark_index_unions_duplicate_ids(spark):
         [("b1", "alpha beta gamma delta"),
          ("b1", "alpha beta gamma delta epsilon")],
         "doc_id string, text string")
-    idx, sizes = build_benchmark_index(bench)
+    idx, sizes, _hot = build_benchmark_index(bench)
     # union, not per-row append: each hash maps b1 ONCE
     assert all(ids == ["b1"] for ids in idx.values())
     assert sizes["b1"] == len(idx)
@@ -518,3 +519,24 @@ def test_near_dup_stream_state_evicted_after_horizon(spark, tmp_path):
     rows = spark.sql("select * from t_ev").collect()
     # dA's band keys were evicted before dB arrived: dB emits nothing
     assert rows == [], f"expected no collisions, got {rows}"
+
+
+def test_contamination_hot_hashes_gate_candidacy_not_overlap(spark):
+    # max_df marks boilerplate shingles HOT: they never CREATE a
+    # candidate, but a real candidate's overlap still counts them —
+    # dropping them from the numerator while the denominator keeps them
+    # would under-report overlap (silent false negative)
+    from boon_spark.streaming.contamination_stream import (
+        build_benchmark_index)
+    boiler = "standard legal header text block one two three"
+    uniq1 = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq2 = "iota kappa lam mu nu xi omicron pi"
+    bench = spark.createDataFrame(
+        [("b1", boiler + " " + uniq1), ("b2", boiler + " " + uniq2)],
+        "doc_id string, text string")
+    idx, sizes, hot = build_benchmark_index(bench, max_df=1)
+    # the boiler shingles appear in BOTH bench docs -> hot
+    assert hot, "expected shared boilerplate shingles to be hot"
+    # hot hashes are still IN the index (full-count numerator)
+    assert all(h in idx for h in hot)
+    assert all(len(idx[h]) == 2 for h in hot)
