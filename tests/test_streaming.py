@@ -301,6 +301,23 @@ def test_run_id_reads_checkpoint_metadata(spark, tmp_path):
         run_id_for_checkpoint(str(empty), spark)
 
 
+def test_run_id_raises_on_unreadable_metadata(spark, tmp_path):
+    # ADVICE r4: metadata that EXISTS but cannot be parsed must raise,
+    # not fall back — a transient fallback hands two different run_ids
+    # to the same query across handler incarnations, so a replayed batch
+    # looks like new work and double-accumulates its counts
+    import pytest as _pytest
+    from boon_spark.streaming.validate_stream import run_id_for_checkpoint
+    ckpt = tmp_path / "ckpt_bad"
+    ckpt.mkdir()
+    (ckpt / "metadata").write_text("{not json")
+    with _pytest.raises(RuntimeError, match="cannot read"):
+        run_id_for_checkpoint(str(ckpt), spark)
+    (ckpt / "metadata").write_text("{}")  # parses, but no query id
+    with _pytest.raises(RuntimeError, match="no query id"):
+        run_id_for_checkpoint(str(ckpt), spark)
+
+
 def test_manifest_handler_lazy_run_id_from_checkpoint(spark, tmp_path):
     # handler built with checkpoint= resolves the run id on first batch
     import json as _json
