@@ -538,6 +538,76 @@ def test_near_dup_stream_state_evicted_after_horizon(spark, tmp_path):
     assert rows == [], f"expected no collisions, got {rows}"
 
 
+def test_near_dup_stream_matches_batch_candidates(spark, tmp_path):
+    # VERDICT r4 #4: banding is byte-shared with the batch operator, so
+    # the STATEFUL logic is the unshared piece — pin it by equivalence.
+    # For every band key, the membership reconstructed from stream
+    # collisions ({first_id} ∪ colliding doc_ids) must equal the batch
+    # bucket membership (size ≥ 2) on the same data, and therefore the
+    # derived candidate-pair set equals minhash_lsh_pairs' uncapped
+    # candidates.  Data spans THREE micro-batches inside one watermark
+    # horizon, so cross-batch state (not just within-batch sorting) is
+    # what's being compared.
+    from itertools import combinations
+
+    from boon_spark.operators.dedup import _minhash_banded
+    from boon_spark.streaming.near_dup import near_dup_stream
+    text_x = "the quick brown fox jumps over the lazy dog " * 3
+    text_y = "pack my box with five dozen liquor jugs today " * 3
+    rows = [
+        ("d01", text_x, "2024-01-01 00:00:00"),
+        ("d02", "unique content about volcanoes and geology " * 3,
+         "2024-01-01 00:00:10"),
+        ("d03", text_y, "2024-01-01 00:00:20"),
+        ("d04", text_x, "2024-01-01 00:01:00"),
+        ("d05", text_x + "with a small tail change", "2024-01-01 00:01:10"),
+        ("d06", text_y, "2024-01-01 00:01:20"),
+        ("d07", "another singleton document body entirely " * 3,
+         "2024-01-01 00:02:00"),
+        ("d08", text_x, "2024-01-01 00:02:10"),
+        ("d09", text_y + "and a different suffix here", "2024-01-01 00:02:20"),
+    ]
+    ddl = "doc_id string, text string, ts string"
+    for i in range(3):  # 3 docs per micro-batch
+        spark.createDataFrame(rows[3 * i:3 * i + 3], ddl) \
+            .withColumn("ts", F.to_timestamp("ts")) \
+            .coalesce(1).write.parquet(str(tmp_path / "par_in" / f"p{i}"))
+    stream = (spark.readStream
+              .schema("doc_id string, text string, ts timestamp")
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "par_in")))
+    out = near_dup_stream(stream, watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("t_par")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_members = {}
+    for r in spark.sql("select * from t_par").collect():
+        stream_members.setdefault((r.band, r.key), set()) \
+            .update({r.doc_id, r.first_id})
+
+    batch_df = spark.createDataFrame(rows, ddl).select("doc_id", "text")
+    _sig, banded = _minhash_banded(
+        batch_df, text_col="text", id_col="doc_id", num_hashes=16,
+        bands=4, shingle_n=3, hash_family="xxhash64")
+    batch_members = {}
+    for r in banded.collect():
+        batch_members.setdefault((r.band, r.key), set()).add(r._id)
+    batch_members = {k: v for k, v in batch_members.items() if len(v) >= 2}
+
+    assert stream_members == batch_members, (
+        "stream-reconstructed band buckets diverge from batch banding:\n"
+        f"stream-only: {set(stream_members) - set(batch_members)}\n"
+        f"batch-only: {set(batch_members) - set(stream_members)}")
+
+    def pairs(members):
+        return {p for v in members.values()
+                for p in combinations(sorted(v), 2)}
+
+    assert pairs(stream_members) == pairs(batch_members)
+    assert pairs(batch_members), "sanity: the dataset must produce pairs"
+
+
 def test_contamination_hot_hashes_gate_candidacy_not_overlap(spark):
     # max_df marks boilerplate shingles HOT: they never CREATE a
     # candidate, but a real candidate's overlap still counts them —
