@@ -161,15 +161,24 @@ def _task_profile(spark, group: str) -> dict:
 
 
 def bench_queries(spark) -> tuple[dict[str, float], dict[str, float],
-                                  dict[str, float]]:
+                                  dict[str, float], dict[str, float],
+                                  list[float]]:
     """Headline operator queries at SF_DIR (driver testdata).
 
-    Best-of-2 per query: the first pass pays one-time whole-stage-codegen
-    (janino) compilation — seconds of driver-side JIT that amortizes to
-    zero at real scale — and this host's CPU steal is bursty (see
-    BENCH/BASELINE.md).  Both runs execute the full query; the cold pass
-    is reported separately in ``queries_cold`` so the compile cost stays
-    visible rather than silently dropped."""
+    Best-of-3 per query, each query BRACKETED by pure-CPU spin samples
+    (VERDICT r4 #1: round-4's per-query numbers were taken inside a
+    multi-minute host-steal burst — 123.8s for a query that runs in ~4s
+    on a quieter host — and with no per-query contention evidence the
+    artifact could not distinguish steal from a 36x regression).  The
+    bracket MAX is the conservative contention estimate for the query,
+    and the returned samples feed a run-wide best so every query gets a
+    calibration-normalized time (raw × query_spin / best_spin), same
+    protocol as the flagship passes.
+
+    The first pass pays one-time whole-stage-codegen (janino)
+    compilation — seconds of driver-side JIT that amortizes to zero at
+    real scale; it is reported separately in ``queries_cold`` so the
+    compile cost stays visible rather than silently dropped."""
     import __spark_entry__ as e
     qs = dict(e.queries())
 
@@ -193,20 +202,35 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float],
              "referential_custkey", "stats_by_source", "dedup_exact",
              "token_count", "quality_counts", "fingerprint",
              "embedding_topk", "lang_id_counts", "minhash_head",
-             "minhash_head_fast", "drift_nchars", "content_json_events"]
+             "minhash_head_fast", "drift_nchars", "content_json_events",
+             "contamination", "lsh_topk"]
     out: dict[str, float] = {}
     cold: dict[str, float] = {}
     cache: dict[str, float] = {}
+    spin: dict[str, float] = {}
+    samples: list[float] = []
+    # brackets are SHARED between adjacent queries (the sample after
+    # query i is the sample before query i+1), so n+1 samples cover n
+    # queries — same 4M-iteration probe as the flagship brackets, so all
+    # samples in the run compare on one scale
+    spin_prev = _spin_sample(CPUS)
+    samples.append(spin_prev)
     for n in names:
         times = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             qs[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             times.append(round(time.time() - t0, 3))
+        spin_next = _spin_sample(CPUS)
+        samples.append(spin_next)
         cold[n] = times[0]
         out[n] = min(times)
+        # MAX of the bracket: a burst that ends between sample and pass
+        # must not over-correct the pass (flagship rule)
+        spin[n] = max(spin_prev, spin_next)
+        spin_prev = spin_next
         cache[n] = _code_cache_mb(spark)
-    return out, cold, cache
+    return out, cold, cache, spin, samples
 
 
 def run_bench() -> dict:
@@ -253,18 +277,31 @@ def run_bench() -> dict:
         t_validate_cal = min(p["sec_cal"] for p in passes)
 
         q = {"validate_sequences": round(t_validate, 3)}
-        warm, cold, cache = bench_queries(spark)
+        warm, cold, cache, qspin, samples = bench_queries(spark)
         q.update(warm)
         total = round(sum(q.values()), 3)
+        # one calibration scale for the whole run: flagship brackets and
+        # suite brackets use the same 4M-iteration probe, so the run-wide
+        # best sample is the quiet-host reference every query (and the
+        # flagship) normalizes against
+        spin_best = max([p["spin_mops"] for p in passes] + samples)
+        qspin["validate_sequences"] = max(p["spin_mops"] for p in passes
+                                          if p["sec"] == t_validate)
+        q_cal = {n: (round(s * qspin[n] / spin_best, 2)
+                     if spin_best > 0 and qspin.get(n, 0) > 0 else s)
+                 for n, s in q.items()}
         return {
             "metric": "headline suite wall time (validate_sequences = full "
                       "constraint suite over synthetic tokenized table; "
-                      "flagship best-of-4 with interleaved spin "
-                      "calibration, per-query best-of-2, cold pass in "
-                      "queries_cold)",
+                      "flagship best-of-4 and per-query best-of-3, every "
+                      "query bracketed by spin samples — per-query "
+                      "contention evidence in queries_spin/queries_cal; "
+                      "cold pass in queries_cold)",
             "value": total,
             "unit": "sec",
             "queries": q,
+            "queries_cal": q_cal,
+            "queries_spin": {n: round(v, 1) for n, v in qspin.items()},
             "queries_cold": cold,
             "queries_cache_mb": cache,
             "sf": _SF,
@@ -435,11 +472,15 @@ def headline(rec: dict) -> dict:
     and THIS dict — headline numbers only, no per-pass detail — is the
     single JSON line printed last."""
     return {
-        "metric": "headline suite wall time (flagship best-of-4 "
-                  "spin-calibrated; full record in BENCH/last_run.json)",
+        "metric": "headline suite sec (per-query spin-bracketed; cal = "
+                  "steal-calibrated, spin = bracket Mops; full record in "
+                  "BENCH/last_run.json)",
         "value": rec["value"],
         "unit": "sec",
         "queries": rec["queries"],
+        "queries_cal": rec["queries_cal"],
+        "queries_spin": {n: int(round(v))
+                         for n, v in rec["queries_spin"].items()},
         "sf": rec["sf"],
         "seq_rows": rec["seq_rows"],
         "validate_rows_per_sec": rec["validate_rows_per_sec"],
@@ -467,4 +508,10 @@ if __name__ == "__main__":
         if len(line) >= 1900:  # never crash the bench over the summary;
             hl["metric"] = "headline suite wall time"  # shed prose first
             line = json.dumps(hl)
+        # the driver tails only ~2000 chars: shed detail maps (coarsest
+        # first) until the line fits — the full record keeps everything
+        for shed in ("queries_spin", "queries_cal"):
+            if len(line) >= 1900:
+                hl.pop(shed, None)
+                line = json.dumps(hl)
         print(line)
