@@ -119,6 +119,47 @@ def test_optional_vocabulary_is_fine():
                    resources={"https://example.com/meta": meta})
 
 
+def test_false_valued_known_vocab_gates_group_off(spark):
+    # VERDICT r4 #7 / draft.rs:219-233: get_vocabs collects only
+    # true-valued entries, so a vocabulary declared FALSE behaves exactly
+    # like an absent one — here validation:false turns `minimum` into an
+    # annotation while the applicator vocab keeps `properties` working
+    V19 = "https://json-schema.org/draft/2019-09/vocab/"
+    meta = {"$schema": D2019, "$id": "https://example.com/meta-vf",
+            "$vocabulary": {f"{V19}core": True,
+                            f"{V19}applicator": True,
+                            f"{V19}validation": False}}
+    eng = Engine.from_schema(
+        {"$schema": "https://example.com/meta-vf",
+         "properties": {"n": {"minimum": 5}}},
+        resources={"https://example.com/meta-vf": meta})
+    df = spark.createDataFrame([(3,), (7,)], "n int")
+    assert [r.valid for r in eng.annotate(df).collect()] == [True, True]
+
+
+def test_assert_format_flag_overrides_false_format_vocab(spark):
+    # boon compiler.rs:488-491: format asserts when `assert_format ||
+    # has_vocab(...)` — the explicit flag wins even when the metaschema
+    # declares the format vocabulary false
+    V19 = "https://json-schema.org/draft/2019-09/vocab/"
+    meta = {"$schema": D2019, "$id": "https://example.com/meta-ff",
+            "$vocabulary": {f"{V19}core": True,
+                            f"{V19}applicator": True,
+                            f"{V19}validation": True,
+                            f"{V19}format": False}}
+    resources = {"https://example.com/meta-ff": meta}
+    schema = {"$schema": "https://example.com/meta-ff",
+              "properties": {"d": {"format": "date"}}}
+    df = spark.createDataFrame([("not-a-date",), ("2024-01-01",)],
+                               "d string")
+    forced = Engine.from_schema(schema, resources=resources,
+                                assert_format=True)
+    assert [r.valid for r in forced.annotate(df).collect()] == [False, True]
+    # without the flag, the false vocab means annotation-only
+    plain = Engine.from_schema(schema, resources=resources)
+    assert [r.valid for r in plain.annotate(df).collect()] == [True, True]
+
+
 def test_foreign_resource_uses_its_own_draft(spark):
     # lib declares draft 7 → its unevaluatedProperties is ignored even
     # though the referring root is 2020-12
