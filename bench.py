@@ -208,29 +208,39 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float],
     cold: dict[str, float] = {}
     cache: dict[str, float] = {}
     spin: dict[str, float] = {}
+    passes_all: dict[str, list[float]] = {}
     samples: list[float] = []
     # brackets are SHARED between adjacent queries (the sample after
-    # query i is the sample before query i+1), so n+1 samples cover n
-    # queries — same 4M-iteration probe as the flagship brackets, so all
-    # samples in the run compare on one scale
+    # query i is the sample before query i+1), so n+1 end samples plus
+    # one MID sample per query cover n queries — same 4M-iteration probe
+    # as the flagship brackets, so all samples in the run compare on one
+    # scale.  The mid sample (after the cold pass) exists because this
+    # host's steal comes in multi-minute bursts: a burst spanning all
+    # three passes of one query can slip between two end samples, but it
+    # cannot also hide from a probe in the middle of the window.
     spin_prev = _spin_sample(CPUS)
     samples.append(spin_prev)
     for n in names:
         times = []
-        for _ in range(3):
+        spin_mid = None
+        for i in range(3):
             t0 = time.time()
             qs[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             times.append(round(time.time() - t0, 3))
+            if i == 0:
+                spin_mid = _spin_sample(CPUS)
+                samples.append(spin_mid)
         spin_next = _spin_sample(CPUS)
         samples.append(spin_next)
         cold[n] = times[0]
         out[n] = min(times)
+        passes_all[n] = times
         # MAX of the bracket: a burst that ends between sample and pass
         # must not over-correct the pass (flagship rule)
-        spin[n] = max(spin_prev, spin_next)
+        spin[n] = max(spin_prev, spin_mid, spin_next)
         spin_prev = spin_next
         cache[n] = _code_cache_mb(spark)
-    return out, cold, cache, spin, samples
+    return out, cold, cache, spin, samples, passes_all
 
 
 def run_bench() -> dict:
@@ -277,7 +287,7 @@ def run_bench() -> dict:
         t_validate_cal = min(p["sec_cal"] for p in passes)
 
         q = {"validate_sequences": round(t_validate, 3)}
-        warm, cold, cache, qspin, samples = bench_queries(spark)
+        warm, cold, cache, qspin, samples, qpasses = bench_queries(spark)
         q.update(warm)
         total = round(sum(q.values()), 3)
         # one calibration scale for the whole run: flagship brackets and
@@ -303,6 +313,7 @@ def run_bench() -> dict:
             "queries_cal": q_cal,
             "queries_spin": {n: round(v, 1) for n, v in qspin.items()},
             "queries_cold": cold,
+            "queries_passes": qpasses,
             "queries_cache_mb": cache,
             "sf": _SF,
             "seq_rows": n_rows,

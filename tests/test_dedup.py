@@ -310,3 +310,65 @@ def test_word_shingles_matches_expression(spark):
         want = {r.i: r.s for r in df.select(
             "i", word_shingles_expr(F.col("text"), n).alias("s")).collect()}
         assert got == want, f"n={n}: {got} != {want}"
+
+
+def test_contamination_prune_is_lossless_vs_bruteforce(spark):
+    # r5 added a threshold prune to candidacy (shared >= ceil(t*|B| -
+    # hot_B)).  The prune is claimed SOUND — zero recall loss.  Pin that
+    # against an independent brute-force containment computed in Python
+    # over every (corpus, benchmark) pair, on data engineered to stress
+    # the prune: near-threshold overlaps, duplicated shingles, short
+    # docs, and a hot boilerplate shingle shared corpus-wide.
+    from boon_spark.operators.dedup import cross_table_contamination
+    boiler = "common header line always present"
+    uniq = ["alpha beta gamma delta epsilon zeta",
+            "one two three four five six seven",
+            "red green blue yellow purple orange",
+            "north south east west up down"]
+    bench_rows = [(f"b{i}", f"{boiler} {u}") for i, u in enumerate(uniq)]
+    corpus_rows = [
+        ("c0", f"{boiler} {uniq[0]}"),                      # full containment
+        ("c1", f"{boiler} {uniq[1].rsplit(' ', 3)[0]}"),    # partial
+        ("c2", f"intro words here {uniq[2]} trailing"),     # embedded item
+        ("c3", boiler),                                     # boiler only
+        ("c4", "entirely unrelated content body text"),
+        ("c5", f"{uniq[3]}"),                               # no boiler
+    ]
+    threshold, n = 0.5, 3
+
+    def shingles(t):
+        import re
+        w = re.sub(r"\s+", " ", t.strip()).lower().split(" ")
+        if len(w) <= n:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    expected = set()
+    for cid, ctext in corpus_rows:
+        for bid, btext in bench_rows:
+            A, B = shingles(ctext), shingles(btext)
+            if B and len(A & B) / len(B) >= threshold:
+                expected.add((cid, bid))
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id string, text string")
+    benchd = spark.createDataFrame(bench_rows, "doc_id string, text string")
+    for max_df in (10_000, 3):  # no hot shingles / boiler shingles hot
+        got = {(r.corpus_id, r.benchmark_id)
+               for r in cross_table_contamination(
+                   corpus, benchd, threshold=threshold,
+                   metric="containment", max_df=max_df).collect()}
+        if max_df == 10_000:
+            assert got == expected, f"max_df={max_df}: {got} != {expected}"
+        else:
+            # hot hashes gate CANDIDACY only: results may lose pairs whose
+            # ONLY shared shingles are hot (documented tradeoff) but must
+            # never gain pairs or lose a pair with a non-hot witness
+            def df_count(s):
+                return sum(s in shingles(ct) for _, ct in corpus_rows)
+            cmap, bmap = dict(corpus_rows), dict(bench_rows)
+            with_nonhot = {
+                (cid, bid) for (cid, bid) in expected
+                if any(df_count(s) <= 3
+                       for s in shingles(cmap[cid]) & shingles(bmap[bid]))}
+            assert with_nonhot <= got <= expected, \
+                f"{with_nonhot} <= {got} <= {expected} violated"

@@ -422,3 +422,35 @@ def test_draft_gating_matches_stripped_schema(_spark, spec, draft, rows):
     stripped = _strip_for_draft(spec, draft)
     want = [_eval_row_dd(stripped, r) for r in rows]
     assert got == want, f"draft={draft} spec={spec} rows={rows}"
+
+
+# ------------------------------------------------- shingler equivalence (r5)
+# word_shingles became an Arrow-batched pandas UDF (the HOF expression
+# form runs interpreted, 9x slower); the expression form stays as the
+# semantic reference.  Both share JVM-side normalization, so equality
+# here pins the Python shingle-assembly against the Column one on
+# arbitrary unicode, whitespace soup, and NULLs.
+
+_shingle_text_st = st.one_of(
+    st.none(),
+    st.text(alphabet=st.sampled_from(list("ab \t\n\r\x0b\f")), max_size=40),
+    st.text(max_size=60),
+    st.lists(st.sampled_from(["word", "WORD", "w0rd", "ωορδ", "词"]),
+             max_size=12).map(" ".join))
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(texts=st.lists(_shingle_text_st, min_size=1, max_size=12),
+       n=st.integers(min_value=1, max_value=5))
+def test_word_shingles_pandas_matches_expression_fuzz(_spark, texts, n):
+    from pyspark.sql import functions as F
+    from boon_spark.operators.dedup import word_shingles, word_shingles_expr
+    df = _spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string")
+    got = {r.i: r.s for r in df.select(
+        "i", word_shingles(F.col("text"), n).alias("s")).collect()}
+    want = {r.i: r.s for r in df.select(
+        "i", word_shingles_expr(F.col("text"), n).alias("s")).collect()}
+    assert got == want, f"n={n} texts={texts!r}"
