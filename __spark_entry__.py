@@ -419,6 +419,47 @@ def q_token_count_bpe(spark, sf_dir):
         "doc_id", bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"))
 
 
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition metrics (Rae et al. 2021 Table A1):
+    per-document top-2-gram / duplicate-5-gram character fractions as
+    floor(frac*1e6) integers — every division is an IEEE double division
+    of exact integers, so the DuckDB oracle reproduces them bit-for-bit.
+    One Arrow-batched projection, zero shuffle."""
+    from boon_spark.operators.repetition import ppm, repetition_metrics
+    m = repetition_metrics(_docs(spark, sf_dir))
+    return m.select(
+        "doc_id",
+        ppm(F.col("top_2gram_char_frac")).alias("top2_ppm"),
+        ppm(F.col("dup_5gram_char_frac")).alias("dup5_ppm"),
+        F.col("n_words").cast("bigint").alias("n_words"))
+
+
+def q_gopher_flags(spark, sf_dir):
+    """Gopher quality-rule rejection counts over the word-level rule
+    set (length, mean word length, alphabetic-word fraction, stopword
+    presence, symbol-to-word ratio, top-2-gram, dup-5-gram).  The full
+    rule set incl. line/paragraph metrics is unit-tested; this gate
+    pins the metric values through seven threshold comparisons."""
+    from boon_spark.operators.repetition import repetition_metrics
+    m = repetition_metrics(_docs(spark, sf_dir))
+    c = F.col
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint") \
+            .alias(name)
+
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        cnt(c("n_words") < 50, "n_short"),
+        cnt((c("mean_word_len") < 3.0) | (c("mean_word_len") > 10.0),
+            "n_wordlen"),
+        cnt(c("alpha_word_frac") < 0.8, "n_low_alpha"),
+        cnt(c("stopword_hits") < 2, "n_low_stop"),
+        cnt(c("symbol_word_ratio") > 0.1, "n_symbols"),
+        cnt(c("top_2gram_char_frac") > 0.20, "n_top2"),
+        cnt(c("dup_5gram_char_frac") > 0.15, "n_dup5"))
+
+
 def q_minhash_head(spark, sf_dir):
     """MinHash parity probe: first signature component (min md5-derived
     hash over word-3-gram shingles) per document — proves the full
@@ -613,6 +654,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_q_stats": q_lsh_q_stats,
     "ivf_topk": q_ivf_topk,
     "contamination": q_contamination,
+    "repetition_metrics": q_repetition_metrics,
+    "gopher_flags": q_gopher_flags,
 }
 
 
@@ -641,6 +684,13 @@ def _lsh_topk_oracle() -> str:
     from boon_spark.operators.similarity import lsh_topk_quantized_oracle_sql
     return lsh_topk_quantized_oracle_sql(k=5, dim=64,
                                          query_pred="vid < 5")
+
+
+def _repetition_oracles() -> dict[str, str]:
+    from boon_spark.operators.repetition import (
+        gopher_flags_oracle_sql, repetition_metrics_oracle_sql)
+    return {"repetition_metrics": repetition_metrics_oracle_sql(),
+            "gopher_flags": gopher_flags_oracle_sql()}
 
 
 def _lsh_q_stats_oracle() -> str:
@@ -1206,4 +1256,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 3
         """,
+        **_repetition_oracles(),
     }
