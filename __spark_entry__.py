@@ -460,6 +460,27 @@ def q_gopher_flags(spark, sf_dir):
         cnt(c("dup_5gram_char_frac") > 0.15, "n_dup5"))
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash-based sampling: membership is a pure function
+    of the row key (md5-uniform < fraction), independent of
+    partitioning/cluster size — unlike DataFrame.sample's per-partition
+    RNG.  The oracle reproduces membership bit-for-bit."""
+    from boon_spark.operators.sampling import hash_sample
+    return hash_sample(_docs(spark, sf_dir), 0.3, key_col="doc_id",
+                       seed=7).select("doc_id")
+
+
+def q_split_counts(spark, sf_dir):
+    """Deterministic train/val/test split: cumulative cuts of the same
+    key-hash uniform; per-(split, source) counts."""
+    from boon_spark.operators.sampling import split_assign
+    df = split_assign(_docs(spark, sf_dir),
+                      {"train": 0.8, "val": 0.1, "test": 0.1},
+                      key_col="doc_id", seed=1)
+    return df.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
 def q_minhash_head(spark, sf_dir):
     """MinHash parity probe: first signature component (min md5-derived
     hash over word-3-gram shingles) per document — proves the full
@@ -656,6 +677,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "repetition_metrics": q_repetition_metrics,
     "gopher_flags": q_gopher_flags,
+    "hash_sample": q_hash_sample,
+    "split_counts": q_split_counts,
 }
 
 
@@ -684,6 +707,24 @@ def _lsh_topk_oracle() -> str:
     from boon_spark.operators.similarity import lsh_topk_quantized_oracle_sql
     return lsh_topk_quantized_oracle_sql(k=5, dim=64,
                                          query_pred="vid < 5")
+
+
+def _sampling_oracles() -> dict[str, str]:
+    from boon_spark.operators.sampling import (hash_sample_oracle_where,
+                                               split_assign_oracle_case)
+    where = hash_sample_oracle_where(key_sql="doc_id", fraction=0.3,
+                                     seed=7)
+    case = split_assign_oracle_case(
+        key_sql="doc_id",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
+    return {
+        "hash_sample": f"SELECT doc_id FROM documents WHERE {where}",
+        "split_counts": f"""
+            SELECT split, source, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT {case} AS split, source FROM documents)
+            GROUP BY split, source
+        """,
+    }
 
 
 def _repetition_oracles() -> dict[str, str]:
@@ -1257,4 +1298,5 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3
         """,
         **_repetition_oracles(),
+        **_sampling_oracles(),
     }
