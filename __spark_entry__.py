@@ -481,6 +481,24 @@ def q_split_counts(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"))
 
 
+def q_pii_mask(spark, sf_dir):
+    """PII masking parity: deterministic PII (email/IP/SSN/CC/phone)
+    synthesized from table columns is appended to each document, then
+    masked; the oracle reproduces the masked text byte-for-byte (md5
+    compared) and the per-kind counts."""
+    from boon_spark.operators.pii import mask_pii_col, pii_counts
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com via 10.0."),
+        (F.col("n_chars") % 256).cast("string"),
+        F.lit(".7 or 555-867-5309 ssn 123-45-6789 "
+              "card 4111 1111 1111 1111"))
+    cnts = pii_counts(t)
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(mask_pii_col(t)).alias("masked_md5"),
+        *[v.alias(f"n_{k}") for k, v in cnts.items()])
+
+
 def q_minhash_head(spark, sf_dir):
     """MinHash parity probe: first signature component (min md5-derived
     hash over word-3-gram shingles) per document — proves the full
@@ -679,6 +697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_flags": q_gopher_flags,
     "hash_sample": q_hash_sample,
     "split_counts": q_split_counts,
+    "pii_mask": q_pii_mask,
 }
 
 
@@ -725,6 +744,22 @@ def _sampling_oracles() -> dict[str, str]:
             GROUP BY split, source
         """,
     }
+
+
+def _pii_oracle() -> dict[str, str]:
+    from boon_spark.operators.pii import (mask_pii_oracle_expr,
+                                          pii_counts_oracle_exprs)
+    t = ("concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+         "'@example.com via 10.0.', CAST(n_chars % 256 AS VARCHAR), "
+         "'.7 or 555-867-5309 ssn 123-45-6789 "
+         "card 4111 1111 1111 1111')")
+    counts = pii_counts_oracle_exprs(t)
+    cols = ", ".join(f"{sql} AS n_{k}" for k, sql in counts.items())
+    return {"pii_mask": f"""
+        SELECT doc_id, md5({mask_pii_oracle_expr(t)}) AS masked_md5,
+               {cols}
+        FROM documents
+    """}
 
 
 def _repetition_oracles() -> dict[str, str]:
@@ -1299,4 +1334,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         **_repetition_oracles(),
         **_sampling_oracles(),
+        **_pii_oracle(),
     }
