@@ -45,6 +45,12 @@ from .similarity import cosine, simhash_signature
 
 
 def normalized_text(col: Column) -> Column:
+    """Lowercase, space-trimmed, ``\\s+``-collapsed text — the one
+    normalization every shingle/metric consumer and every DuckDB oracle
+    shares.  Oracle contract note: Java's ``\\s`` includes ``\\x0B``
+    (vertical tab) while DuckDB/RE2's does not — measured, and the one
+    character the dialects disagree on.  The oracles are exact over
+    text without ``\\x0B``; the synthetic corpus contains none."""
     return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
 
 

@@ -41,6 +41,12 @@ identical in any engine):
   (the, be, to, of, and, that, have, with) occur as words.
 
 NULL text yields NULL metrics (callers validate presence separately).
+
+Oracle contract (measured, pinned by the brute-force fuzz): Java's
+``\\s`` is the ASCII set ``[ \\t\\n\\x0B\\f\\r]`` — NOT Python's
+Unicode set (``\\x85``/``\\xa0`` are words here, not whitespace) — and
+RE2's drops ``\\x0B`` from even that, so the DuckDB oracles are exact
+over text without vertical tabs (the corpus has none).
 """
 
 from __future__ import annotations
@@ -377,10 +383,12 @@ def gopher_flags_oracle_sql() -> str:
 def brute_force_metrics(raw: str | None, *, top_ns=DEFAULT_TOP_NS,
                         dup_ns=DEFAULT_DUP_NS) -> dict | None:
     """Driver-side single-doc reference (tests): normalizes in Python
-    with the same semantics the JVM applies (NB: Spark/DuckDB ``trim``
-    strips SPACES only, not all whitespace — ``strip(' ')``, not
-    ``strip()``)."""
+    with the same semantics the JVM applies.  Two traps the fuzz caught:
+    Spark/DuckDB ``trim`` strips SPACES only (``strip(' ')``, not
+    ``strip()``), and Java's ``\\s`` is the ASCII set ``[ \\t\\n\\v\\f\\r]``
+    while Python's is Unicode-aware (``\\x85``, ``\\xa0``, ...) —
+    ``re.ASCII`` pins the Java set."""
     if raw is None:
         return None
-    norm = re.sub(r"\s+", " ", raw.strip(" ")).lower()
+    norm = re.sub(r"\s+", " ", raw.strip(" "), flags=re.ASCII).lower()
     return _doc_metrics(raw, norm, top_ns, dup_ns)
