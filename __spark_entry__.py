@@ -499,6 +499,59 @@ def q_pii_mask(spark, sf_dir):
         *[v.alias(f"n_{k}") for k, v in cnts.items()])
 
 
+#: synthetic multi-line suffix for the C4 gate — the corpus documents
+#: are single-line, so the gate appends one line per predicate branch
+#: (too few words / javascript / keeper / no terminal punctuation).
+_C4_SUFFIX = "\n".join([
+    "short line.",
+    "JavaScript is required to view this page properly.",
+    "A perfectly fine sentence with enough words to pass!",
+    "no terminal punctuation here at all",
+])
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4-style line cleaning (Raffel et al. 2020 §2.2): terminal-
+    punctuation / min-words / javascript line filters + the lorem-ipsum
+    / brace / 3-sentence page verdict, byte-exact (md5-compared clean
+    text) against the DuckDB oracle.  Pure row-local projection."""
+    from boon_spark.operators.cleaning import c4_line_flags
+    df = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.lit("\n" + _C4_SUFFIX)))
+    f = c4_line_flags(df)
+    return f.select(
+        "doc_id", F.md5(F.col("clean_text")).alias("clean_md5"),
+        "n_lines", "n_lines_kept",
+        F.col("keep").cast("bigint").alias("keep"))
+
+
+def q_boilerplate(spark, sf_dir):
+    """Corpus-frequent ("boilerplate") line removal, CCNet/RefinedWeb-
+    style: line document frequencies via an 8-byte-hash aggregation,
+    hot lines (df >= 100) removed row-locally.  The gate appends one of
+    three synthetic boilerplate variants per document (the corpus has
+    no naturally repeated lines), so each variant's df is n_docs/3 at
+    any sf; clean text is md5-compared byte-for-byte."""
+    from boon_spark.operators.cleaning import remove_boilerplate
+    df = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(
+            F.col("text"), F.lit("\nSubscribe to our newsletter issue "),
+            (F.col("doc_id") % 3).cast("string")))
+    out = remove_boilerplate(df, min_df=100)
+    return out.select(
+        "doc_id", F.md5(F.col("clean_text")).alias("clean_md5"),
+        "n_lines_removed")
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus top-20 tokens over the shared normalization — the classic
+    vocabulary-build aggregation (one token shuffle with map-side
+    partial counts); ties broken by ascending token so the rank is a
+    total order both engines reproduce."""
+    from boon_spark.operators.cleaning import vocab_topk
+    return vocab_topk(_docs(spark, sf_dir), 20)
+
+
 def q_minhash_head(spark, sf_dir):
     """MinHash parity probe: first signature component (min md5-derived
     hash over word-3-gram shingles) per document — proves the full
@@ -698,6 +751,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": q_hash_sample,
     "split_counts": q_split_counts,
     "pii_mask": q_pii_mask,
+    "c4_clean": q_c4_clean,
+    "boilerplate": q_boilerplate,
+    "vocab_topk": q_vocab_topk,
 }
 
 
@@ -767,6 +823,22 @@ def _repetition_oracles() -> dict[str, str]:
         gopher_flags_oracle_sql, repetition_metrics_oracle_sql)
     return {"repetition_metrics": repetition_metrics_oracle_sql(),
             "gopher_flags": gopher_flags_oracle_sql()}
+
+
+def _cleaning_oracles() -> dict[str, str]:
+    from boon_spark.operators.cleaning import (
+        c4_clean_oracle_sql, remove_boilerplate_oracle_sql,
+        vocab_topk_oracle_sql)
+    nl = "chr(10)"
+    c4_text = f"(text || {nl} || '" + _C4_SUFFIX.replace("\n", f"' || {nl} || '") + "')"
+    extra = ("concat('Subscribe to our newsletter issue ', "
+             "CAST(doc_id % 3 AS VARCHAR))")
+    return {
+        "c4_clean": c4_clean_oracle_sql(text_sql=c4_text),
+        "boilerplate": remove_boilerplate_oracle_sql(
+            min_df=100, extra_line_sql=extra),
+        "vocab_topk": vocab_topk_oracle_sql(20),
+    }
 
 
 def _lsh_q_stats_oracle() -> str:
@@ -1335,4 +1407,5 @@ def oracle_sql() -> dict[str, str]:
         **_repetition_oracles(),
         **_sampling_oracles(),
         **_pii_oracle(),
+        **_cleaning_oracles(),
     }
