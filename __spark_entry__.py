@@ -552,6 +552,52 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(_docs(spark, sf_dir), 20)
 
 
+def _doc_lens(spark, sf_dir):
+    """(doc_id, n_tok, source) — whitespace token counts, the shared
+    length frame for the sequence-packing gates (same token definition
+    as the token_count gate)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int")
+        .alias("n_tok"),
+        "source")
+
+
+def q_seq_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing at C=128: per-document global
+    stream offsets and spanned-chunk range via the DISTRIBUTED two-level
+    prefix sum (quantile-bucketed cumsum — never a single-partition
+    global window); the oracle uses the plain SQL window form."""
+    from boon_spark.operators.packing import pack_chunks
+    return pack_chunks(_doc_lens(spark, sf_dir), 128).select(
+        "doc_id", "start_tok", "end_tok", "first_chunk", "last_chunk",
+        "n_chunks")
+
+
+def q_pack_stats(spark, sf_dir):
+    """One-row packing audit at C=128: chunk counts, tail padding,
+    boundary-crossing documents, and the pad-to-C no-packing baseline."""
+    from boon_spark.operators.packing import packing_stats
+    return packing_stats(_doc_lens(spark, sf_dir), 128)
+
+
+def q_chunk_fill(spark, sf_dir):
+    """Per-chunk fill from the chunk↔document provenance map: every
+    chunk must hold exactly C tokens except the last."""
+    from boon_spark.operators.packing import chunk_doc_map
+    return (chunk_doc_map(_doc_lens(spark, sf_dir), 128)
+            .groupBy("chunk_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tok_in_chunk").cast("bigint").alias("n_tok")))
+
+
+def q_trunc_stats(spark, sf_dir):
+    """Context-length budgeting per source at max_len=64: documents over
+    budget, truncation losses, padding waste."""
+    from boon_spark.operators.packing import truncation_stats
+    return truncation_stats(_doc_lens(spark, sf_dir), 64)
+
+
 def q_minhash_head(spark, sf_dir):
     """MinHash parity probe: first signature component (min md5-derived
     hash over word-3-gram shingles) per document — proves the full
@@ -754,6 +800,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_clean": q_c4_clean,
     "boilerplate": q_boilerplate,
     "vocab_topk": q_vocab_topk,
+    "seq_pack": q_seq_pack,
+    "pack_stats": q_pack_stats,
+    "chunk_fill": q_chunk_fill,
+    "trunc_stats": q_trunc_stats,
 }
 
 
@@ -838,6 +888,18 @@ def _cleaning_oracles() -> dict[str, str]:
         "boilerplate": remove_boilerplate_oracle_sql(
             min_df=100, extra_line_sql=extra),
         "vocab_topk": vocab_topk_oracle_sql(20),
+    }
+
+
+def _packing_oracles() -> dict[str, str]:
+    from boon_spark.operators.packing import (
+        chunk_doc_map_oracle_sql, pack_chunks_oracle_sql,
+        packing_stats_oracle_sql, truncation_stats_oracle_sql)
+    return {
+        "seq_pack": pack_chunks_oracle_sql(128),
+        "pack_stats": packing_stats_oracle_sql(128),
+        "chunk_fill": chunk_doc_map_oracle_sql(128),
+        "trunc_stats": truncation_stats_oracle_sql(64),
     }
 
 
@@ -1408,4 +1470,5 @@ def oracle_sql() -> dict[str, str]:
         **_sampling_oracles(),
         **_pii_oracle(),
         **_cleaning_oracles(),
+        **_packing_oracles(),
     }

@@ -1,0 +1,142 @@
+"""Sequence packing: distributed prefix sum, chunk assignment, stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from boon_spark.operators.packing import (chunk_doc_map, global_offsets,
+                                          pack_chunks, packing_stats,
+                                          truncation_stats)
+
+ROWS = [(f"d{i:03d}", n, "web" if i % 3 else "code")
+        for i, n in enumerate([7, 0, 12, 3, None, 25, 1, 8, 0, 5])]
+
+
+def _df(spark, rows=ROWS):
+    return spark.createDataFrame(
+        rows, "doc_id string, n_tok int, source string")
+
+
+def _py_offsets(rows):
+    out, acc = {}, 0
+    for doc_id, n, _ in sorted(rows):
+        out[doc_id] = acc
+        acc += n or 0
+    return out
+
+
+def test_global_offsets_matches_python(spark):
+    got = {r.doc_id: r.start_tok
+           for r in global_offsets(_df(spark)).collect()}
+    assert got == _py_offsets(ROWS)
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 7, 256])
+def test_offsets_invariant_to_bucket_count(spark, n_buckets):
+    got = {r.doc_id: r.start_tok
+           for r in global_offsets(_df(spark),
+                                   n_buckets=n_buckets).collect()}
+    assert got == _py_offsets(ROWS)
+
+
+def test_offsets_keep_input_columns(spark):
+    row = global_offsets(_df(spark)).filter("doc_id = 'd002'").collect()[0]
+    assert (row.n_tok, row.source) == (12, "web")
+
+
+def test_pack_chunks_small(spark):
+    C = 10
+    rows = pack_chunks(_df(spark), C).orderBy("doc_id").collect()
+    offs = _py_offsets(ROWS)
+    for r in rows:
+        n = dict((d, x) for d, x, _ in ROWS)[r.doc_id] or 0
+        assert r.start_tok == offs[r.doc_id]
+        assert r.end_tok == r.start_tok + n
+        if n == 0:
+            assert r.first_chunk is None and r.last_chunk is None \
+                and r.n_chunks == 0
+        else:
+            assert r.first_chunk == r.start_tok // C
+            assert r.last_chunk == (r.end_tok - 1) // C
+            assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+
+
+def test_pack_chunks_guard(spark):
+    with pytest.raises(ValueError, match="context_len"):
+        pack_chunks(_df(spark), 0)
+
+
+def test_chunk_doc_map_partitions_the_stream(spark):
+    C = 10
+    m = chunk_doc_map(_df(spark), C).collect()
+    total = sum(n or 0 for _, n, _ in ROWS)
+    # every chunk is exactly full except the last
+    per_chunk = {}
+    for r in m:
+        assert r.n_tok_in_chunk > 0
+        per_chunk[r.chunk_id] = per_chunk.get(r.chunk_id, 0) \
+            + r.n_tok_in_chunk
+    n_chunks = -(-total // C)
+    assert set(per_chunk) == set(range(n_chunks))
+    for cid, tot in per_chunk.items():
+        assert tot == (C if cid < n_chunks - 1 else total - C * (n_chunks - 1))
+    # and every document is fully accounted for
+    per_doc = {}
+    for r in m:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_tok_in_chunk
+    for doc_id, n, _ in ROWS:
+        assert per_doc.get(doc_id, 0) == (n or 0)
+
+
+def test_packing_stats(spark):
+    C = 10
+    row = packing_stats(_df(spark), C).collect()[0]
+    total = sum(n or 0 for _, n, _ in ROWS)
+    n_chunks = -(-total // C)
+    assert row.n_docs == len(ROWS)
+    assert row.total_tokens == total
+    assert row.n_chunks == n_chunks
+    assert row.tail_pad == n_chunks * C - total
+    packed = pack_chunks(_df(spark), C).collect()
+    assert row.boundary_docs == sum(1 for r in packed if r.n_chunks > 1)
+    baseline = sum(-(-(n or 0) // C) for _, n, _ in ROWS)
+    assert row.pad_baseline_chunks == baseline
+    assert row.pad_baseline_waste == baseline * C - total
+    assert row.pack_efficiency_permille == total * 1000 // (n_chunks * C)
+
+
+def test_packing_stats_empty(spark):
+    row = packing_stats(_df(spark, rows=[]), 10).collect()[0]
+    assert (row.n_docs, row.total_tokens, row.n_chunks, row.tail_pad,
+            row.boundary_docs, row.pack_efficiency_permille) \
+        == (0, 0, 0, 0, 0, 0)
+
+
+def test_truncation_stats(spark):
+    C = 8
+    rows = {r.source: r for r in
+            truncation_stats(_df(spark), C).collect()}
+    web = [n or 0 for i, (_, n, _) in enumerate(ROWS) if i % 3]
+    code = [n or 0 for i, (_, n, _) in enumerate(ROWS) if not i % 3]
+    for src, ns in (("web", web), ("code", code)):
+        r = rows[src]
+        assert r.n_docs == len(ns)
+        assert r.total_tokens == sum(ns)
+        assert r.n_over_budget == sum(1 for n in ns if n > C)
+        assert r.tokens_lost_truncate == sum(max(n - C, 0) for n in ns)
+        assert r.pad_waste == sum(C - min(n, C) for n in ns)
+    corpus = truncation_stats(_df(spark), C, by=None).collect()[0]
+    assert corpus.n_docs == len(ROWS)
+    with pytest.raises(ValueError, match="max_len"):
+        truncation_stats(_df(spark), 0)
+
+
+def test_div_exact_past_double_precision(spark):
+    # 2^60 + 8 tokens in two docs: double-routed floor((a)/C) would
+    # round; the decimal path must stay exact
+    big = 1 << 60
+    df = spark.createDataFrame(
+        [("a", big), ("b", 16)], "doc_id string, n_tok long")
+    rows = {r.doc_id: r for r in pack_chunks(df, 8).collect()}
+    assert rows["b"].start_tok == big
+    assert rows["b"].first_chunk == big // 8
+    assert rows["b"].last_chunk == (big + 16 - 1) // 8
