@@ -598,6 +598,49 @@ def q_trunc_stats(spark, sf_dir):
     return truncation_stats(_doc_lens(spark, sf_dir), 64)
 
 
+#: k-gram gate generator: 5-doc groups share a token prefix; every
+#: 97th doc joins one corpus-wide "boilerplate" group whose common
+#: k-grams blow past max_bucket and get hot-dropped (Spark / DuckDB
+#: spellings of the same integral expression)
+_KGRAM_GEN = ("CASE WHEN doc_id % 97 = 0 THEN CAST(-1 AS BIGINT) "
+              "ELSE doc_id div 5 END")
+_KGRAM_GEN_SQL = "CASE WHEN doc_id % 97 = 0 THEN -1 ELSE doc_id // 5 END"
+
+
+def _tok_frame(spark, sf_dir, gen: str):
+    """(doc_id, n_tok, source, g, tokens) — deterministic md5-derived
+    array<int> tokens over the shared length frame, so the token-array
+    gates exercise real integer-array plumbing with a SQL oracle."""
+    from boon_spark.operators.tokens import synthetic_tokens
+    return synthetic_tokens(
+        _doc_lens(spark, sf_dir).withColumn("g", F.expr(gen)),
+        gen_col="g")
+
+
+def q_token_topk(spark, sf_dir):
+    """Corpus token-id histogram top-20 over array<int> tokens (explode
+    + map-side-combined count + TakeOrderedAndProject)."""
+    from boon_spark.operators.tokens import token_topk
+    return token_topk(_tok_frame(spark, sf_dir, "doc_id"), 20)
+
+
+def q_oov_stats(spark, sf_dir):
+    """Out-of-vocab audit per source at vocab_size=900 over vocab-997
+    synthetic tokens — row-local size(filter(...)), one group shuffle."""
+    from boon_spark.operators.tokens import oov_stats
+    return oov_stats(_tok_frame(spark, sf_dir, "doc_id"), 900)
+
+
+def q_token_kgram(spark, sf_dir):
+    """Token-level 5-gram duplicate candidates (Lee et al. 2022-style
+    duplicated-span detection): shared-prefix groups yield pairs;
+    the boilerplate group's hot k-grams are max_bucket-dropped."""
+    from boon_spark.operators.tokens import token_kgram_candidates
+    return token_kgram_candidates(
+        _tok_frame(spark, sf_dir, _KGRAM_GEN), 5,
+        min_shared=5, max_bucket=40)
+
+
 def q_minhash_head(spark, sf_dir):
     """MinHash parity probe: first signature component (min md5-derived
     hash over word-3-gram shingles) per document — proves the full
@@ -804,6 +847,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_stats": q_pack_stats,
     "chunk_fill": q_chunk_fill,
     "trunc_stats": q_trunc_stats,
+    "token_topk": q_token_topk,
+    "oov_stats": q_oov_stats,
+    "token_kgram": q_token_kgram,
 }
 
 
@@ -900,6 +946,18 @@ def _packing_oracles() -> dict[str, str]:
         "pack_stats": packing_stats_oracle_sql(128),
         "chunk_fill": chunk_doc_map_oracle_sql(128),
         "trunc_stats": truncation_stats_oracle_sql(64),
+    }
+
+
+def _tokens_oracles() -> dict[str, str]:
+    from boon_spark.operators.tokens import (
+        oov_stats_oracle_sql, token_kgram_candidates_oracle_sql,
+        token_topk_oracle_sql)
+    return {
+        "token_topk": token_topk_oracle_sql(20),
+        "oov_stats": oov_stats_oracle_sql(900),
+        "token_kgram": token_kgram_candidates_oracle_sql(
+            5, min_shared=5, gen_sql=_KGRAM_GEN_SQL, max_bucket=40),
     }
 
 
@@ -1471,4 +1529,5 @@ def oracle_sql() -> dict[str, str]:
         **_pii_oracle(),
         **_cleaning_oracles(),
         **_packing_oracles(),
+        **_tokens_oracles(),
     }

@@ -1,0 +1,322 @@
+"""Token-array operators: vocabulary histograms, out-of-vocab audits,
+and token-level k-gram duplicate detection over ``array<int>`` columns.
+
+These are the tokens-payload siblings of the text-side cleaning/dedup
+family: the input is the input-hint shape ``(doc_id, tokens array<int>,
+n_tok, source)`` — already-tokenized training sequences — so every
+operator works directly on integer arrays, never re-tokenizing text.
+
+* :func:`token_topk` — corpus token histogram top-k (the vocabulary
+  coverage question).  One explode + map-side-combined count, ordered
+  take planned as ``TakeOrderedAndProject`` (same shape as
+  ``cleaning.vocab_topk``).
+* :func:`oov_stats` — out-of-vocabulary / reserved-range audit per
+  group.  Row-local ``size(filter(...))`` per document (never an
+  explode), then one small aggregation — the cheap pre-flight check
+  before committing a vocab size.
+* :func:`token_kgram_candidates` — token-level k-gram overlap between
+  documents: the integer-sequence analogue of n-gram text dedup (the
+  building block of suffix-style duplicate-span detection, cf. Lee et
+  al. 2022 "Deduplicating Training Data Makes Language Models Better" —
+  k-gram hash collisions approximate duplicated spans).  Per-document
+  DISTINCT k-gram hashes are computed row-locally (transform over a
+  position sequence + ``array_distinct``), so the exchange carries one
+  8-byte hash row per (document, distinct k-gram); candidate pairs come
+  from an equi-self-join on the hash with hot k-grams (document
+  frequency > ``max_bucket``) dropped via a count-only aggregation and
+  a broadcast anti-join — the corpus never shuffles twice and the join
+  fan-out is bucket-bounded.  :func:`token_kgram_stats` is the
+  no-silent-truncation audit companion.
+
+Hashing uses the md5 family (:func:`..dedup._hash_shingle`) so DuckDB
+oracles reproduce results bit-exactly; :func:`synthetic_tokens` builds
+deterministic md5-derived token arrays from any id/length frame — the
+bridge that lets the driver gates exercise real ``array<int>`` plumbing
+against a SQL oracle when the corpus at hand has no tokens column.
+
+Scale notes (100 TB): ``token_topk`` shuffles (token, partial count)
+pairs; ``oov_stats`` shuffles one row per group; k-gram candidates
+shuffle 8-byte hashes with the same cap discipline as MinHash banding.
+The quadratic within a k-gram bucket is bounded by ``max_bucket``
+(default 64 → ≤ 2016 pairs per bucket), with dropped-bucket counts
+visible in the audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _hash_shingle
+
+__all__ = ["synthetic_tokens", "token_topk", "oov_stats",
+           "token_kgram_candidates", "token_kgram_stats"]
+
+#: salts separating the token-family md5 hashes from every other family
+TOKEN_SALT = 11213
+KGRAM_SALT = 11503
+
+
+def synthetic_tokens(df: DataFrame, *, len_col: str = "n_tok",
+                     gen_col: str = "doc_id", vocab: int = 997,
+                     out_col: str = "tokens") -> DataFrame:
+    """Deterministic ``array<int>`` token column: position ``p`` of a
+    row with generator value ``g`` is ``md5hash(g || ':' || p) %
+    vocab`` — a pure function of (``gen_col``, position), so rows
+    sharing a generator value share a token PREFIX (their lengths may
+    differ), which gives k-gram overlap structure to test against.
+    NULL/negative lengths yield an empty array."""
+    n = F.coalesce(F.col(len_col).cast("int"), F.lit(0))
+    g = F.col(gen_col).cast("string")
+    tok = lambda p: (_hash_shingle(
+        F.concat(g, F.lit(":"), p.cast("string")), TOKEN_SALT)
+        % vocab).cast("int")
+    toks = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n - 1), tok)) \
+        .otherwise(F.array().cast("array<int>"))
+    return df.withColumn(out_col, toks)
+
+
+def token_topk(df: DataFrame, k: int, *,
+               tokens_col: str = "tokens") -> DataFrame:
+    """Top-``k`` corpus tokens by total occurrences: ``(rank, token,
+    n)``, ties broken by ascending token id.  NULL arrays contribute
+    nothing."""
+    agg = (df.select(F.explode(tokens_col).alias("token"))
+           .groupBy("token")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    top = agg.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .select("rank", F.col("token").cast("bigint").alias("token"),
+                    "n"))
+
+
+def oov_stats(df: DataFrame, vocab_size: int, *,
+              tokens_col: str = "tokens",
+              by: str | None = "source") -> DataFrame:
+    """Out-of-vocabulary audit per group (or corpus-wide when ``by`` is
+    None): token totals, OOV token counts (id < 0 or >= ``vocab_size``)
+    and documents containing any OOV token.  The per-document counting
+    is row-local (``size(filter(...))``) — the only exchange carries
+    one partial-aggregate row per group."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    toks = F.col(tokens_col)
+    n = F.coalesce(F.size(toks), F.lit(0))
+    n = F.when(n < 0, 0).otherwise(n)  # size(NULL) is -1 pre-coalesce
+    oov = F.coalesce(
+        F.size(F.filter(toks, lambda t: (t < 0) | (t >= vocab_size))),
+        F.lit(0))
+    oov = F.when(oov < 0, 0).otherwise(oov)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n).cast("bigint").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.sum(F.when(oov > 0, 1).otherwise(0)).cast("bigint")
+        .alias("docs_with_oov"),
+    ]
+    return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def _kgram_hashes(tokens: Column, k: int) -> Column:
+    """Distinct md5 k-gram hashes of an int array, row-local: hash of
+    the comma-joined k-window at each position."""
+    n = F.size(tokens)
+    win = lambda p: _hash_shingle(
+        F.array_join(F.transform(F.slice(tokens, p + 1, k),
+                                 lambda t: t.cast("string")), ","),
+        KGRAM_SALT)
+    return F.when(n >= k, F.array_distinct(
+        F.transform(F.sequence(F.lit(0), n - k), win))) \
+        .otherwise(F.array().cast("array<long>"))
+
+
+def _kgram_exploded(df: DataFrame, k: int, tokens_col: str,
+                    id_col: str) -> DataFrame:
+    return (df.select(F.col(id_col).alias("_id"),
+                      F.explode(_kgram_hashes(F.col(tokens_col), k))
+                      .alias("h")))
+
+
+def token_kgram_stats(df: DataFrame, k: int, *,
+                      tokens_col: str = "tokens",
+                      id_col: str = "doc_id",
+                      max_bucket: int = 64) -> DataFrame:
+    """Audit companion for :func:`token_kgram_candidates`: one row
+    ``(n_kgrams, n_hot, max_df)`` — distinct k-gram count, k-grams over
+    the ``max_bucket`` cap (these are EXCLUDED from candidacy), and the
+    hottest k-gram's document frequency."""
+    counts = (_kgram_exploded(df, k, tokens_col, id_col)
+              .groupBy("h")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("df")))
+    return counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kgrams"),
+        F.coalesce(F.sum(F.when(F.col("df") > max_bucket, 1)
+                         .otherwise(0)), F.lit(0)).cast("bigint")
+        .alias("n_hot"),
+        F.coalesce(F.max("df"), F.lit(0)).cast("bigint").alias("max_df"))
+
+
+def token_kgram_candidates(df: DataFrame, k: int, *,
+                           min_shared: int = 2,
+                           tokens_col: str = "tokens",
+                           id_col: str = "doc_id",
+                           max_bucket: int = 64,
+                           max_hot: int = 100_000) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` distinct token k-grams:
+    ``(id_a, id_b, shared, containment_permille)`` with ``id_a <
+    id_b`` and containment = shared / min(|kgrams_a|, |kgrams_b|) as an
+    integral permille.
+
+    K-grams appearing in more than ``max_bucket`` documents are dropped
+    from candidacy (boilerplate spans; the quadratic bucket join must
+    stay bounded) via a count-only aggregation + broadcast anti-join —
+    audited by :func:`token_kgram_stats`, and more than ``max_hot`` such
+    hot k-grams raises loudly rather than building an oversized
+    broadcast."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    ex = _kgram_exploded(df, k, tokens_col, id_col)
+    counts = (ex.groupBy("h")
+              .agg(F.count(F.lit(1)).alias("_df")))
+    hot = counts.filter(F.col("_df") > max_bucket).select("h")
+    n_hot = hot.limit(max_hot + 1).count()
+    if n_hot > max_hot:
+        raise ValueError(
+            f"more than max_hot={max_hot} k-grams exceed "
+            f"max_bucket={max_bucket}; raise the caps or k "
+            f"(see token_kgram_stats)")
+    cold = ex.join(F.broadcast(hot), "h", "left_anti")
+
+    sizes = (cold.groupBy("_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_nk")))
+    a = cold.select(F.col("h"), F.col("_id").alias("id_a"))
+    b = cold.select(F.col("h"), F.col("_id").alias("id_b"))
+    pairs = (a.join(b, "h")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+             .filter(F.col("shared") >= min_shared))
+    na = sizes.select(F.col("_id").alias("id_a"),
+                      F.col("_nk").alias("_na"))
+    nb = sizes.select(F.col("_id").alias("id_b"),
+                      F.col("_nk").alias("_nb"))
+    denom = F.least(F.col("_na"), F.col("_nb"))
+    shared1000 = F.col("shared") * 1000
+    return (pairs.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b", "shared",
+                    ((shared1000 - shared1000 % denom) / denom)
+                    .cast("bigint").alias("containment_permille")))
+
+
+# ----------------------------------------------------------------- #
+# DuckDB oracle generators                                           #
+# ----------------------------------------------------------------- #
+
+#: md5hash(expr) % vocab in DuckDB — the _hash_shingle idiom
+_TOK_SQL = ("CAST(concat('0x', substr(md5(concat(CAST({g} AS VARCHAR), "
+            "':', CAST(p AS VARCHAR), '#" + str(TOKEN_SALT) + "')), "
+            "1, 15)) AS BIGINT) % {vocab}")
+
+#: synthetic tokens over documents: generator g, length = whitespace
+#: token count of text (the shared _doc_lens definition)
+_SYNTH_SQL = """
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n,
+         {g} AS g
+  FROM documents
+), tok AS (
+  SELECT doc_id, source, n,
+         list_transform(range(0, CAST(n AS BIGINT)),
+                        p -> {tok_expr}) AS toks
+  FROM t
+"""
+
+
+def _synth_cte(gen_sql: str, vocab: int) -> str:
+    tok_expr = _TOK_SQL.format(g="g", vocab=vocab)
+    return _SYNTH_SQL.format(g=gen_sql, tok_expr=tok_expr)
+
+
+def token_topk_oracle_sql(k: int, *, gen_sql: str = "doc_id",
+                          vocab: int = 997) -> str:
+    return f"""
+        WITH t AS ({_synth_cte(gen_sql, vocab)}
+        ), e AS (
+          SELECT unnest(toks) AS token FROM tok
+        ), agg AS (
+          SELECT CAST(token AS BIGINT) AS token,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY token
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+                    AS BIGINT) AS rank, token, n
+        FROM agg ORDER BY rank LIMIT {k}
+    """
+
+
+def oov_stats_oracle_sql(vocab_size: int, *, gen_sql: str = "doc_id",
+                         vocab: int = 997) -> str:
+    """OOV audit over the synthetic tokens, grouped by source."""
+    return f"""
+        WITH t AS ({_synth_cte(gen_sql, vocab)}
+        ), d AS (
+          SELECT source, n,
+                 len(list_filter(toks,
+                     x -> x < 0 OR x >= {vocab_size})) AS oov
+          FROM tok
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               CAST(sum(CASE WHEN oov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_with_oov
+        FROM d GROUP BY source
+    """
+
+
+def token_kgram_candidates_oracle_sql(k: int, *, min_shared: int,
+                                      gen_sql: str, vocab: int = 997,
+                                      max_bucket: int = 64) -> str:
+    """Bit-exact reproduction of :func:`token_kgram_candidates` over the
+    synthetic tokens (DuckDB list slicing is 1-based inclusive —
+    ``toks[p+1 : p+k]`` is the k-window at 0-based position p)."""
+    kg = ("CAST(concat('0x', substr(md5(concat(array_to_string("
+          f"toks[CAST(p + 1 AS BIGINT):CAST(p + {k} AS BIGINT)], ','), "
+          f"'#{KGRAM_SALT}')), 1, 15)) AS BIGINT)")
+    return f"""
+        WITH t AS ({_synth_cte(gen_sql, vocab)}
+        ), kg AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(0, CAST(n - {k} + 1 AS BIGINT)),
+                     p -> {kg})) AS hs
+          FROM tok WHERE n >= {k}
+        ), e AS (
+          SELECT doc_id AS id, unnest(hs) AS h FROM kg
+        ), hot AS (
+          SELECT h FROM e GROUP BY h HAVING count(*) > {max_bucket}
+        ), cold AS (
+          SELECT * FROM e WHERE h NOT IN (SELECT h FROM hot)
+        ), sizes AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS nk
+          FROM cold GROUP BY id
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM cold a JOIN cold b ON a.h = b.h AND a.id < b.id
+          GROUP BY a.id, b.id
+          HAVING count(*) >= {min_shared}
+        )
+        SELECT id_a, id_b, shared,
+               CAST(shared * 1000 // least(na.nk, nb.nk) AS BIGINT)
+                 AS containment_permille
+        FROM pairs
+        JOIN sizes na ON na.id = pairs.id_a
+        JOIN sizes nb ON nb.id = pairs.id_b
+    """
