@@ -171,25 +171,34 @@ def token_kgram_candidates(df: DataFrame, k: int, *,
 
     K-grams appearing in more than ``max_bucket`` documents are dropped
     from candidacy (boilerplate spans; the quadratic bucket join must
-    stay bounded) via a count-only aggregation + broadcast anti-join —
-    audited by :func:`token_kgram_stats`, and more than ``max_hot`` such
-    hot k-grams raises loudly rather than building an oversized
-    broadcast."""
+    stay bounded): ONE count-only aggregation collects the hot set
+    (guarded by ``max_hot`` — a loud ValueError, never an oversized
+    broadcast), which comes back as a broadcast anti-join.  The cold
+    (document, k-gram hash) frame feeds three consumers (pair join both
+    sides + per-doc sizes), so it is persisted spill-safely for the
+    query's lifetime — the handle is attached to the result as
+    ``_cached_kgrams`` for callers who want to unpersist early.
+    Audit companion: :func:`token_kgram_stats`."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     ex = _kgram_exploded(df, k, tokens_col, id_col)
-    counts = (ex.groupBy("h")
-              .agg(F.count(F.lit(1)).alias("_df")))
-    hot = counts.filter(F.col("_df") > max_bucket).select("h")
-    n_hot = hot.limit(max_hot + 1).count()
-    if n_hot > max_hot:
+    hot_rows = (ex.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > max_bucket)
+                .select("h").limit(max_hot + 1).collect())
+    if len(hot_rows) > max_hot:
         raise ValueError(
             f"more than max_hot={max_hot} k-grams exceed "
             f"max_bucket={max_bucket}; raise the caps or k "
             f"(see token_kgram_stats)")
-    cold = ex.join(F.broadcast(hot), "h", "left_anti")
+    cold = ex
+    if hot_rows:
+        hot = df.sparkSession.createDataFrame(hot_rows, "h long")
+        cold = ex.join(F.broadcast(hot), "h", "left_anti")
+    from pyspark import StorageLevel
+    cold = cold.persist(StorageLevel.MEMORY_AND_DISK)
 
     sizes = (cold.groupBy("_id")
              .agg(F.count(F.lit(1)).cast("bigint").alias("_nk")))
@@ -206,10 +215,12 @@ def token_kgram_candidates(df: DataFrame, k: int, *,
                       F.col("_nk").alias("_nb"))
     denom = F.least(F.col("_na"), F.col("_nb"))
     shared1000 = F.col("shared") * 1000
-    return (pairs.join(na, "id_a").join(nb, "id_b")
-            .select("id_a", "id_b", "shared",
-                    ((shared1000 - shared1000 % denom) / denom)
-                    .cast("bigint").alias("containment_permille")))
+    out = (pairs.join(na, "id_a").join(nb, "id_b")
+           .select("id_a", "id_b", "shared",
+                   ((shared1000 - shared1000 % denom) / denom)
+                   .cast("bigint").alias("containment_permille")))
+    out._cached_kgrams = cold
+    return out
 
 
 # ----------------------------------------------------------------- #
