@@ -631,6 +631,21 @@ def q_oov_stats(spark, sf_dir):
     return oov_stats(_tok_frame(spark, sf_dir, "doc_id"), 900)
 
 
+def q_chunk_tokens(spark, sf_dir):
+    """Materialized training chunks over md5-synthetic token arrays at
+    C=128 — byte-exact chunk CONTENT (md5 of the comma-joined tokens),
+    pinning slice arithmetic, shuffle-by-chunk, and stream-order
+    reassembly end-to-end."""
+    from boon_spark.operators.packing import materialize_chunks
+    out = materialize_chunks(_tok_frame(spark, sf_dir, "doc_id"), 128)
+    return out.select(
+        "chunk_id",
+        F.md5(F.array_join(F.transform(F.col("tokens"),
+                                       lambda t: t.cast("string")), ","))
+        .alias("tokens_md5"),
+        "n_tok", "n_docs")
+
+
 def q_token_kgram(spark, sf_dir):
     """Token-level 5-gram duplicate candidates (Lee et al. 2022-style
     duplicated-span detection): shared-prefix groups yield pairs;
@@ -850,6 +865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_topk": q_token_topk,
     "oov_stats": q_oov_stats,
     "token_kgram": q_token_kgram,
+    "chunk_tokens": q_chunk_tokens,
 }
 
 
@@ -950,6 +966,7 @@ def _packing_oracles() -> dict[str, str]:
 
 
 def _tokens_oracles() -> dict[str, str]:
+    from boon_spark.operators.packing import materialize_chunks_oracle_sql
     from boon_spark.operators.tokens import (
         oov_stats_oracle_sql, token_kgram_candidates_oracle_sql,
         token_topk_oracle_sql)
@@ -958,6 +975,7 @@ def _tokens_oracles() -> dict[str, str]:
         "oov_stats": oov_stats_oracle_sql(900),
         "token_kgram": token_kgram_candidates_oracle_sql(
             5, min_shared=5, gen_sql=_KGRAM_GEN_SQL, max_bucket=40),
+        "chunk_tokens": materialize_chunks_oracle_sql(128),
     }
 
 

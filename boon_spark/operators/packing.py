@@ -54,7 +54,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["global_offsets", "pack_chunks", "chunk_doc_map",
-           "packing_stats", "truncation_stats"]
+           "materialize_chunks", "packing_stats", "truncation_stats"]
 
 
 def _split_points(df: DataFrame, order_col: str, n_buckets: int,
@@ -172,6 +172,53 @@ def chunk_doc_map(df: DataFrame, context_len: int, *,
             .select(c.cast("bigint").alias("chunk_id"),
                     F.col(order_col),
                     (hi - lo).cast("bigint").alias("n_tok_in_chunk")))
+
+
+def materialize_chunks(df: DataFrame, context_len: int, *,
+                       tokens_col: str = "tokens",
+                       len_col: str = "n_tok",
+                       order_col: str = "doc_id", **kw) -> DataFrame:
+    """The assembled training chunks themselves: ``(chunk_id, tokens,
+    n_tok, n_docs)`` where ``tokens`` is the ``context_len``-token
+    slice of the concatenated document stream (the last chunk may be
+    shorter; no padding token is injected — that is the trainer's
+    choice).
+
+    Each document contributes ``slice(tokens, lo - start + 1, hi - lo)``
+    to every chunk it spans; pieces are shuffled BY CHUNK (the per-chunk
+    aggregation state is bounded at ``context_len`` tokens) and
+    reassembled in stream order with ``array_sort`` over (position,
+    piece) structs — ``collect_list`` order is nondeterministic, the
+    sort restores it.  ``len_col`` must equal ``size(tokens_col)``
+    (validate with the invariants operator first; a mismatch silently
+    misaligns the stream).
+    """
+    packed = pack_chunks(df, context_len, len_col=len_col,
+                         order_col=order_col, **kw)
+    chunk = F.explode(
+        F.when(F.col("n_chunks") > 0,
+               F.sequence(F.col("first_chunk"), F.col("last_chunk")))
+        .otherwise(F.array().cast("array<bigint>"))).alias("chunk_id")
+    pieces = packed.select(
+        "start_tok", "end_tok", F.col(tokens_col).alias("_toks"), chunk)
+    c = F.col("chunk_id")
+    lo = F.greatest(F.col("start_tok"), c * context_len)
+    hi = F.least(F.col("end_tok"), (c + 1) * context_len)
+    piece = F.slice(F.col("_toks"),
+                    (lo - F.col("start_tok") + 1).cast("int"),
+                    (hi - lo).cast("int"))
+    parts = pieces.select(
+        c.cast("bigint").alias("chunk_id"),
+        (lo - c * context_len).cast("int").alias("_pos"),
+        piece.alias("_piece"))
+    assembled = F.flatten(F.transform(
+        F.array_sort(F.collect_list(F.struct("_pos", "_piece"))),
+        lambda s: s["_piece"]))
+    return (parts.groupBy("chunk_id")
+            .agg(assembled.alias("tokens"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .withColumn("n_tok", F.size("tokens").cast("bigint"))
+            .select("chunk_id", "tokens", "n_tok", "n_docs"))
 
 
 def packing_stats(df: DataFrame, context_len: int, *,
@@ -331,6 +378,51 @@ def chunk_doc_map_oracle_sql(context_len: int) -> str:
                         - greatest(start_tok, chunk_id * {c}))
                     AS BIGINT) AS n_tok
         FROM m GROUP BY chunk_id
+    """
+
+
+def materialize_chunks_oracle_sql(context_len: int, *,
+                                  gen_sql: str = "doc_id",
+                                  vocab: int = 997) -> str:
+    """DuckDB reproduction of the ``chunk_tokens`` gate: chunks
+    assembled from md5-synthetic token arrays (see
+    :mod:`.tokens`), compared as md5 of the comma-joined tokens —
+    byte-exact chunk content, not just counts."""
+    from .tokens import _synth_cte
+    c = context_len
+    return f"""
+        WITH t AS ({_synth_cte(gen_sql, vocab)}
+        ), o AS (
+          SELECT doc_id, n, toks,
+                 CAST(SUM(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - n AS BIGINT)
+                   AS start_tok
+          FROM tok
+        ), m AS (
+          SELECT unnest(range(start_tok // {c},
+                              (start_tok + n - 1) // {c} + 1))
+                   AS chunk_id,
+                 start_tok, start_tok + n AS end_tok, toks
+          FROM o WHERE n > 0
+        ), p AS (
+          SELECT chunk_id,
+                 greatest(start_tok, chunk_id * {c}) - chunk_id * {c}
+                   AS pos,
+                 toks[CAST(greatest(start_tok, chunk_id * {c})
+                           - start_tok + 1 AS BIGINT)
+                      :CAST(least(end_tok, (chunk_id + 1) * {c})
+                            - start_tok AS BIGINT)] AS piece
+          FROM m
+        ), g AS (
+          SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+                 flatten(list(piece ORDER BY pos)) AS toks,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM p GROUP BY chunk_id
+        )
+        SELECT chunk_id, md5(array_to_string(toks, ',')) AS tokens_md5,
+               CAST(len(toks) AS BIGINT) AS n_tok, n_docs
+        FROM g
     """
 
 

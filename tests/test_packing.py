@@ -140,3 +140,32 @@ def test_div_exact_past_double_precision(spark):
     assert rows["b"].start_tok == big
     assert rows["b"].first_chunk == big // 8
     assert rows["b"].last_chunk == (big + 16 - 1) // 8
+
+
+def test_materialize_chunks_reassembles_stream(spark):
+    from boon_spark.operators.packing import materialize_chunks
+    rows = [(f"d{i}", list(range(10 * i, 10 * i + n)))
+            for i, n in enumerate([7, 12, 3, 25, 1, 8])]
+    df = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int")
+    C = 10
+    out = {r.chunk_id: r for r in materialize_chunks(df, C).collect()}
+    stream = [t for _, toks in sorted(rows) for t in toks]
+    n_chunks = -(-len(stream) // C)
+    assert set(out) == set(range(n_chunks))
+    got_stream = [t for cid in range(n_chunks) for t in out[cid].tokens]
+    assert got_stream == stream
+    for cid in range(n_chunks):
+        want = stream[cid * C:(cid + 1) * C]
+        assert out[cid].tokens == want
+        assert out[cid].n_tok == len(want)
+    # n_docs: docs overlapping each chunk
+    offs, acc = {}, 0
+    for d, toks in sorted(rows):
+        offs[d] = (acc, acc + len(toks)); acc += len(toks)
+    for cid in range(n_chunks):
+        lo, hi = cid * C, (cid + 1) * C
+        want_docs = sum(1 for a, b in offs.values()
+                        if a < hi and b > lo and b > a)
+        assert out[cid].n_docs == want_docs
