@@ -1458,7 +1458,15 @@ def oracle_sql() -> dict[str, str]:
         # ivf_topk runs full-probe (n_probe == n_centroids, no cell cap):
         # the cell partition is exhaustive, so the result equals the exact
         # cosine top-k — the completeness property pinned in
-        # test_similarity_ids makes the iterative operator oracle-pairable
+        # test_similarity_ids makes the iterative operator oracle-pairable.
+        # Deliberately the same SQL shape as embedding_topk's oracle (k=5
+        # vs 3): both rank by DuckDB's float cosine with id tiebreak and
+        # neither filters malformed vectors — sound on this fixture
+        # (all vectors len-64, non-NULL, distinct cosines at the k-cut;
+        # embedding_topk has been green on it since r2).  If the fixture
+        # ever gains ragged/NULL vectors or ~1-ulp cosine ties, BOTH
+        # oracles need the engine's clean-row predicate and an integer
+        # rank key (see lsh_topk) — change them together.
         "ivf_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 5),

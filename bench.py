@@ -162,7 +162,7 @@ def _task_profile(spark, group: str) -> dict:
 
 def bench_queries(spark) -> tuple[dict[str, float], dict[str, float],
                                   dict[str, float], dict[str, float],
-                                  list[float]]:
+                                  list[float], dict[str, list[float]]]:
     """Headline operator queries at SF_DIR (driver testdata).
 
     Best-of-3 per query, each query BRACKETED by pure-CPU spin samples

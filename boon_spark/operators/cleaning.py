@@ -189,7 +189,7 @@ def remove_boilerplate(df: DataFrame, *, min_df: int,
 
 def token_frequencies(df: DataFrame, *, text_col: str = "text",
                       min_count: int = 1) -> DataFrame:
-    """Corpus-wide token document counts over the shared normalization:
+    """Corpus-wide token counts over the shared normalization:
     ``(token, n)`` with ``n`` = total occurrences.  One shuffle on the
     token with map-side partial counts — the classic vocabulary-build
     aggregation; empty tokens (empty documents) are excluded."""
@@ -203,22 +203,30 @@ def token_frequencies(df: DataFrame, *, text_col: str = "text",
     return out
 
 
+def ranked_topk(agg: DataFrame, k: int, *,
+                key_col: str = "token") -> DataFrame:
+    """Deterministic ordered take over a ``(key_col, n)`` counts frame:
+    ``(rank, key_col, n)`` by (n desc, key asc) — a total order, so the
+    result is oracle-comparable.  The take is ``orderBy(...).limit(k)``
+    — Spark plans it as ``TakeOrderedAndProject`` (per-partition partial
+    top-k merged on the driver), so a counts table that reaches hundreds
+    of millions of rows on a web corpus is never moved to one partition;
+    the rank window then runs over only the ``k`` survivors.  Shared by
+    :func:`vocab_topk` and :func:`..tokens.token_topk` (one definition
+    of the tie-break and the take shape)."""
+    from pyspark.sql import Window
+    order = [F.col("n").desc(), F.col(key_col).asc()]
+    top = agg.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return (top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .select("rank", key_col, "n"))
+
+
 def vocab_topk(df: DataFrame, k: int, *, text_col: str = "text") \
         -> DataFrame:
     """Top-``k`` corpus tokens: ``(rank, token, n)``, ties broken by
-    ascending token (total order → deterministic, oracle-comparable).
-    The ordered take is ``orderBy(...).limit(k)`` — Spark plans it as
-    ``TakeOrderedAndProject`` (per-partition partial top-k merged on the
-    driver), so the aggregated vocab table, which can reach hundreds of
-    millions of tokens on a web corpus, is never moved to one partition;
-    the rank window then runs over only the ``k`` survivors."""
-    from pyspark.sql import Window
-    top = (token_frequencies(df, text_col=text_col)
-           .orderBy(F.col("n").desc(), F.col("token").asc())
-           .limit(k))
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (top.withColumn("rank", F.row_number().over(w).cast("bigint"))
-            .select("rank", "token", "n"))
+    ascending token (see :func:`ranked_topk` for the plan shape)."""
+    return ranked_topk(token_frequencies(df, text_col=text_col), k)
 
 
 # ----------------------------------------------------------------- #
@@ -254,7 +262,11 @@ def c4_clean_oracle_sql(*, min_words: int = 5,
         SELECT doc_id, md5(ct) AS clean_md5,
                CAST(len(ls) AS BIGINT) AS n_lines,
                CAST(len(kept) AS BIGINT) AS n_lines_kept,
-               CAST(CASE WHEN len(regexp_extract_all(ct, '[.!?]')) >= 3
+               -- NULL arm spelled out (CLAUDE.md oracle rule): the
+               -- engine yields keep=NULL for NULL text; CASE WHEN is
+               -- NULL-false and would collapse it to 0
+               CAST(CASE WHEN text IS NULL THEN NULL
+                         WHEN len(regexp_extract_all(ct, '[.!?]')) >= 3
                          AND NOT contains(lower(text), 'lorem ipsum')
                          AND NOT contains(text, '{{')
                     THEN 1 ELSE 0 END AS BIGINT) AS keep

@@ -377,15 +377,22 @@ def cross_table_contamination(corpus: DataFrame, benchmark: DataFrame, *,
         hot = (tok_c.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
                .filter(F.col("_n") > max_df).select("_h"))
         tok_c = tok_c.join(F.broadcast(hot), on="_h", how="left_anti")
-        # SOUND threshold prune (r5): containment >= t needs
-        # |A∩B| >= t·|B|, and the non-hot hash-collision count is
-        # >= |A∩B| − |{s∈B : h(s) hot}|, so any qualifying pair shares
-        # >= ceil(t·|B| − hot_B) non-hot hashes.  Pure candidate
-        # reduction — zero recall loss (the gate oracle is unchanged),
-        # unlike the max_df gate whose loss is the documented tradeoff.
-        # On vocab-limited text this is the difference between verifying
-        # every corpus×benchmark pair sharing ONE 3-gram (202k pairs at
-        # sf0.1) and verifying ~the true hits.
+        # SOUND threshold prune (r5): the final filter keeps a pair iff
+        # inter/|B| >= t (IEEE double compare), and the non-hot
+        # hash-collision count is >= inter − |{s∈B : h(s) hot}|, i.e.
+        # inter <= shared + hot_B.  IEEE division by a fixed positive
+        # divisor is monotone in the numerator, so inter/|B| >= t
+        # implies (shared + hot_B)/|B| >= t — the prune below uses THAT
+        # comparison, in the exact arithmetic of the final filter.
+        # (An integer form like shared >= ceil(t·|B| − hot_B) is NOT
+        # sound: at t=0.28, |B|=25, inter=7 the final filter passes —
+        # 7/25 rounds to the same double as the 0.28 literal — but
+        # ceil(double(0.28)·25) = ceil(7.000000000000001) = 8.)
+        # Pure candidate reduction — zero recall loss (the gate oracle
+        # is unchanged), unlike the max_df gate whose loss is the
+        # documented tradeoff.  On vocab-limited text this is the
+        # difference between verifying every corpus×benchmark pair
+        # sharing ONE 3-gram (202k pairs at sf0.1) and ~the true hits.
         b_meta = (sh_b.select(F.col("_id").alias("benchmark_id"),
                               F.size("_sh").alias("_nb"))
                   .join(tok_b.join(F.broadcast(hot), on="_h")
@@ -398,9 +405,8 @@ def cross_table_contamination(corpus: DataFrame, benchmark: DataFrame, *,
                 .agg(F.count(F.lit(1)).alias("_shared"))
                 .join(F.broadcast(b_meta), on="benchmark_id")
                 .filter((F.col("_shared") >= min_shared) &
-                        (F.col("_shared") >=
-                         F.ceil(F.lit(threshold) * F.col("_nb")
-                                - F.col("_hot_b"))))
+                        ((F.col("_shared") + F.col("_hot_b"))
+                         / F.col("_nb") >= F.lit(threshold)))
                 .select("corpus_id", "benchmark_id"))
         sig_c, sig_b = sh_c, sh_b
     else:

@@ -288,11 +288,17 @@ def truncation_stats(df: DataFrame, max_len: int, *,
 
 #: per-document whitespace token count over the documents view — the
 #: same definition as the token_count gate (regexp_split_to_array of
-#: trimmed text; '' splits to [''] → 1, matching Spark's split)
+#: trimmed text; '' splits to [''] → 1, matching Spark's split).  NULL
+#: text coalesces to n=0 because the ENGINE coalesces NULL lengths to 0
+#: ("the document occupies no stream positions but keeps a defined
+#: start_tok") — without it the oracle's window SUM(n)-n and pad sums
+#: would yield NULL where the engine yields defined integers
+#: (CLAUDE.md: oracles must model NULL semantics explicitly)
 _DOC_LENS_SQL = """
   SELECT doc_id,
-         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-           AS n,
+         CAST(coalesce(
+             len(regexp_split_to_array(trim(text), '\\s+')), 0)
+           AS BIGINT) AS n,
          source
   FROM documents
 """

@@ -95,9 +95,13 @@ def mask_pii(df: DataFrame, *, text_col: str = "text",
     ``with_counts``, add one ``n_pii_<kind>`` bigint column per kind."""
     t = F.col(text_col)
     target = out_col or text_col
-    cols = [c for c in df.columns if c != target]
-    proj = [F.col(c) for c in cols] + \
-        [mask_pii_col(t, kinds).alias(target)]
+    masked = mask_pii_col(t, kinds).alias(target)
+    if target in df.columns:
+        # replace in place, keeping the schema's column order (a
+        # positional consumer downstream must not see text move)
+        proj = [masked if c == target else F.col(c) for c in df.columns]
+    else:
+        proj = [F.col(c) for c in df.columns] + [masked]
     if with_counts:
         proj += [v.alias(f"n_pii_{k}")
                  for k, v in pii_counts(t, kinds).items()]

@@ -108,12 +108,13 @@ def _doc_metrics(raw: str, norm: str, top_ns, dup_ns) -> dict:
     n_words = len(words)
     n_chars = len(norm)
     word_chars = sum(len(w) for w in words)
+    word_set = set(words)
     out = {
         "n_words": n_words,
         "mean_word_len": (word_chars / n_words) if n_words else 0.0,
         "alpha_word_frac": (sum(1 for w in words if _ALPHA_RE.search(w))
                             / n_words) if n_words else 0.0,
-        "stopword_hits": sum(1 for s in STOPWORDS_8 if s in set(words)),
+        "stopword_hits": sum(1 for s in STOPWORDS_8 if s in word_set),
         "symbol_word_ratio": (raw.count("#") + raw.count("...") +
                               raw.count("…")) / max(n_words, 1),
     }

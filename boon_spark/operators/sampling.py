@@ -111,6 +111,11 @@ def split_assign(df: DataFrame, weights: dict, *, key_col: str,
     """
     if not weights:
         raise ValueError("weights must be non-empty")
+    neg = {k: v for k, v in weights.items() if v < 0}
+    if neg:
+        # a negative weight makes the cumulative bounds non-monotone:
+        # the earlier label's arm absorbs the later ones silently
+        raise ValueError(f"weights must be >= 0, got {neg}")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive number")
@@ -147,6 +152,9 @@ def split_assign_oracle_case(*, key_sql: str, weights: dict,
     bit-for-bit — the cumulative bounds are computed HERE with the same
     Python float accumulation the Spark side uses, then rendered via
     repr, so both engines compare against identical doubles."""
+    neg = {k: v for k, v in weights.items() if v < 0}
+    if neg:
+        raise ValueError(f"weights must be >= 0, got {neg}")
     total = float(sum(weights.values()))
     u = _uniform_sql(key_sql, seed)
     labels = list(weights)

@@ -561,15 +561,26 @@ def lsh_quantized_bucket_stats(corpus: DataFrame, *, dim: int,
          .withColumn("_sig", _quantized_sig_of(F.col("_cq"), planes, bits))
          .filter(_idot(F.col("_cq"), F.col("_cq")) > 0))
     sizes = c.groupBy("_sig").agg(F.count(F.lit(1)).alias("n"))
+    return _cap_size_stats(sizes, cap, "bucket")
+
+
+def _cap_size_stats(sizes: DataFrame, cap: int, unit: str) -> DataFrame:
+    """The shared cap-audit aggregate over a ``(key, n)`` sizes frame:
+    one row ``(n_{unit}s, n_kept_{unit}s, n_dropped_{unit}s,
+    n_dropped_docs, largest_{unit})``.  ONE definition for all three
+    audit companions (quantized-LSH, IVF cells, float-LSH) so the
+    kept/dropped accounting cannot drift between them — each audit's
+    docstring promises the counts describe exactly what its join
+    drops.  Empty input yields all zeros (coalesced)."""
     return sizes.agg(
-        F.count(F.lit(1)).alias("n_buckets"),
+        F.count(F.lit(1)).alias(f"n_{unit}s"),
         F.coalesce(F.sum((F.col("n") <= cap).cast("long")),
-                   F.lit(0)).alias("n_kept_buckets"),
+                   F.lit(0)).alias(f"n_kept_{unit}s"),
         F.coalesce(F.sum((F.col("n") > cap).cast("long")),
-                   F.lit(0)).alias("n_dropped_buckets"),
+                   F.lit(0)).alias(f"n_dropped_{unit}s"),
         F.coalesce(F.sum(F.when(F.col("n") > cap, F.col("n"))),
                    F.lit(0)).alias("n_dropped_docs"),
-        F.coalesce(F.max("n"), F.lit(0)).alias("largest_bucket"))
+        F.coalesce(F.max("n"), F.lit(0)).alias(f"largest_{unit}"))
 
 
 def lsh_quantized_bucket_stats_oracle_sql(*, dim: int, bits: int = 6,
@@ -808,15 +819,7 @@ def ivf_cell_stats(corpus: DataFrame, *, id_col: str = "vec_id",
     cc = c.withColumn("_cell", _ivf_assign(cents, "_cv")) \
         .filter(F.col("_cell").isNotNull())
     sizes = cc.groupBy("_cell").agg(F.count(F.lit(1)).alias("n"))
-    return sizes.agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.coalesce(F.sum((F.col("n") <= cap).cast("long")),
-                   F.lit(0)).alias("n_kept_cells"),
-        F.coalesce(F.sum((F.col("n") > cap).cast("long")),
-                   F.lit(0)).alias("n_dropped_cells"),
-        F.coalesce(F.sum(F.when(F.col("n") > cap, F.col("n"))),
-                   F.lit(0)).alias("n_dropped_docs"),
-        F.coalesce(F.max("n"), F.lit(0)).alias("largest_cell"))
+    return _cap_size_stats(sizes, cap, "cell")
 
 
 def lsh_bucket_stats(corpus: DataFrame, *, dim: int,
@@ -833,12 +836,4 @@ def lsh_bucket_stats(corpus: DataFrame, *, dim: int,
     sig_c = simhash_signature(F.col(vec_col), dim, bits=bits, seed=seed)
     sizes = (corpus.select(sig_c.alias("_sig"))
              .groupBy("_sig").agg(F.count(F.lit(1)).alias("n")))
-    return sizes.agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.coalesce(F.sum((F.col("n") <= cap).cast("long")),
-                   F.lit(0)).alias("n_kept_buckets"),
-        F.coalesce(F.sum((F.col("n") > cap).cast("long")),
-                   F.lit(0)).alias("n_dropped_buckets"),
-        F.coalesce(F.sum(F.when(F.col("n") > cap, F.col("n"))),
-                   F.lit(0)).alias("n_dropped_docs"),
-        F.max("n").alias("largest_bucket"))
+    return _cap_size_stats(sizes, cap, "bucket")

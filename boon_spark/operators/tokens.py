@@ -44,7 +44,7 @@ visible in the audit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _hash_shingle
@@ -82,14 +82,14 @@ def token_topk(df: DataFrame, k: int, *,
     """Top-``k`` corpus tokens by total occurrences: ``(rank, token,
     n)``, ties broken by ascending token id.  NULL arrays contribute
     nothing."""
+    from .cleaning import ranked_topk
     agg = (df.select(F.explode(tokens_col).alias("token"))
            .groupBy("token")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
-    top = agg.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (top.withColumn("rank", F.row_number().over(w).cast("bigint"))
-            .select("rank", F.col("token").cast("bigint").alias("token"),
-                    "n"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+           # cast before ranking (order-preserving on ints) so the
+           # shared take emits the gate's bigint token directly
+           .select(F.col("token").cast("bigint").alias("token"), "n"))
+    return ranked_topk(agg, k)
 
 
 def oov_stats(df: DataFrame, vocab_size: int, *,
@@ -233,11 +233,14 @@ _TOK_SQL = ("CAST(concat('0x', substr(md5(concat(CAST({g} AS VARCHAR), "
             "1, 15)) AS BIGINT) % {vocab}")
 
 #: synthetic tokens over documents: generator g, length = whitespace
-#: token count of text (the shared _doc_lens definition)
+#: token count of text (the shared _doc_lens definition).  NULL text
+#: coalesces to n=0 like the engine (synthetic_tokens coalesces NULL
+#: lengths to an empty array; range(0, NULL) would be NULL here)
 _SYNTH_SQL = """
   SELECT doc_id, source,
-         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-           AS n,
+         CAST(coalesce(
+             len(regexp_split_to_array(trim(text), '\\s+')), 0)
+           AS BIGINT) AS n,
          {g} AS g
   FROM documents
 ), tok AS (

@@ -372,3 +372,24 @@ def test_contamination_prune_is_lossless_vs_bruteforce(spark):
                        for s in shingles(cmap[cid]) & shingles(bmap[bid]))}
             assert with_nonhot <= got <= expected, \
                 f"{with_nonhot} <= {got} <= {expected} violated"
+
+
+def test_contamination_prune_ieee_boundary(spark):
+    # Regression (r5 review): the original integer prune
+    # shared >= ceil(t*|B| - hot_B) silently dropped qualifying pairs
+    # when t*|B| rounds UP in doubles.  t=0.28, |B|=25, inter=7:
+    # 7/25 rounds to the same double as the 0.28 literal, so the final
+    # filter keeps the pair — but ceil(double(0.28)*25) =
+    # ceil(7.000000000000001) = 8 > 7 pruned it.  The prune now uses
+    # the final filter's own IEEE comparison ((shared+hot_B)/|B| >= t).
+    from boon_spark.operators.dedup import cross_table_contamination
+    words = [f"w{i}" for i in range(27)]          # 25 distinct 3-shingles
+    bench = spark.createDataFrame(
+        [("b0", " ".join(words))], "doc_id string, text string")
+    # contiguous 9-word run -> exactly 7 shingles, all shared
+    corpus = spark.createDataFrame(
+        [("c0", " ".join(words[4:13]))], "doc_id string, text string")
+    got = cross_table_contamination(
+        corpus, bench, threshold=0.28, metric="containment").collect()
+    assert [(r.corpus_id, r.benchmark_id) for r in got] == [("c0", "b0")]
+    assert abs(got[0].overlap - 7 / 25) < 1e-12
