@@ -69,7 +69,7 @@ class ValidationManifest:
         return {e["partition"] for e in self.entries()
                 if e["status"] == "complete" and e["spec_hash"] == shash}
 
-    def record(self, partition: str, shash: str, metrics: dict) -> None:
+    def record(self, partition: str, shash: str, metrics: dict) -> str:
         import pyarrow as pa
         import pyarrow.parquet as pq
         row = {
@@ -96,12 +96,28 @@ class ValidationManifest:
             self.path, f"{_safe(partition)}-{uuid.uuid4().hex[:8]}.parquet")
         pq.write_table(pa.Table.from_pylist([row]), tmp)
         os.rename(tmp, final)  # atomic on POSIX
+        return os.path.basename(final)
 
-    def invalidate(self, partition: str) -> None:
-        """Drop lineage for one partition (forces recompute on next run)."""
+    def invalidate(self, partition: str, *,
+                   keep: Optional[str] = None) -> None:
+        """Drop lineage for one partition (forces recompute on next run).
+
+        Candidate files are pre-filtered by the ``_safe(partition)-``
+        filename prefix ``record`` always writes, then confirmed by
+        content (``_safe`` is lossy, so two partitions can share a
+        prefix) — without the filter each invalidate reads EVERY entry
+        file, which is O(total partitions) driver parquet reads per
+        call on a long-lived manifest.  ``keep`` skips one filename:
+        the replace path records the new entry FIRST, then removes the
+        old ones, so a crash between the two leaves an extra stale
+        entry (cleaned up on the partition's next touch) rather than a
+        missing one (which would lose the cumulative counts a replayed
+        streaming batch needs)."""
         import pyarrow.parquet as pq
+        pref = f"{_safe(partition)}-"
         for f in list(os.listdir(self.path)):
-            if not self._is_entry(f):
+            if not self._is_entry(f) or not f.startswith(pref) \
+                    or f == keep:
                 continue
             p = os.path.join(self.path, f)
             rows = pq.read_table(p).to_pylist()
@@ -110,6 +126,35 @@ class ValidationManifest:
 
 
 NULL_PARTITION = "__null__"
+
+
+def partition_key_col(partition_col: str):
+    """THE manifest partition-key expression: Spark cast-to-string with
+    the ``__null__`` sentinel for SQL NULL.  Every reader and writer of
+    manifest keys must derive them through this one helper — a drifted
+    copy (e.g. Python ``str()`` producing "None"/"True" where the
+    manifest holds "__null__"/"true") makes a re-seen partition look
+    permanently complete and silently skips its rows."""
+    return F.coalesce(F.col(partition_col).cast("string"),
+                      F.lit(NULL_PARTITION))
+
+
+def collect_partition_rows(df: DataFrame, partition_col: str,
+                           max_partitions: int) -> list:
+    """Distinct ``(_v = native value, _p = manifest key)`` rows of a
+    frame, with the loud high-cardinality guard (the driver-side
+    collect a ``doc_id`` partition column would otherwise OOM).  Shared
+    by :func:`validate_partitioned` and the streaming bridge so each
+    micro-batch pays this scan ONCE."""
+    rows = (df.select(F.col(partition_col).alias("_v"),
+                      partition_key_col(partition_col).alias("_p"))
+            .distinct().limit(max_partitions + 1).collect())
+    if len(rows) > max_partitions:
+        raise ValueError(
+            f"partition column {partition_col!r} has more than "
+            f"{max_partitions} distinct values — not a partition column; "
+            f"pick a coarser column or raise max_partitions")
+    return rows
 
 
 def _safe(s) -> str:
@@ -148,7 +193,12 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
                          resources: Optional[dict] = None,
                          loader=None, assert_format: bool = False,
                          assert_content: bool = False,
-                         default_draft=None) -> dict:
+                         default_draft=None,
+                         partition_rows: Optional[list] = None,
+                         force_pending: Optional[set] = None,
+                         metrics_transform=None,
+                         violations_batch: Optional[str] = None,
+                         replace_entries: bool = False) -> dict:
     """Validate all pending partitions of ``df`` in one job; returns
     ``{"pending": [...], "skipped": [...], "metrics": {partition: {...}}}``.
 
@@ -160,12 +210,37 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
     partition values: a manifest keyed by a high-cardinality column
     (someone passing ``doc_id``) would otherwise OOM the driver and
     produce a useless million-entry manifest — fail loudly instead.
+
+    The streaming bridge's hooks (batch callers can ignore all five):
+
+    * ``partition_rows`` — pre-collected :func:`collect_partition_rows`
+      output, so a micro-batch is not re-scanned for keys the handler
+      already collected;
+    * ``force_pending`` — validate exactly these partition keys instead
+      of consulting ``manifest.completed`` (replay detection happens in
+      the handler against (run_id, batch_id) stamps; the entries are NOT
+      pre-invalidated, so a crash mid-handler cannot lose the prior
+      cumulative counts);
+    * ``metrics_transform(partition, metrics) -> metrics`` — applied
+      before each entry is recorded (the handler merges prior cumulative
+      counts and stamps the (run_id, batch_id) pair HERE, atomically
+      with the entry write — stamping in a second pass left a crash
+      window where counts were written unstamped and a replay
+      double-applied the batch);
+    * ``violations_batch`` — adds a ``_vbatch`` literal column and
+      partitions violations by (partition_col, _vbatch) with DYNAMIC
+      overwrite: a replayed batch rewrites exactly its own
+      (partition, batch) output instead of appending duplicates —
+      violations become idempotent under foreachBatch redelivery;
+    * ``replace_entries`` — after recording a partition's entry, remove
+      that partition's OLDER entry files (new-then-remove: a crash
+      between the two leaves a stale extra entry, cleaned on next touch,
+      never a missing one).
     """
     from ..engine import Engine
 
     shash = spec_hash(spec)
     manifest = ValidationManifest(manifest_path)
-    done = manifest.completed(shash)
 
     # NULL partition values get a sentinel key so they are validated and
     # recorded like any other partition (isin() never matches SQL NULL).
@@ -174,15 +249,8 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
     # cast-to-string does not convert to an Iceberg/hive partition
     # predicate, so "skipped" partitions would be scanned and discarded
     # row-by-row instead of pruned.
-    pkey = F.coalesce(F.col(partition_col).cast("string"),
-                      F.lit(NULL_PARTITION))
-    vrows = (df.select(F.col(partition_col).alias("_v"), pkey.alias("_p"))
-             .distinct().limit(max_partitions + 1).collect())
-    if len(vrows) > max_partitions:
-        raise ValueError(
-            f"partition column {partition_col!r} has more than "
-            f"{max_partitions} distinct values — not a partition column; "
-            f"pick a coarser column or raise max_partitions")
+    vrows = partition_rows if partition_rows is not None else \
+        collect_partition_rows(df, partition_col, max_partitions)
     # a string key can collect SEVERAL distinct native values (e.g.
     # decimal scale variants rendering to the same text): keep them ALL —
     # dropping one would leave its rows unvalidated while the partition
@@ -191,8 +259,13 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
     for r in vrows:
         raw_of.setdefault(r._p, []).append(r._v)
     all_parts = list(raw_of)
-    pending = sorted(set(all_parts) - done)
-    skipped = sorted(set(all_parts) & done)
+    if force_pending is not None:
+        pending = sorted(set(all_parts) & set(force_pending))
+        skipped = sorted(set(all_parts) - set(force_pending))
+    else:
+        done = manifest.completed(shash)
+        pending = sorted(set(all_parts) - done)
+        skipped = sorted(set(all_parts) & done)
     if not pending:
         return {"pending": [], "skipped": skipped, "metrics": {}}
 
@@ -211,7 +284,7 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
     ann = eng.annotate(sub)
 
     if violations_path:
-        if violations_mode == "overwrite":
+        if violations_mode == "overwrite" and violations_batch is None:
             # dynamic overwrite only touches partitions that produce
             # rows — a re-validated partition that is now CLEAN would
             # keep its stale violation files, so pending partitions' old
@@ -222,18 +295,29 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
                                      set(pending))
         # explode_outer + null filter prunes passing rows (empty arrays)
         # without the inferred-filter pushdown blowup (engine.violations)
-        (ann.select(partition_col, F.explode_outer("violations").alias("v"))
-            .filter(F.col("v").isNotNull())
-            .select(partition_col, "v.instance_location",
-                    "v.keyword_location", "v.error")
-            .write.mode("overwrite" if violations_mode == "overwrite"
-                        else "append")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partition_col)
-            .parquet(violations_path))
+        vio = (ann.select(partition_col,
+                          F.explode_outer("violations").alias("v"))
+               .filter(F.col("v").isNotNull())
+               .select(partition_col, "v.instance_location",
+                       "v.keyword_location", "v.error"))
+        if violations_batch is not None:
+            # per-(partition, batch) layout: a foreachBatch replay
+            # dynamically overwrites exactly its own output dirs (a
+            # deterministic batch re-produces the same rows), never
+            # appends duplicates and never touches earlier batches
+            (vio.withColumn("_vbatch", F.lit(violations_batch))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col, "_vbatch")
+                .parquet(violations_path))
+        else:
+            (vio.write.mode("overwrite" if violations_mode == "overwrite"
+                            else "append")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col)
+                .parquet(violations_path))
 
-    rows = (ann.groupBy(F.coalesce(F.col(partition_col).cast("string"),
-                                   F.lit(NULL_PARTITION)).alias("_p"))
+    rows = (ann.groupBy(partition_key_col(partition_col).alias("_p"))
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
                  F.sum("violation_count").alias("n_violations"),
@@ -243,6 +327,10 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, spec,
     for r in rows:
         m = {"n_rows": r.n_rows, "n_invalid": r.n_invalid,
              "n_violations": r.n_violations, "valid": bool(r._all_valid)}
-        manifest.record(r._p, shash, m)
+        if metrics_transform is not None:
+            m = metrics_transform(r._p, m)
+        fname = manifest.record(r._p, shash, m)
+        if replace_entries:
+            manifest.invalidate(r._p, keep=fname)
         metrics[r._p] = m
     return {"pending": pending, "skipped": skipped, "metrics": metrics}

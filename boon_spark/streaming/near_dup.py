@@ -82,6 +82,13 @@ def make_collider(horizon_ms: int, session_tz: str = "UTC"):
             return
         band, bkey = key
         rows = pd.concat(list(pdfs), ignore_index=True)
+        # defense in depth: the engine filters NULL event times before
+        # the stateful operator (a NULL ts has no place in a watermarked
+        # horizon), but a direct caller's NaT would otherwise reach
+        # .timestamp() below and ABORT the whole query
+        rows = rows.dropna(subset=["ts"])
+        if rows.empty:
+            return  # any previously-armed timeout stays in force
         # event-time order within the batch so "first" is deterministic
         rows = rows.sort_values(["ts", "_id"], kind="mergesort")
         if state.exists:
@@ -143,6 +150,11 @@ def near_dup_stream(stream_df: DataFrame, *, text_col: str = "text",
     # casts the same way)
     banded = (banded.withColumn("_id", F.col("_id").cast("string"))
               .withColumnRenamed(ts_col, "ts")
+              # a NULL event time passes the watermark predicate (NULL <
+              # wm is NULL, row kept) and would reach the collider as
+              # NaT, where .timestamp() raises and kills the query — one
+              # malformed row must not abort the stream (r5 review)
+              .filter(F.col("ts").isNotNull())
               .withWatermark("ts", watermark))
     session_tz = stream_df.sparkSession.conf.get(
         "spark.sql.session.timeZone")

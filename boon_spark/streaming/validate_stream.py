@@ -74,19 +74,22 @@ def violation_rate(stream_df: DataFrame, spec, *, ts_col: str,
                         F.col("n_invalid") / F.col("n_rows")))
 
 
-def batch_partition_keys(batch_df: DataFrame, partition_col: str) -> list:
-    """Distinct manifest partition keys of a batch, derived EXACTLY as
-    ``validate_partitioned`` derives them (Spark cast-to-string + the
-    ``__null__`` sentinel).  Python ``str()`` on raw values would produce
-    "None"/"True" where the manifest holds "__null__"/"true", so a
-    re-seen null/bool partition would never be invalidated and its rows
-    silently skipped as already-complete."""
-    from ..sources.manifest import NULL_PARTITION
+def batch_partition_keys(batch_df: DataFrame, partition_col: str, *,
+                         max_partitions: int = 100_000) -> list:
+    """Distinct manifest partition keys of a batch, derived through the
+    ONE shared key expression (``manifest.partition_key_col``: Spark
+    cast-to-string + the ``__null__`` sentinel).  Python ``str()`` on
+    raw values would produce "None"/"True" where the manifest holds
+    "__null__"/"true", so a re-seen null/bool partition would never be
+    invalidated and its rows silently skipped as already-complete.
+    Carries the same ``max_partitions`` driver-OOM guard as
+    ``validate_partitioned`` (a high-cardinality column fails loudly
+    BEFORE the collect, not after it fills the driver)."""
+    from ..sources.manifest import collect_partition_rows
 
-    pkey = F.coalesce(F.col(partition_col).cast("string"),
-                      F.lit(NULL_PARTITION))
-    return [r[0] for r in
-            batch_df.select(pkey.alias("_p")).distinct().collect()]
+    return [r._p for r in
+            collect_partition_rows(batch_df, partition_col,
+                                   max_partitions)]
 
 
 def stream_to_manifest(stream_df: DataFrame, spec, *, partition_col: str,
@@ -179,54 +182,86 @@ def manifest_batch_handler(spec, *, partition_col: str, manifest_path: str,
                            violations_path: Optional[str] = None,
                            row_id: Optional[str] = None,
                            run_id: str = "",
-                           checkpoint: Optional[str] = None):
+                           checkpoint: Optional[str] = None,
+                           max_partitions: int = 100_000):
     """The ``foreachBatch`` handler behind :func:`stream_to_manifest`,
     exposed so the replay-idempotency contract is directly testable.
     Pass either an explicit ``run_id`` (tests) or a ``checkpoint`` path —
-    with a checkpoint, the run identity is resolved LAZILY on the first
-    batch from ``<checkpoint>/metadata`` (the file exists once the query
-    has started; resolving at handler-build time would fall back to a
-    path hash, which collides when a checkpoint is wiped and recreated
-    at the same path)."""
-    from ..sources.manifest import (ValidationManifest, spec_hash,
+    REQUIRED: with neither, every incarnation would stamp run_id ""
+    and a wiped-and-recreated checkpoint's batch 0 would be mistaken
+    for the old run's batch 0 (the exact collision the run-identity
+    machinery exists to prevent).  With a checkpoint, the run identity
+    is resolved LAZILY on the first batch from ``<checkpoint>/metadata``
+    (the file exists once the query has started; resolving at
+    handler-build time would fall back to a path hash, which collides
+    when a checkpoint is wiped and recreated at the same path).
+
+    Crash-window design (the foreachBatch contract is at-least-once, so
+    every write must be idempotent under redelivery of the same
+    (run_id, batch_id)):
+
+    * violations are written per-(partition, batch) with dynamic
+      overwrite (``violations_batch``) — a replay rewrites its own
+      output dirs, never appends duplicates;
+    * prior cumulative counts are merged and the (run_id, batch_id)
+      stamp applied INSIDE the per-partition entry write
+      (``metrics_transform``) — never in a second pass, so there is no
+      window where counts exist unstamped and a replay double-applies;
+    * old entries are not pre-invalidated: the new entry is recorded
+      first, then older files removed (``replace_entries``), so a crash
+      leaves a stale extra entry (resolved by newest ``finished_at``,
+      cleaned on the partition's next touch) rather than destroying the
+      prior cumulative counts."""
+    if not run_id and not checkpoint:
+        raise ValueError(
+            "manifest_batch_handler needs run_id= or checkpoint= — "
+            "without a run identity, a manifest that outlives its "
+            "checkpoint would silently drop the new query's batch 0 "
+            "as a replay of the old one")
+    from ..sources.manifest import (ValidationManifest,
+                                    collect_partition_rows, spec_hash,
                                     validate_partitioned)
     state = {"run_id": run_id}
 
     def handle(batch_df: DataFrame, batch_id: int):
-        if batch_df.isEmpty():
-            return
         spark = batch_df.sparkSession
-        run_id = state["run_id"]
-        if not run_id and checkpoint:
-            run_id = state["run_id"] = \
+        rid = state["run_id"]
+        if not rid and checkpoint:
+            rid = state["run_id"] = \
                 run_id_for_checkpoint(checkpoint, spark)
+        # ONE batch scan serves emptiness, seen-keys, replay detection
+        # AND validate_partitioned's pruning (passed via partition_rows)
+        vrows = collect_partition_rows(batch_df, partition_col,
+                                       max_partitions)
+        if not vrows:
+            return
+        seen = {r._p for r in vrows}
         manifest = ValidationManifest(manifest_path)
         shash = spec_hash(spec)
-        seen = set(batch_partition_keys(batch_df, partition_col))
-        # capture prior cumulative metrics, then drop lineage so the
-        # batch's partitions re-validate
-        prior = {e["partition"]: e for e in manifest.entries()
-                 if e["spec_hash"] == shash and e["partition"] in seen}
+        # newest entry per partition: a crash between record and
+        # old-entry removal can leave a stale older file alongside the
+        # stamped one — finished_at picks the authoritative entry
+        prior: dict = {}
+        for e in manifest.entries():
+            if e["spec_hash"] != shash or e["partition"] not in seen:
+                continue
+            cur = prior.get(e["partition"])
+            if cur is None or e["finished_at"] >= cur["finished_at"]:
+                prior[e["partition"]] = e
         # a replayed batch: partitions already stamped with this
-        # (run_id, batch_id) pair stay complete in the manifest, so
-        # validate_partitioned neither re-scans them nor re-appends
-        # their violations.  A matching batch_id from a DIFFERENT run
-        # (fresh checkpoint, ids restarted at 0) is NOT a replay.
+        # (run_id, batch_id) pair are excluded from pending, so they are
+        # neither re-scanned nor re-counted and their violation dirs are
+        # untouched.  A matching batch_id from a DIFFERENT run (fresh
+        # checkpoint, ids restarted at 0) is NOT a replay.
         pending = {p for p in seen
                    if prior.get(p, {}).get("batch_id") != batch_id
-                   or prior.get(p, {}).get("run_id") != run_id}
+                   or prior.get(p, {}).get("run_id") != rid}
         if not pending:
             return
-        for p in pending:
-            manifest.invalidate(p)
-        out = validate_partitioned(
-            spark, batch_df, spec, partition_col, manifest_path,
-            violations_path=violations_path, row_id=row_id,
-            violations_mode="append")
-        for p, m in out["metrics"].items():
+
+        def _merge(p, m):
             old = prior.get(p)
-            manifest.invalidate(p)
-            manifest.record(p, shash, {
+            return {
                 "n_rows": m["n_rows"] + (old["n_rows"] if old else 0),
                 "n_invalid":
                     m["n_invalid"] + (old["n_invalid"] if old else 0),
@@ -235,8 +270,16 @@ def manifest_batch_handler(spec, *, partition_col: str, manifest_path: str,
                 "valid": bool(m["valid"]) and
                     (bool(old["valid"]) if old else True),
                 "batch_id": batch_id,
-                "run_id": run_id,
-            })
+                "run_id": rid,
+            }
+
+        validate_partitioned(
+            spark, batch_df, spec, partition_col, manifest_path,
+            violations_path=violations_path, row_id=row_id,
+            partition_rows=vrows, force_pending=pending,
+            metrics_transform=_merge,
+            violations_batch=f"{rid}-{batch_id}",
+            replace_entries=True)
 
     return handle
 

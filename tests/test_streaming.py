@@ -138,7 +138,8 @@ def test_manifest_batch_replay_is_idempotent(spark, tmp_path):
 
     handle = manifest_batch_handler(
         SPEC, partition_col="source", manifest_path=str(tmp_path / "m"),
-        violations_path=str(tmp_path / "v"), row_id="doc_id")
+        violations_path=str(tmp_path / "v"), row_id="doc_id",
+        run_id="test-run")
     # n_tok 80..119: rows past 100 violate `maximum`, so the violations
     # sink exists from batch 0 onward
     rows = [(f"d{i}", i + 80, ["web", "books"][i % 2])
@@ -627,3 +628,131 @@ def test_contamination_hot_hashes_gate_candidacy_not_overlap(spark):
     # hot hashes are still IN the index (full-count numerator)
     assert all(h in idx for h in hot)
     assert all(len(idx[h]) == 2 for h in hot)
+
+
+# ------------------------------------------------ r5 streaming review
+
+
+def test_manifest_handler_requires_run_identity(tmp_path):
+    # neither run_id nor checkpoint would stamp run_id "" forever —
+    # a wiped-and-recreated checkpoint's batch 0 would then look like
+    # the old run's batch 0 and be dropped as a replay
+    import pytest as _pytest
+
+    from boon_spark.streaming.validate_stream import manifest_batch_handler
+    with _pytest.raises(ValueError, match="run_id= or checkpoint="):
+        manifest_batch_handler(
+            SPEC, partition_col="source",
+            manifest_path=str(tmp_path / "m"))
+
+
+def test_manifest_handler_resolves_stale_duplicate_entry(spark, tmp_path):
+    # a crash between record-new and remove-old can leave TWO entries
+    # for a partition; the handler must treat the newest (finished_at)
+    # as authoritative — replay detection AND cumulative merge both
+    import time as _time
+
+    from boon_spark.sources.manifest import ValidationManifest, spec_hash
+    from boon_spark.streaming.validate_stream import manifest_batch_handler
+
+    m = ValidationManifest(str(tmp_path / "m"))
+    shash = spec_hash(SPEC)
+    # stale unstamped entry (old counts), then the stamped survivor
+    m.record("web", shash, {"n_rows": 10, "n_invalid": 1,
+                            "n_violations": 1, "valid": False})
+    _time.sleep(0.01)
+    m.record("web", shash, {"n_rows": 15, "n_invalid": 2,
+                            "n_violations": 2, "valid": False,
+                            "batch_id": 0, "run_id": "r"})
+    handle = manifest_batch_handler(
+        SPEC, partition_col="source", manifest_path=str(tmp_path / "m"),
+        row_id="doc_id", run_id="r")
+    b = spark.createDataFrame([("d1", 50, "web")],
+                              "doc_id string, n_tok int, source string")
+    # replay of batch 0: newest entry is stamped (r, 0) -> no-op, even
+    # though the STALE entry carries no stamp
+    handle(b, 0)
+    ents = [e for e in m.entries() if e["partition"] == "web"]
+    assert {e["n_rows"] for e in ents} == {10, 15}
+    # batch 1 merges from the NEWEST entry (15), not the stale 10, and
+    # the replace path leaves exactly one file for the partition
+    handle(b, 1)
+    ents = [e for e in m.entries() if e["partition"] == "web"]
+    assert len(ents) == 1
+    assert ents[0]["n_rows"] == 16 and ents[0]["batch_id"] == 1
+
+
+def test_collider_survives_null_event_times():
+    # one malformed row (NaT event time) must not abort the stream:
+    # engine-side a filter drops it; the collider itself also guards
+    import pandas as pd
+
+    from boon_spark.streaming.near_dup import make_collider
+
+    class FakeState:
+        exists, hasTimedOut, removed = False, False, False
+        _v, timeout_ms = None, None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    fn = make_collider(600_000, "UTC")
+    st = FakeState()
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+    out = list(fn((0, 1), iter([pd.DataFrame(
+        {"_id": ["a", "b", "c"],
+         "ts": [ts, pd.NaT, ts + pd.Timedelta(seconds=1)]})]), st))
+    # NaT row dropped; the two timestamped rows processed normally
+    assert st._v[:2] == ("a", 2)
+    assert len(out) == 1 and list(out[0]["doc_id"]) == ["c"]
+    # an all-NaT group neither crashes nor creates state
+    st2 = FakeState()
+    assert list(fn((0, 2), iter([pd.DataFrame(
+        {"_id": ["x"], "ts": [pd.NaT]})]), st2)) == []
+    assert not st2.exists
+
+
+def test_drift_dead_input_times_out_as_drifted():
+    # a silent key is flagged via the processing-time timeout (the data
+    # path always has n >= 1, so dead-input detection cannot live there)
+    from boon_spark.streaming.drift_stream import make_drift_updater
+
+    class FakeState:
+        exists, hasTimedOut = False, False
+        _v, duration = None, None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+        def setTimeoutDuration(self, d):
+            self.duration = d
+
+    ref = [0.5, 0.5, 0.0, 0.0]
+    upd = make_drift_updater(4, ref, 0.2, 1e-6, "30 minutes")
+    st = FakeState()
+    import pandas as pd
+    [first] = list(upd(("web",), iter([pd.DataFrame(
+        {"bucket": [0, 1, 1]})]), st))
+    assert st.duration == "30 minutes"  # timeout armed on the data path
+    assert first["psi"].iloc[0] is not None
+    # the key goes silent: timeout fires with no data
+    st.hasTimedOut, st.duration = True, None
+    [dead] = list(upd(("web",), iter([]), st))
+    assert bool(dead["drifted"].iloc[0]) and pd.isna(dead["psi"].iloc[0])
+    assert dead["batch_rows"].iloc[0] == 0
+    assert dead["n_total"].iloc[0] == 3  # accumulated state retained
+    assert st.duration == "30 minutes"  # re-armed: keeps flagging
