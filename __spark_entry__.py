@@ -200,15 +200,23 @@ def q_const_exclusive(spark, sf_dir):
         "r_regionkey")
 
 
-def q_format_date(spark, sf_dir):
-    """format: 'date' over a derived string column (10% corrupted
-    deterministically) — exercises the rlike+calendar format path."""
+def _corrupted_dates(spark, sf_dir):
+    """(o_orderkey, d_str): order dates as strings with every 10th key
+    deterministically corrupted — ONE derivation shared by the
+    format-assertion and format-annotation gates, whose whole point is
+    to contrast verdicts over the SAME data."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     d = F.date_format("o_orderdate", "yyyy-MM-dd")
-    derived = o.select(
+    return o.select(
         "o_orderkey",
         F.when(F.col("o_orderkey") % 10 == 0,
                F.concat(d, F.lit("x"))).otherwise(d).alias("d_str"))
+
+
+def q_format_date(spark, sf_dir):
+    """format: 'date' over a derived string column (10% corrupted
+    deterministically) — exercises the rlike+calendar format path."""
+    derived = _corrupted_dates(spark, sf_dir)
     eng = Engine.from_schema(
         {"properties": {"d_str": {"format": "date"}}}, row_id="o_orderkey",
         assert_format=True)  # explicit opt-in: format is annotation-only
@@ -221,12 +229,7 @@ def q_format_annotation_mode(spark, sf_dir):
     """format WITHOUT assertion opt-in (the boon default,
     compiler.rs:105-118): the same corrupted dates as q_format_date pass
     validation — format is an annotation, other keywords still assert."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    d = F.date_format("o_orderdate", "yyyy-MM-dd")
-    derived = o.select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % 10 == 0,
-               F.concat(d, F.lit("x"))).otherwise(d).alias("d_str"))
+    derived = _corrupted_dates(spark, sf_dir)
     eng = Engine.from_schema(
         {"properties": {"d_str": {"format": "date", "minLength": 10}},
          "required": ["d_str"]}, row_id="o_orderkey")
@@ -276,7 +279,10 @@ def q_stats_by_source(spark, sf_dir):
                         exact_distinct=True) \
         .select("source", F.col("n_rows").cast("bigint").alias("n_rows"),
                 "n_chars_min", "n_chars_max",
-                "n_chars_null_rate",
+                # rounded on BOTH sides: no raw float aggregate in
+                # compared output (CLAUDE.md oracle rule — a partial-agg
+                # summation-order difference could flip the 9th digit)
+                F.round("n_chars_null_rate", 6).alias("n_chars_null_rate"),
                 F.col("n_chars_distinct").cast("bigint")
                 .alias("n_chars_distinct"))
 
@@ -386,11 +392,11 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_token_count(spark, sf_dir):
-    """whitespace token counting."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
-        .alias("n_tokens"))
+    """whitespace token counting — the shared `_doc_lens` definition
+    (one expression for this gate and the five packing/token gates; a
+    drifted copy would desynchronize them silently)."""
+    return _doc_lens(spark, sf_dir).select(
+        "doc_id", F.col("n_tok").cast("bigint").alias("n_tokens"))
 
 
 def q_quality_counts(spark, sf_dir):
@@ -640,8 +646,10 @@ def q_chunk_tokens(spark, sf_dir):
     out = materialize_chunks(_tok_frame(spark, sf_dir, "doc_id"), 128)
     return out.select(
         "chunk_id",
-        F.md5(F.array_join(F.transform(F.col("tokens"),
-                                       lambda t: t.cast("string")), ","))
+        # array cast, not F.transform: a HOF would knock the md5
+        # projection out of whole-stage codegen (CLAUDE.md); casting
+        # array<int> -> array<string> renders identically
+        F.md5(F.array_join(F.col("tokens").cast("array<string>"), ","))
         .alias("tokens_md5"),
         "n_tok", "n_docs")
 
@@ -682,8 +690,11 @@ def q_minhash_pairs(spark, sf_dir):
     DuckDB oracle; the driver documents corpus contains ~26 genuine
     near-dup pairs at jaccard >= 0.9)."""
     from boon_spark.operators.dedup import minhash_lsh_pairs
+    # max_bucket passed EXPLICITLY: the oracle's 'BETWEEN 2 AND 64'
+    # must track this value, not a retunable operator default
     return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, bands=8,
-                             jaccard_threshold=0.5, hash_family="md5") \
+                             jaccard_threshold=0.5, hash_family="md5",
+                             max_bucket=64) \
         .select("id_a", "id_b")
 
 
@@ -720,9 +731,12 @@ def q_contamination(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("source").isin("src0", "src1"))
     corpus = docs.filter(~F.col("source").isin("src0", "src1"))
+    # max_df passed EXPLICITLY: the oracle's 'HAVING count(*) > 10000'
+    # must track this value, not a retunable operator default
     return cross_table_contamination(
         corpus, bench, threshold=0.5, metric="containment",
-        hash_family="md5").select("corpus_id", "benchmark_id")
+        hash_family="md5", max_df=10_000) \
+        .select("corpus_id", "benchmark_id")
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -942,7 +956,10 @@ def _cleaning_oracles() -> dict[str, str]:
         c4_clean_oracle_sql, remove_boilerplate_oracle_sql,
         vocab_topk_oracle_sql)
     nl = "chr(10)"
-    c4_text = f"(text || {nl} || '" + _C4_SUFFIX.replace("\n", f"' || {nl} || '") + "')"
+    # single quotes escaped: a suffix line like "isn't enabled" must
+    # become a valid SQL literal, not a parse error
+    _sfx = _C4_SUFFIX.replace("'", "''")
+    c4_text = f"(text || {nl} || '" + _sfx.replace("\n", f"' || {nl} || '") + "')"
     extra = ("concat('Subscribe to our newsletter issue ', "
              "CAST(doc_id % 3 AS VARCHAR))")
     return {
@@ -1108,9 +1125,14 @@ def oracle_sql() -> dict[str, str]:
             FROM region WHERE r_regionkey >= 4
         """,
         "format_date": """
+            -- NULL arm spelled out (CLAUDE.md oracle rule): a NULL
+            -- o_orderdate yields d_str NULL, which format PASSES
+            -- (absence convention) — no violation row.  TPC-H dates are
+            -- non-null, so this is belt-and-braces, not a behavior change
             SELECT '/' || CAST(o_orderkey AS VARCHAR) || '/d_str' AS instance_location,
                    '/properties/d_str/format' AS keyword_location
-            FROM orders WHERE o_orderkey % 10 = 0
+            FROM orders
+            WHERE o_orderkey % 10 = 0 AND o_orderdate IS NOT NULL
         """,
         "format_annotation_mode": """
             -- annotation-only format never fails; minLength 10 holds for
@@ -1165,6 +1187,14 @@ def oracle_sql() -> dict[str, str]:
                    '/properties/child/$ref/properties/v/maximum'
             FROM documents WHERE n_chars - 300 > 200
         """,
+        # Modeled domain (r5 review): this oracle covers exactly the
+        # shapes the driver's events generator emits — props is NULL,
+        # invalid JSON, or an object whose k is an INTEGER or absent.
+        # It does NOT model non-integer / string / JSON-null k (the
+        # engine's contentSchema would raise type/required violations
+        # where the DOUBLE-range CASE passes); if the fixture generator
+        # ever emits those shapes, extend the CASE with json_type()
+        # arms to mirror the engine's from_json coercion semantics.
         "content_json_events": """
             WITH checks AS (
               SELECT CASE
@@ -1200,7 +1230,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    min(n_chars) AS n_chars_min,
                    max(n_chars) AS n_chars_max,
-                   avg(CASE WHEN n_chars IS NULL THEN 1.0 ELSE 0.0 END)
+                   round(avg(CASE WHEN n_chars IS NULL
+                                  THEN 1.0 ELSE 0.0 END), 6)
                      AS n_chars_null_rate,
                    CAST(count(DISTINCT n_chars) AS BIGINT) AS n_chars_distinct
             FROM documents GROUP BY source
@@ -1218,14 +1249,16 @@ def oracle_sql() -> dict[str, str]:
                           ELSE CAST(floor(n_chars / 600.0 * 24) AS BIGINT) + 1
                      END AS bucket,
                      count(*) AS a
-              FROM documents WHERE lang = 'en' GROUP BY 1),
+              FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+              GROUP BY 1),
             hb AS (
               SELECT CASE WHEN n_chars < 0 THEN 0
                           WHEN n_chars >= 600 THEN 25
                           ELSE CAST(floor(n_chars / 600.0 * 24) AS BIGINT) + 1
                      END AS bucket,
                      count(*) AS b
-              FROM documents WHERE lang = 'de' GROUP BY 1),
+              FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL
+              GROUP BY 1),
             merged AS (
               SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
                      COALESCE(a, 0) AS a, COALESCE(b, 0) AS b

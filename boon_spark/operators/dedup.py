@@ -512,13 +512,20 @@ def simhash64(text: Column, shingle_n: int = 3) -> Column:
     @pandas_udf("long")
     def _simhash(batch: pd.Series) -> pd.Series:
         import hashlib
+        import re
 
         import numpy as np
 
         def fp(s):
             if s is None:
                 return None
-            words = " ".join(s.lower().split()).split(" ")
+            # the SHARED normalization (normalized_text semantics):
+            # space-only strip + ASCII \s collapse — Python's bare
+            # .split() strips Unicode whitespace (\xa0, \x85) and
+            # leading tabs differently from the JVM/oracle definition
+            # every other text operator uses (r5 review)
+            words = re.sub(r"\s+", " ", s.strip(" "),
+                           flags=re.ASCII).lower().split(" ")
             if not words:
                 return 0
             n = max(len(words) - shingle_n + 1, 1)
