@@ -698,6 +698,44 @@ def q_minhash_pairs(spark, sf_dir):
         .select("id_a", "id_b")
 
 
+def _dedup_cluster_labels(spark, sf_dir):
+    """(node, component) labels: connected components over the SAME
+    minhash pair set as q_minhash_pairs — one parameterization so the
+    cluster gates and the pair gate describe one pipeline."""
+    from boon_spark.operators.clusters import connected_components
+    from boon_spark.operators.dedup import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, bands=8,
+                              jaccard_threshold=0.5, hash_family="md5",
+                              max_bucket=64)
+    return connected_components(pairs)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster labels: alternating large-star/small-star
+    connected components over the minhash pair graph; cluster_id = min
+    doc_id of the component (oracle: recursive min-label CTE)."""
+    return _dedup_cluster_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"))
+
+
+def q_dedup_keep(spark, sf_dir):
+    """One canonical survivor per near-dup cluster: highest n_chars,
+    ties to the smallest doc_id (total order — oracle-comparable)."""
+    from boon_spark.operators.clusters import keep_canonical
+    return keep_canonical(_docs(spark, sf_dir),
+                          _dedup_cluster_labels(spark, sf_dir),
+                          quality_col="n_chars")
+
+
+def q_cluster_stats(spark, sf_dir):
+    """Cluster-size histogram — the audit companion for cluster
+    resolution (how much of the corpus is duplicated, in what blob
+    sizes)."""
+    from boon_spark.operators.clusters import cluster_size_stats
+    return cluster_size_stats(_dedup_cluster_labels(spark, sf_dir))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """exact word-3-gram Jaccard pairs within (source, lang) blocks."""
     from boon_spark.operators.dedup import ngram_jaccard_pairs
@@ -858,6 +896,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_head": q_minhash_head,
     "simhash_docs": q_simhash_docs,
     "minhash_pairs": q_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_keep": q_dedup_keep,
+    "cluster_stats": q_cluster_stats,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dups": q_embedding_near_dups,
     "lsh_topk": q_lsh_topk,
@@ -949,6 +990,111 @@ def _repetition_oracles() -> dict[str, str]:
         gopher_flags_oracle_sql, repetition_metrics_oracle_sql)
     return {"repetition_metrics": repetition_metrics_oracle_sql(),
             "gopher_flags": gopher_flags_oracle_sql()}
+
+
+# the full shingle→minhash→band→bucket→Jaccard pipeline as CTEs, shared
+# by the minhash_pairs gate and the three cluster-resolution gates built
+# on its pair graph — ONE text, so the four oracles cannot band or
+# verify differently
+_MINHASH_PAIR_CTES = """
+            norm AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS words
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(words) - 3, 0) + 2),
+                       i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS shingles
+              FROM norm
+              WHERE len(list_distinct(list_transform(
+                       range(1, greatest(len(words) - 3, 0) + 2),
+                       i -> array_to_string(list_slice(words, i, i + 2), ' ')))) > 0),
+            sig AS (
+              SELECT doc_id, shingles,
+                     list_transform(range(0, 16),
+                       hh -> list_min(list_transform(shingles,
+                         s -> CAST(concat('0x', substr(md5(concat(s, '#', hh)), 1, 15)) AS BIGINT)))) AS sg
+              FROM sh),
+            banded AS (
+              SELECT doc_id, shingles, b,
+                     CAST(concat('0x', substr(md5(
+                       CAST(sg[2*b + 1] AS VARCHAR) || ',' || CAST(sg[2*b + 2] AS VARCHAR)
+                     ), 1, 15)) AS BIGINT) AS key
+              FROM sig, range(0, 8) t(b)),
+            buckets AS (
+              SELECT b, key FROM banded GROUP BY b, key
+              HAVING count(*) BETWEEN 2 AND 64),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                     x.shingles AS sa, y.shingles AS sb
+              FROM banded x
+              JOIN buckets u ON x.b = u.b AND x.key = u.key
+              JOIN banded y ON y.b = u.b AND y.key = u.key
+                           AND x.doc_id < y.doc_id),
+            mh_pairs AS (
+              SELECT DISTINCT id_a, id_b FROM cand
+              WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                    / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.5)"""
+
+# connected components over the pair graph as a recursive min-label
+# walk: every (node, reachable-node) pair is enumerated (UNION dedups,
+# so the recursion terminates), then min over the reachable set = the
+# component minimum — exactly connected_components' label contract.
+# Tractable in the oracle because near-dup components are tiny; the
+# engine side uses the O(log n) alternating-star algorithm instead.
+_CLUSTER_CTES = _MINHASH_PAIR_CTES + """,
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM mh_pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM mh_pairs),
+            walk(node, lbl) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.node),
+            labels AS (
+              SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)"""
+
+
+def _cluster_oracles() -> dict[str, str]:
+    """minhash_pairs + the three cluster-resolution gates, all built on
+    the one shared pair-pipeline CTE text."""
+    return {
+        "minhash_pairs": f"""
+            WITH {_MINHASH_PAIR_CTES}
+            SELECT id_a, id_b FROM mh_pairs
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_CLUSTER_CTES}
+            SELECT node AS doc_id, cluster_id FROM labels
+        """,
+        "dedup_keep": f"""
+            WITH RECURSIVE {_CLUSTER_CTES},
+            mem AS (
+              SELECT l.cluster_id, l.node AS did, d.n_chars
+              FROM labels l JOIN documents d ON d.doc_id = l.node),
+            ranked AS (
+              SELECT cluster_id, did,
+                     row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY (n_chars IS NOT NULL) DESC,
+                                n_chars DESC, did ASC) AS rn,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_members
+              FROM mem)
+            SELECT cluster_id, did AS keep_id,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM ranked WHERE rn = 1 AND n_members >= 2
+        """,
+        "cluster_stats": f"""
+            WITH RECURSIVE {_CLUSTER_CTES},
+            sizes AS (
+              SELECT cluster_id, count(*) AS cluster_size
+              FROM labels GROUP BY cluster_id)
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sizes GROUP BY cluster_size
+        """,
+    }
 
 
 def _cleaning_oracles() -> dict[str, str]:
@@ -1394,46 +1540,7 @@ def oracle_sql() -> dict[str, str]:
                    )) AS sig0
             FROM sh
         """,
-        "minhash_pairs": """
-            WITH norm AS (
-              SELECT doc_id,
-                     string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS words
-              FROM documents),
-            sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       range(1, greatest(len(words) - 3, 0) + 2),
-                       i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS shingles
-              FROM norm
-              WHERE len(list_distinct(list_transform(
-                       range(1, greatest(len(words) - 3, 0) + 2),
-                       i -> array_to_string(list_slice(words, i, i + 2), ' ')))) > 0),
-            sig AS (
-              SELECT doc_id, shingles,
-                     list_transform(range(0, 16),
-                       hh -> list_min(list_transform(shingles,
-                         s -> CAST(concat('0x', substr(md5(concat(s, '#', hh)), 1, 15)) AS BIGINT)))) AS sg
-              FROM sh),
-            banded AS (
-              SELECT doc_id, shingles, b,
-                     CAST(concat('0x', substr(md5(
-                       CAST(sg[2*b + 1] AS VARCHAR) || ',' || CAST(sg[2*b + 2] AS VARCHAR)
-                     ), 1, 15)) AS BIGINT) AS key
-              FROM sig, range(0, 8) t(b)),
-            buckets AS (
-              SELECT b, key FROM banded GROUP BY b, key
-              HAVING count(*) BETWEEN 2 AND 64),
-            cand AS (
-              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-                     x.shingles AS sa, y.shingles AS sb
-              FROM banded x
-              JOIN buckets u ON x.b = u.b AND x.key = u.key
-              JOIN banded y ON y.b = u.b AND y.key = u.key
-                           AND x.doc_id < y.doc_id)
-            SELECT DISTINCT id_a, id_b FROM cand
-            WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-                  / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.5
-        """,
+        **_cluster_oracles(),
         "ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id, source || '|' || lang AS blk,

@@ -203,7 +203,8 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float],
              "token_count", "quality_counts", "fingerprint",
              "embedding_topk", "lang_id_counts", "minhash_head",
              "minhash_head_fast", "drift_nchars", "content_json_events",
-             "contamination", "lsh_topk", "repetition_metrics",
+             "contamination", "dedup_clusters", "lsh_topk",
+             "repetition_metrics",
              "c4_clean", "seq_pack", "pii_mask", "boilerplate",
              "hash_sample", "token_kgram", "chunk_tokens"]
     out: dict[str, float] = {}
