@@ -822,6 +822,36 @@ def q_lsh_q_stats(spark, sf_dir):
     return lsh_quantized_bucket_stats(emb, dim=64, max_bucket=1024)
 
 
+def _search_queries(spark, sf_dir):
+    """Deterministic query set for the lexical-search gates: every 23rd
+    document's first 5 normalized tokens (derived from the corpus itself
+    — the oracle synthesizes the identical set in SQL)."""
+    from boon_spark.operators.search import doc_tokens
+    return (_docs(spark, sf_dir).filter(F.col("doc_id") % 23 == 5)
+            .select(F.col("doc_id").alias("query_id"),
+                    F.array_join(F.slice(doc_tokens(F.col("text")), 1, 5),
+                                 " ").alias("query_text")))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Lexical (BM25) top-5 per query, integer-quantized scoring —
+    bit-identical in DuckDB (float BM25's ln() terms can differ in the
+    last ulp between engines and flip ranks; see operators/search.py).
+    Scale shape: row-local posting explode gated by a BROADCAST join on
+    the query-term set — only matching postings shuffle."""
+    from boon_spark.operators.search import bm25_topk
+    return bm25_topk(_docs(spark, sf_dir), _search_queries(spark, sf_dir),
+                     k=5)
+
+
+def q_bm25_df_stats(spark, sf_dir):
+    """Audit companion for bm25_topk: per-term document frequency and
+    quantized idf over the same matched-posting frame the score uses."""
+    from boon_spark.operators.search import bm25_df_stats
+    return bm25_df_stats(_docs(spark, sf_dir),
+                         _search_queries(spark, sf_dir))
+
+
 def q_multimodal_decode(spark, sf_dir):
     """multimodal decode plumbing end-to-end: documents.text encoded to a
     binary payload column, decoded via mapInPandas with the deterministic
@@ -902,6 +932,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dups": q_embedding_near_dups,
     "lsh_topk": q_lsh_topk,
+    "bm25_topk": q_bm25_topk,
+    "bm25_df_stats": q_bm25_df_stats,
     "lsh_q_stats": q_lsh_q_stats,
     "ivf_topk": q_ivf_topk,
     "contamination": q_contamination,
@@ -1094,6 +1126,26 @@ def _cluster_oracles() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_clusters
             FROM sizes GROUP BY cluster_size
         """,
+    }
+
+
+#: the _search_queries synthesis in DuckDB (list_slice is 1-based
+#: INCLUSIVE, so [1:5] = the first 5 tokens, matching Spark slice(_,1,5))
+_SEARCH_QUERIES_SQL = """SELECT doc_id AS query_id,
+           array_to_string(list_slice(
+             string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '),
+             1, 5), ' ') AS query_text
+       FROM documents WHERE doc_id % 23 = 5"""
+
+
+def _bm25_oracles() -> dict[str, str]:
+    from boon_spark.operators.search import (bm25_df_stats_oracle_sql,
+                                             bm25_topk_oracle_sql)
+    return {
+        "bm25_topk": bm25_topk_oracle_sql(
+            queries_sql=_SEARCH_QUERIES_SQL, k=5),
+        "bm25_df_stats": bm25_df_stats_oracle_sql(
+            queries_sql=_SEARCH_QUERIES_SQL),
     }
 
 
@@ -1595,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
             dim=64, threshold_num=2, threshold_den=5, bits=4, seed=42),
         "lsh_topk": _lsh_topk_oracle(),
         "lsh_q_stats": _lsh_q_stats_oracle(),
+        **_bm25_oracles(),
         # ivf_topk runs full-probe (n_probe == n_centroids, no cell cap):
         # the cell partition is exhaustive, so the result equals the exact
         # cosine top-k — the completeness property pinned in
