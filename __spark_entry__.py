@@ -487,6 +487,34 @@ def q_split_counts(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"))
 
 
+#: mixing-gate target shares: four real sources plus one absent from
+#: the corpus (exercises the missing-target arm); binding source keeps
+#: everything, the rest downsample toward the mixture
+_MIX_TARGETS = {"src0": 3.0, "src3": 2.0, "src7": 4.0, "src11": 1.0,
+                "src_absent": 2.0}
+
+
+def q_mix_stats(spark, sf_dir):
+    """Source-weighted token-budget mixing (domain reweighting):
+    per-source deterministic hash rates hitting a target token mixture,
+    audited as integral ppm.  Scale shape: one tiny per-source agg,
+    rates broadcast back, row-local hash filter — the corpus never
+    shuffles.  Bit-parity: shares normalized in Python and rendered via
+    repr into both engines; every float step same-op same-order."""
+    from boon_spark.operators.mixing import mix_stats
+    from boon_spark.operators.search import doc_len
+    return mix_stats(_docs(spark, sf_dir), _MIX_TARGETS,
+                     weight=doc_len(F.col("text")))
+
+
+def q_token_windows(spark, sf_dir):
+    """Sliding context windows (W=32, stride=24) over md5-synthetic
+    token arrays: byte-exact window CONTENT via md5 of the comma-joined
+    tokens — pure row-local generate, no shuffle."""
+    from boon_spark.operators.tokens import token_windows
+    return token_windows(_tok_frame(spark, sf_dir, "doc_id"), 32, 24)
+
+
 def q_pii_mask(spark, sf_dir):
     """PII masking parity: deterministic PII (email/IP/SSN/CC/phone)
     synthesized from table columns is appended to each document, then
@@ -940,6 +968,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_metrics": q_repetition_metrics,
     "gopher_flags": q_gopher_flags,
     "hash_sample": q_hash_sample,
+    "mix_stats": q_mix_stats,
+    "token_windows": q_token_windows,
     "split_counts": q_split_counts,
     "pii_mask": q_pii_mask,
     "c4_clean": q_c4_clean,
@@ -983,6 +1013,12 @@ def _lsh_topk_oracle() -> str:
                                          query_pred="vid < 5")
 
 
+def _mix_stats_oracle() -> str:
+    from boon_spark.operators.mixing import mix_stats_oracle_sql
+    from boon_spark.operators.search import _dl_sql
+    return mix_stats_oracle_sql(_MIX_TARGETS, weight_sql=_dl_sql("text"))
+
+
 def _sampling_oracles() -> dict[str, str]:
     from boon_spark.operators.sampling import (hash_sample_oracle_where,
                                                split_assign_oracle_case)
@@ -993,6 +1029,7 @@ def _sampling_oracles() -> dict[str, str]:
         weights={"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
     return {
         "hash_sample": f"SELECT doc_id FROM documents WHERE {where}",
+        "mix_stats": _mix_stats_oracle(),
         "split_counts": f"""
             SELECT split, source, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT {case} AS split, source FROM documents)
@@ -1184,13 +1221,14 @@ def _tokens_oracles() -> dict[str, str]:
     from boon_spark.operators.packing import materialize_chunks_oracle_sql
     from boon_spark.operators.tokens import (
         oov_stats_oracle_sql, token_kgram_candidates_oracle_sql,
-        token_topk_oracle_sql)
+        token_topk_oracle_sql, token_windows_oracle_sql)
     return {
         "token_topk": token_topk_oracle_sql(20),
         "oov_stats": oov_stats_oracle_sql(900),
         "token_kgram": token_kgram_candidates_oracle_sql(
             5, min_shared=5, gen_sql=_KGRAM_GEN_SQL, max_bucket=40),
         "chunk_tokens": materialize_chunks_oracle_sql(128),
+        "token_windows": token_windows_oracle_sql(32, 24),
     }
 
 

@@ -204,7 +204,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float],
              "embedding_topk", "lang_id_counts", "minhash_head",
              "minhash_head_fast", "drift_nchars", "content_json_events",
              "contamination", "dedup_clusters", "lsh_topk",
-             "repetition_metrics",
+             "bm25_topk", "token_windows", "repetition_metrics",
              "c4_clean", "seq_pack", "pii_mask", "boilerplate",
              "hash_sample", "token_kgram", "chunk_tokens"]
     out: dict[str, float] = {}
@@ -484,8 +484,11 @@ def headline(rec: dict) -> dict:
     full record grew past that and the round's artifact came back
     ``parsed: null``.  The full record now goes to BENCH/last_run.json
     and THIS dict — headline numbers only, no per-pass detail — is the
-    single JSON line printed last."""
-    return {
+    single JSON line printed last.  Shedding is part of THIS function
+    (not the __main__ glue) so the size contract is what the transport
+    test pins: prose sheds first, then the per-query spin element
+    (sec + cal always survive; the full record keeps everything)."""
+    hl = {
         "metric": "headline suite sec (q: name -> [sec, sec_cal, "
                   "spin_mops]; cal = steal-calibrated, spin = bracket "
                   "Mops; full record in BENCH/last_run.json)",
@@ -507,6 +510,12 @@ def headline(rec: dict) -> dict:
         "cpus": rec["cpus"],
         "detail": "BENCH/last_run.json",
     }
+    if len(json.dumps(hl)) >= 1900:
+        hl["metric"] = "headline suite wall time"  # shed prose first
+    if len(json.dumps(hl)) >= 1900:
+        # drop the per-query spin element, keep sec + cal
+        hl["q"] = {n: v[:2] for n, v in hl["q"].items()}
+    return hl
 
 
 if __name__ == "__main__":
@@ -519,14 +528,4 @@ if __name__ == "__main__":
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(os.path.join(REPO, "BENCH", "last_run.json"), "w") as f:
             json.dump(rec, f, indent=1)
-        hl = headline(rec)
-        line = json.dumps(hl)
-        if len(line) >= 1900:  # never crash the bench over the summary;
-            hl["metric"] = "headline suite wall time"  # shed prose first
-            line = json.dumps(hl)
-        if len(line) >= 1900:
-            # last resort: drop the per-query spin element (keep
-            # sec + cal) — the full record keeps everything
-            hl["q"] = {n: v[:2] for n, v in hl["q"].items()}
-            line = json.dumps(hl)
-        print(line)
+        print(json.dumps(headline(rec)))

@@ -48,9 +48,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _hash_shingle
+from .packing import _div
 
 __all__ = ["synthetic_tokens", "token_topk", "oov_stats",
-           "token_kgram_candidates", "token_kgram_stats"]
+           "token_kgram_candidates", "token_kgram_stats",
+           "token_windows"]
 
 #: salts separating the token-family md5 hashes from every other family
 TOKEN_SALT = 11213
@@ -156,6 +158,48 @@ def token_kgram_stats(df: DataFrame, k: int, *,
                          .otherwise(0)), F.lit(0)).cast("bigint")
         .alias("n_hot"),
         F.coalesce(F.max("df"), F.lit(0)).cast("bigint").alias("max_df"))
+
+
+def token_windows(df: DataFrame, window: int, stride: int, *,
+                  tokens_col: str = "tokens",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Sliding context windows WITHIN each document: ``(doc_id, win_id,
+    start_tok, n_tok, win_md5)`` — windows start at 0, ``stride``,
+    2·stride, … while the start is inside the document, each taking the
+    next ``window`` tokens (the tail windows are shorter; no padding).
+
+    The per-context-window complement of :mod:`.packing` (which
+    concatenates documents into fixed chunks): overlap lets a trainer
+    keep long-document continuity, and the op is the standard long-doc →
+    context-window expansion.  ``win_md5`` is the md5 of the
+    comma-joined tokens — byte-exact window CONTENT, not just counts.
+
+    Scale shape: pure row-local generate (``sequence`` + ``slice`` +
+    array-cast join — no HOF, no shuffle, no state); output rows ≈
+    total_tokens / stride.  ``n_win = ceil(n/stride)`` is exact integer
+    arithmetic; NULL/empty token arrays produce no windows.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window and stride must be >= 1, got "
+                         f"window={window}, stride={stride}")
+    n = F.coalesce(F.size(F.col(tokens_col)), F.lit(0)).cast("long")
+    n_win = _div(n + (stride - 1), stride)
+    wins = df.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_t"),
+        F.explode(F.when(n_win > 0,
+                         F.sequence(F.lit(0).cast("long"), n_win - 1))
+                  .otherwise(F.array().cast("array<bigint>")))
+        .alias("win_id"))
+    start = F.col("win_id") * stride
+    piece = F.slice(F.col("_t"), (start + 1).cast("int"), window)
+    return wins.select(
+        "doc_id", F.col("win_id").cast("bigint").alias("win_id"),
+        start.cast("bigint").alias("start_tok"),
+        F.size(piece).cast("bigint").alias("n_tok"),
+        # array cast, not F.transform: a HOF would knock the md5
+        # projection out of whole-stage codegen (CLAUDE.md)
+        F.md5(F.array_join(piece.cast("array<string>"), ","))
+        .alias("win_md5"))
 
 
 def token_kgram_candidates(df: DataFrame, k: int, *,
@@ -333,4 +377,32 @@ def token_kgram_candidates_oracle_sql(k: int, *, min_shared: int,
         FROM pairs
         JOIN sizes na ON na.id = pairs.id_a
         JOIN sizes nb ON nb.id = pairs.id_b
+    """
+
+
+def token_windows_oracle_sql(window: int, stride: int, *,
+                             gen_sql: str = "doc_id",
+                             vocab: int = 997) -> str:
+    """Bit-exact reproduction of :func:`token_windows` over the
+    synthetic token frame (``list_slice`` is 1-based INCLUSIVE, so
+    ``[start+1 : start+window]`` is exactly the ``window``-element
+    slice)."""
+    s, w = stride, window
+    lo = f"CAST(win_id * {s} + 1 AS BIGINT)"
+    hi = f"CAST(win_id * {s} + {w} AS BIGINT)"
+    return f"""
+        WITH t AS ({_synth_cte(gen_sql, vocab)}
+        ), wins AS (
+          SELECT doc_id, toks,
+                 unnest(range(0,
+                   (CAST(len(toks) AS BIGINT) + {s - 1}) // {s}))
+                   AS win_id
+          FROM tok
+        )
+        SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+               CAST(win_id * {s} AS BIGINT) AS start_tok,
+               CAST(len(list_slice(toks, {lo}, {hi})) AS BIGINT) AS n_tok,
+               md5(array_to_string(list_slice(toks, {lo}, {hi}), ','))
+                 AS win_md5
+        FROM wins
     """

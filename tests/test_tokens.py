@@ -113,3 +113,33 @@ def test_kgram_guards(spark):
     with pytest.raises(ValueError, match="max_hot"):
         token_kgram_candidates(_tok_df(spark, rows), 2, max_bucket=1,
                                max_hot=0)
+
+
+def test_token_windows_python_reference(spark):
+    from boon_spark.operators.tokens import token_windows
+    import hashlib
+    df = spark.createDataFrame(
+        [("a", list(range(10))), ("b", [7]), ("c", []), ("d", None)],
+        "doc_id string, tokens array<int>")
+    got = {(r.doc_id, r.win_id): (r.start_tok, r.n_tok, r.win_md5)
+           for r in token_windows(df, 4, 3).collect()}
+    want = {}
+    for doc, toks in [("a", list(range(10))), ("b", [7])]:
+        for w, start in enumerate(range(0, len(toks), 3)):
+            piece = toks[start:start + 4]
+            want[(doc, w)] = (start, len(piece), hashlib.md5(
+                ",".join(map(str, piece)).encode()).hexdigest())
+    assert got == want
+    # doc "a": ceil(10/3) = 4 windows, tail is 1 token
+    assert got[("a", 3)][1] == 1
+    # empty / NULL arrays produce no windows
+    assert not any(d in ("c", "d") for d, _ in got)
+
+
+def test_token_windows_validation(spark):
+    from boon_spark.operators.tokens import token_windows
+    df = spark.createDataFrame([("a", [1])], "doc_id string, tokens array<int>")
+    with pytest.raises(ValueError, match="window and stride"):
+        token_windows(df, 0, 3)
+    with pytest.raises(ValueError, match="window and stride"):
+        token_windows(df, 4, 0)
