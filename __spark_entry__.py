@@ -507,6 +507,23 @@ def q_mix_stats(spark, sf_dir):
                      weight=doc_len(F.col("text")))
 
 
+#: curation-pipeline gate thresholds: synthetic text contains no
+#: English stopwords and averages ~54 words, so the two binding Gopher
+#: defaults are relaxed to keep the gate non-degenerate (158 docs
+#: through the full chain at sf0.01)
+_CURATE_TH = {"min_stopword_hits": 0, "min_words": 40}
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """END-TO-END composition gate: quality filter (reduced Gopher
+    rules) → exact dedup (min-id keeper per content md5) → deterministic
+    hash sample → train/val/test split → per-(split, source) stats —
+    four stages chained, ONE assembled oracle; a cross-engine drift in
+    any stage surfaces here even if its isolated gate still passes."""
+    from boon_spark.operators.pipeline import curation_stats
+    return curation_stats(_docs(spark, sf_dir), thresholds=_CURATE_TH)
+
+
 def q_token_windows(spark, sf_dir):
     """Sliding context windows (W=32, stride=24) over md5-synthetic
     token arrays: byte-exact window CONTENT via md5 of the comma-joined
@@ -969,6 +986,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_flags": q_gopher_flags,
     "hash_sample": q_hash_sample,
     "mix_stats": q_mix_stats,
+    "curation_pipeline": q_curation_pipeline,
     "token_windows": q_token_windows,
     "split_counts": q_split_counts,
     "pii_mask": q_pii_mask,
@@ -1013,6 +1031,11 @@ def _lsh_topk_oracle() -> str:
                                          query_pred="vid < 5")
 
 
+def _curation_pipeline_oracle() -> str:
+    from boon_spark.operators.pipeline import curation_stats_oracle_sql
+    return curation_stats_oracle_sql(thresholds=_CURATE_TH)
+
+
 def _mix_stats_oracle() -> str:
     from boon_spark.operators.mixing import mix_stats_oracle_sql
     from boon_spark.operators.search import _dl_sql
@@ -1030,6 +1053,7 @@ def _sampling_oracles() -> dict[str, str]:
     return {
         "hash_sample": f"SELECT doc_id FROM documents WHERE {where}",
         "mix_stats": _mix_stats_oracle(),
+        "curation_pipeline": _curation_pipeline_oracle(),
         "split_counts": f"""
             SELECT split, source, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT {case} AS split, source FROM documents)

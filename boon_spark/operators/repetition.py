@@ -180,12 +180,16 @@ def _metric_fields(top_ns, dup_ns) -> list[StructField]:
 def repetition_metrics(df: DataFrame, *, text_col: str = "text",
                        id_col: str = "doc_id",
                        top_ns: tuple = DEFAULT_TOP_NS,
-                       dup_ns: tuple = DEFAULT_DUP_NS) -> DataFrame:
-    """Per-document repetition/quality metrics: ``(id_col, <metrics>)``.
+                       dup_ns: tuple = DEFAULT_DUP_NS,
+                       keep_cols: tuple = ()) -> DataFrame:
+    """Per-document repetition/quality metrics: ``(id_col, <keep_cols>,
+    <metrics>)``.
 
     One Arrow-batched projection — no shuffle, no driver round-trip; at
     100 TB this is a pure map over the corpus scan, and the metric
-    columns prune to exactly what downstream selects.
+    columns prune to exactly what downstream selects.  ``keep_cols``
+    pass through unchanged — the downstream-filter alternative (join the
+    metric frame back on the id) would shuffle the whole corpus.
     """
     fields = _metric_fields(top_ns, dup_ns)
     schema = StructType(fields)
@@ -201,9 +205,9 @@ def repetition_metrics(df: DataFrame, *, text_col: str = "text",
         return pd.DataFrame(rows, columns=names, dtype=object)
 
     t = F.col(text_col)
-    return (df.select(F.col(id_col),
+    return (df.select(F.col(id_col), *[F.col(c) for c in keep_cols],
                       _metrics(t, normalized_text(t)).alias("_m"))
-            .select(id_col, "_m.*"))
+            .select(id_col, *keep_cols, "_m.*"))
 
 
 def gopher_quality_flags(df: DataFrame, *, text_col: str = "text",
