@@ -98,10 +98,35 @@ def token_budget_sample(df: DataFrame, targets: dict, *,
     rates = source_token_rates(df, targets, strata_col=strata_col,
                                weight=weight)
     u = sample_uniform(F.col(key_col), seed=seed)
+    # internal alias: a user column named "rate" must survive untouched
     return (df.join(F.broadcast(rates.select(
-        F.col("source").alias(strata_col), "rate")), strata_col)
-        .filter(u < F.col("rate"))
-        .drop("rate"))
+        F.col("source").alias(strata_col),
+        F.col("rate").alias("_mix_rate"))), strata_col)
+        .filter(u < F.col("_mix_rate"))
+        .drop("_mix_rate"))
+
+
+def apply_token_budget(df: DataFrame, rates: dict, *,
+                       strata_col: str = "source",
+                       key_col: str = "doc_id",
+                       seed: int = MIX_SEED) -> DataFrame:
+    """Stateless application of PRECOMPUTED per-source rates (source →
+    rate, e.g. ``source_token_rates(...)`` collected off a batch
+    snapshot): a pure row-local filter, so it works unchanged on a
+    STREAMING frame — the standard fit-on-batch / apply-on-stream
+    pattern for keeping a live ingest on the target mixture.  Sources
+    missing from ``rates`` are dropped (rate 0), matching
+    :func:`token_budget_sample`'s treatment of untargeted sources."""
+    bad = {s: r for s, r in rates.items()
+           if not 0.0 <= float(r) <= 1.0}
+    if bad:
+        raise ValueError(f"rates must be in [0, 1], got {bad}")
+    thr = F.lit(None).cast("double")
+    for s, r in rates.items():
+        thr = F.when(F.col(strata_col) == F.lit(s),
+                     F.lit(float(r))).otherwise(thr)
+    u = sample_uniform(F.col(key_col), seed=seed)
+    return df.filter(u < thr)
 
 
 def mix_stats(df: DataFrame, targets: dict, *,

@@ -110,3 +110,41 @@ def test_seed_isolates_from_other_sampling_families(spark):
                   token_budget_sample(df, TARGETS, weight=_weight(),
                                       seed=MIX_SEED + 1).collect()}
     assert kept_default != kept_other
+
+
+def test_apply_token_budget_on_stream_matches_batch(spark, tmp_path):
+    # fit-on-batch / apply-on-stream: the rate filter is row-local, so
+    # streaming membership equals batch membership exactly
+    from boon_spark.operators.mixing import (apply_token_budget,
+                                             source_token_rates)
+    df = _df(spark)
+    p = str(tmp_path / "mix_stream")
+    df.filter(F.col("doc_id") < 100).coalesce(1).write.parquet(p + "/a")
+    df.filter(F.col("doc_id") >= 100).coalesce(1).write.parquet(p + "/b")
+    rates = {r.source: r.rate for r in
+             source_token_rates(df, TARGETS, weight=_weight()).collect()}
+    batch = {r.doc_id for r in
+             token_budget_sample(df, TARGETS, weight=_weight()).collect()}
+    stream = (spark.readStream.schema("doc_id long, source string, n_tok long")
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(p))
+    out = apply_token_budget(stream, rates)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("t_mix")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("select doc_id from t_mix").collect()}
+    assert got == batch and got
+
+
+def test_apply_token_budget_validates_rates(spark):
+    from boon_spark.operators.mixing import apply_token_budget
+    with pytest.raises(ValueError, match="rates must be"):
+        apply_token_budget(_df(spark), {"src_a": 1.5})
+
+
+def test_sample_preserves_user_rate_column(spark):
+    df = _df(spark).withColumn("rate", F.lit(0.123))
+    out = token_budget_sample(df, TARGETS, weight=_weight())
+    assert "rate" in out.columns
+    assert all(r.rate == 0.123 for r in out.select("rate").collect())
