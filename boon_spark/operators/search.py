@@ -38,7 +38,11 @@ generate immediately gated by a **broadcast** join on the (tiny) query
 term set, so only matching postings ever reach a shuffle; document
 frequencies aggregate over those matches only and broadcast back.  No
 full inverted index is materialized.  The final per-query top-k is a
-rank window over matched (query, doc) pairs.
+rank window over matched (query, doc) pairs.  The two twice-consumed
+intermediates (query terms, matched postings — both small by contract)
+are persisted spill-safely, with unpersist handles on the result
+(without this Spark recomputes each subtree per consumer: measured 6
+scans and 2 posting shuffles instead of 3 and 1, 4x wall time).
 
 Overflow is a contract, not an assumption (same policy as
 ``lsh_topk_quantized``): the plan-time guard bounds the worst-case
@@ -166,10 +170,21 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     quantized score, the scale shape, and the overflow contract.
     """
     k1n, k1d, bn, bd = _check_params(k1, b, max_docs, max_query_len)
+    from pyspark import StorageLevel
+    # qterms feeds the posting gate AND the score join; post feeds the
+    # df aggregate AND the score join.  Without persistence Spark plans
+    # each consumer as a full recomputation (no ReusedExchange across
+    # the broadcast boundary — measured: 6 corpus/query scans, 2 posting
+    # shuffles); both frames are small by contract, so they are cached
+    # spill-safely for the query's lifetime.  Unpersist handles are
+    # attached to the result as ``cached_qterms``/``cached_postings``
+    # (same contract as token_kgram_candidates' ``_cached_kgrams``).
     qterms = _query_terms(queries, query_id_col, query_text_col,
-                          max_query_len)
+                          max_query_len).persist(
+        StorageLevel.MEMORY_AND_DISK)
     stats = _corpus_stats(corpus, text_col)
-    post = _postings(corpus, qterms, id_col, text_col)
+    post = _postings(corpus, qterms, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK)
     dfreq = (post.groupBy("term")
              .agg(F.count(F.lit(1)).cast("long").alias("df")))
 
@@ -200,9 +215,12 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
               .agg(F.sum("_s").cast("long").alias("score_int")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_int").desc(), F.col("doc_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "doc_id", "score_int"))
+    out = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("rank") <= k)
+           .select("query_id", "rank", "doc_id", "score_int"))
+    out.cached_qterms = qterms
+    out.cached_postings = post
+    return out
 
 
 def bm25_df_stats(corpus: DataFrame, queries: DataFrame, *,

@@ -133,3 +133,16 @@ def test_plan_broadcast_gate_and_pruned_scan(spark, tmp_path):
             and "n_chars" not in line
         assert "text" in line
     assert any("doc_id" in line for line in reads)
+
+
+def test_intermediates_are_persisted_once(spark):
+    # qterms and the matched postings are each consumed twice; without
+    # persistence Spark recomputes the whole subtree per consumer
+    # (measured: 6 scans, 2 posting shuffles, 4x wall time at sf0.1)
+    docs, qs = _frames(spark)
+    out = bm25_topk(docs, qs, k=3, max_query_len=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3
+    assert out.cached_postings.is_cached and out.cached_qterms.is_cached
+    out.cached_postings.unpersist()
+    out.cached_qterms.unpersist()
