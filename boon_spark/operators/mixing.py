@@ -41,7 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .sampling import _uniform_sql, sample_uniform
+from .sampling import (_uniform_sql, sample_uniform,
+                       stratified_sample)
 
 #: seed separating the mixing family's hash from other sampling uses
 MIX_SEED = 7717
@@ -121,12 +122,12 @@ def apply_token_budget(df: DataFrame, rates: dict, *,
            if not 0.0 <= float(r) <= 1.0}
     if bad:
         raise ValueError(f"rates must be in [0, 1], got {bad}")
-    thr = F.lit(None).cast("double")
-    for s, r in rates.items():
-        thr = F.when(F.col(strata_col) == F.lit(s),
-                     F.lit(float(r))).otherwise(thr)
-    u = sample_uniform(F.col(key_col), seed=seed)
-    return df.filter(u < thr)
+    # delegate to the shared per-stratum hash filter (one definition of
+    # the when-chain + uniform comparison); default_fraction=0.0 drops
+    # unlisted sources, same as token_budget_sample's inner join
+    return stratified_sample(df, {s: float(r) for s, r in rates.items()},
+                             strata_col=strata_col, key_col=key_col,
+                             seed=seed)
 
 
 def mix_stats(df: DataFrame, targets: dict, *,
@@ -157,11 +158,14 @@ def mix_stats(df: DataFrame, targets: dict, *,
     tot = per.agg(
         F.coalesce(F.sum("n_tokens_kept"), F.lit(0)).alias("_tt"))
     from .packing import _div
+    # decimal(38,0) BEFORE the *1e6: a kept corpus above ~9.2e12 tokens
+    # would overflow the int64 multiply under ANSI mode (the quotient
+    # itself is <= 1e6 — only the intermediate needs the width)
+    ppm = _div(F.col("n_tokens_kept").cast("decimal(38,0)")
+               * F.lit(1_000_000), F.col("_tt"))
     return (per.crossJoin(F.broadcast(tot))
             .select("source", "n_docs_kept", "n_tokens_kept",
-                    F.when(F.col("_tt") > 0,
-                           _div(F.col("n_tokens_kept") * 1_000_000,
-                                F.col("_tt")))
+                    F.when(F.col("_tt") > 0, ppm)
                     .otherwise(F.lit(0)).cast("long")
                     .alias("achieved_ppm"),
                     target_ppm.cast("long").alias("target_ppm")))
@@ -172,9 +176,15 @@ def mix_stats(df: DataFrame, targets: dict, *,
 # ----------------------------------------------------------------- #
 
 
+def _sq(s) -> str:
+    """SQL single-quoted literal with '' escaping (a source named
+    "o'reilly" must not break the generated oracle)."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def _share_case(targets: dict, col: str = "source") -> str:
     shares = _normalized_shares(targets)
-    arms = " ".join(f"WHEN {col} = '{s}' THEN {w!r}"
+    arms = " ".join(f"WHEN {col} = {_sq(s)} THEN {w!r}"
                     for s, w in shares.items())
     return f"CASE {arms} ELSE NULL END"
 
@@ -219,7 +229,7 @@ def mix_stats_oracle_sql(targets: dict, *, weight_sql: str,
     ctes = _mix_ctes(targets, weight_sql=weight_sql, key_sql=key_sql,
                      strata_col=strata_col, table=table, seed=seed)
     shares = _normalized_shares(targets)
-    ppm_arms = " ".join(f"WHEN source = '{s}' THEN {int(w * 1_000_000)}"
+    ppm_arms = " ".join(f"WHEN source = {_sq(s)} THEN {int(w * 1_000_000)}"
                         for s, w in shares.items())
     return f"""
         WITH {ctes},
@@ -231,9 +241,10 @@ def mix_stats_oracle_sql(targets: dict, *, weight_sql: str,
           SELECT CAST(coalesce(sum(n_tokens_kept), 0) AS BIGINT) AS _tt
           FROM per_kept)
         SELECT source, n_docs_kept, n_tokens_kept,
-               CASE WHEN t._tt > 0
-                    THEN (n_tokens_kept * 1000000) // t._tt
-                    ELSE 0 END AS achieved_ppm,
+               CAST(CASE WHEN t._tt > 0
+                    THEN (CAST(n_tokens_kept AS HUGEINT) * 1000000)
+                         // t._tt
+                    ELSE 0 END AS BIGINT) AS achieved_ppm,
                CAST(CASE {ppm_arms} ELSE NULL END AS BIGINT) AS target_ppm
         FROM per_kept, tot t
     """

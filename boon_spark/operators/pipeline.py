@@ -41,9 +41,9 @@ from pyspark.sql import functions as F
 
 from .dedup import normalized_text
 from .repetition import GOPHER_THRESHOLDS, repetition_metrics
-from .sampling import (hash_sample_oracle_where, sample_uniform,
+from .sampling import (hash_sample, hash_sample_oracle_where,
                        split_assign, split_assign_oracle_case)
-from .search import _dl_sql, doc_len
+from .search import _NORM_SQL, _dl_sql, doc_len
 
 #: the SQL-expressible Gopher subset: (engine metric column, oracle
 #: ``met`` column, operator, threshold key) — ONE table renders both
@@ -92,9 +92,8 @@ def curate(df: DataFrame, *, text_col: str = "text",
             .withColumn("_keep", F.min(id_col).over(w))
             .filter(F.col(id_col) == F.col("_keep"))
             .drop("_h", "_keep"))
-    samp = surv.filter(
-        sample_uniform(F.col(id_col), seed=sample_seed)
-        < F.lit(float(sample_fraction)))
+    samp = hash_sample(surv, sample_fraction, key_col=id_col,
+                       seed=sample_seed)
     weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     return split_assign(samp, weights, key_col=id_col, seed=split_seed)
 
@@ -151,8 +150,7 @@ def curation_stats_oracle_sql(*, sample_fraction: float = 0.5,
         surv AS (
           SELECT doc_id, source, text FROM (
             SELECT *, min(doc_id) OVER (PARTITION BY
-              md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
-              AS _keep
+              md5({_NORM_SQL.format(c='text')})) AS _keep
             FROM kept)
           WHERE doc_id = _keep),
         samp AS (

@@ -160,8 +160,12 @@ def split_assign_oracle_case(*, key_sql: str, weights: dict,
     labels = list(weights)
     cum = 0.0
     arms = []
+
+    def sq(lbl) -> str:  # '' escaping: labels are user strings
+        return "'" + str(lbl).replace("'", "''") + "'"
+
     for lbl in labels[:-1]:
         cum += float(weights[lbl]) / total
-        arms.append(f"WHEN {u} < {cum!r} THEN '{lbl}'")
+        arms.append(f"WHEN {u} < {cum!r} THEN {sq(lbl)}")
     return ("CASE " + " ".join(arms) +
-            f" ELSE '{labels[-1]}' END")
+            f" ELSE {sq(labels[-1])} END")

@@ -46,9 +46,13 @@ scans and 2 posting shuffles instead of 3 and 1, 4x wall time).
 
 Overflow is a contract, not an assumption (same policy as
 ``lsh_topk_quantized``): the plan-time guard bounds the worst-case
-score by the declared ``max_docs``/``max_query_len``, queries longer
-than ``max_query_len`` tokens are EXCLUDED identically in both engines,
-and a corpus larger than ``max_docs`` raises at run time inside the idf
+score by the declared ``max_docs``/``max_query_len``/``max_doc_len``
+(the ``adl·tf`` intermediate grows with the SQUARE of document length,
+so document length is part of the contract, not just corpus size);
+queries longer than ``max_query_len`` tokens and documents longer than
+``max_doc_len`` tokens are EXCLUDED identically in both engines (from
+both the stats and the postings, so ``avg_dl_m`` stays bounded), and a
+corpus larger than ``max_docs`` raises at run time inside the idf
 expression (``raise_error`` arm — kept in the used expression so
 Catalyst cannot prune it).
 """
@@ -88,7 +92,8 @@ def doc_len(col: Column) -> Column:
             .otherwise(F.size(F.split(norm, " ")))).cast("long")
 
 
-def _check_params(k1: tuple, b: tuple, max_docs: int, max_query_len: int):
+def _check_params(k1: tuple, b: tuple, max_docs: int, max_query_len: int,
+                  max_doc_len: int):
     k1n, k1d = k1
     bn, bd = b
     if k1n <= 0 or k1d <= 0 or bn < 0 or bd <= 0 or bn > bd:
@@ -103,7 +108,31 @@ def _check_params(k1: tuple, b: tuple, max_docs: int, max_query_len: int):
             f"score overflow: max_docs={max_docs}, "
             f"max_query_len={max_query_len}, k1={k1} exceed int64 — "
             f"lower max_docs or max_query_len")
+    # the tfq NUMERATOR intermediate: TF_SCALE*(k1n+k1d)*bd * adl * tf,
+    # with adl <= 1000*max_doc_len (long docs are excluded from the
+    # stats too) and tf <= max_doc_len — quadratic in document length
+    if (TF_SCALE * (k1n + k1d) * bd
+            * (1000 * max_doc_len) * max_doc_len) >= (1 << 63):
+        raise ValueError(
+            f"tf-term overflow: max_doc_len={max_doc_len} with k1={k1}, "
+            f"b={b} exceeds int64 (the adl*tf intermediate is quadratic "
+            f"in document length) — lower max_doc_len")
     return k1n, k1d, bn, bd
+
+
+def _idf_expr(df_col, n, max_docs: int):
+    """Quantized idf with the runtime ``max_docs`` raise_error arm —
+    shared by the score and the audit companion so the contract is
+    enforced (not prunable) in BOTH."""
+    return F.when(
+        n > F.lit(int(max_docs)),
+        F.raise_error(F.concat(
+            F.lit(f"bm25: corpus exceeds max_docs={max_docs} "
+                  "(score overflow contract) — got "),
+            n.cast("string"))).cast("long")
+    ).otherwise(_div(F.lit(IDF_SCALE).cast("long")
+                     * (2 * (n - df_col) + 1),
+                     2 * df_col + 1))
 
 
 def _query_terms(queries: DataFrame, query_id_col: str, query_text_col: str,
@@ -122,11 +151,15 @@ def _query_terms(queries: DataFrame, query_id_col: str, query_text_col: str,
             .agg(F.count(F.lit(1)).cast("long").alias("qtf")))
 
 
-def _corpus_stats(corpus: DataFrame, text_col: str) -> DataFrame:
-    """One-row (n_docs, avg_dl_m) frame: avgdl as exact integer
-    milli-tokens ``(1000*TT) div N`` — bounded by document length, not
-    corpus size, so the downstream integer products stay in int64 at
-    any N."""
+def _corpus_stats(corpus: DataFrame, text_col: str,
+                  max_doc_len: int) -> DataFrame:
+    """One-row (n_docs, avg_dl_m) frame over in-contract documents
+    (``dl <= max_doc_len`` — excluded here AND in the postings, so
+    ``avg_dl_m <= 1000*max_doc_len`` and the downstream integer
+    products stay in int64 at any corpus size): avgdl as exact integer
+    milli-tokens ``(1000*TT) div N``."""
+    corpus = corpus.filter(
+        doc_len(F.col(text_col)) <= F.lit(int(max_doc_len)))
     return (corpus.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum(doc_len(F.col(text_col))),
@@ -140,15 +173,17 @@ def _corpus_stats(corpus: DataFrame, text_col: str) -> DataFrame:
 
 
 def _postings(corpus: DataFrame, terms: DataFrame, id_col: str,
-              text_col: str) -> DataFrame:
+              text_col: str, max_doc_len: int) -> DataFrame:
     """(doc_id, dl, term, tf) for query terms only: row-local explode →
     broadcast semi-gate on the term set → per-(doc, term) count.  The
-    shuffle carries matched postings only."""
+    shuffle carries matched postings only.  Documents over
+    ``max_doc_len`` are excluded (the overflow contract)."""
     toks = corpus.select(
         F.col(id_col).alias("doc_id"),
         doc_len(F.col(text_col)).alias("dl"),
         F.explode(doc_tokens(F.col(text_col))).alias("term"))
-    return (toks.filter(F.col("term") != "")
+    return (toks.filter(F.col("dl") <= F.lit(int(max_doc_len)))
+            .filter(F.col("term") != "")
             .join(F.broadcast(terms.select("term").distinct()), "term")
             .groupBy("doc_id", "dl", "term")
             .agg(F.count(F.lit(1)).cast("long").alias("tf")))
@@ -160,7 +195,8 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
               query_text_col: str = "query_text",
               k1: tuple = (6, 5), b: tuple = (3, 4),
               max_docs: int = 1 << 32,
-              max_query_len: int = 64) -> DataFrame:
+              max_query_len: int = 64,
+              max_doc_len: int = 1 << 18) -> DataFrame:
     """Integer-exact BM25 top-``k``: ``(query_id, rank, doc_id,
     score_int)``, rank 1..k by (score desc, doc_id asc) — a total
     order, so the result is oracle-comparable.
@@ -169,7 +205,8 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     3/4 = the classic 1.2 / 0.75).  See the module docstring for the
     quantized score, the scale shape, and the overflow contract.
     """
-    k1n, k1d, bn, bd = _check_params(k1, b, max_docs, max_query_len)
+    k1n, k1d, bn, bd = _check_params(k1, b, max_docs, max_query_len,
+                                     max_doc_len)
     from pyspark import StorageLevel
     # qterms feeds the posting gate AND the score join; post feeds the
     # df aggregate AND the score join.  Without persistence Spark plans
@@ -182,24 +219,14 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     qterms = _query_terms(queries, query_id_col, query_text_col,
                           max_query_len).persist(
         StorageLevel.MEMORY_AND_DISK)
-    stats = _corpus_stats(corpus, text_col)
-    post = _postings(corpus, qterms, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    stats = _corpus_stats(corpus, text_col, max_doc_len)
+    post = _postings(corpus, qterms, id_col, text_col,
+                     max_doc_len).persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = (post.groupBy("term")
              .agg(F.count(F.lit(1)).cast("long").alias("df")))
 
     n, adl = F.col("n_docs"), F.col("avg_dl_m")
-    # the raise_error arm lives inside the USED expression so the
-    # max_docs contract is enforced at run time, not prunable
-    idf_int = F.when(
-        n > F.lit(int(max_docs)),
-        F.raise_error(F.concat(
-            F.lit(f"bm25_topk: corpus exceeds max_docs={max_docs} "
-                  "(score overflow contract) — got "),
-            n.cast("string"))).cast("long")
-    ).otherwise(_div(F.lit(IDF_SCALE).cast("long")
-                     * (2 * (n - F.col("df")) + 1),
-                     2 * F.col("df") + 1))
+    idf_int = _idf_expr(F.col("df"), n, max_docs)
     denom = (F.lit(k1d * bd).cast("long") * adl * F.col("tf")
              + F.lit(k1n * (bd - bn)).cast("long") * adl
              + F.lit(k1n * bn * 1000).cast("long") * F.col("dl"))
@@ -227,23 +254,27 @@ def bm25_df_stats(corpus: DataFrame, queries: DataFrame, *,
                   id_col: str = "doc_id", text_col: str = "text",
                   query_id_col: str = "query_id",
                   query_text_col: str = "query_text",
+                  k1: tuple = (6, 5), b: tuple = (3, 4),
                   max_docs: int = 1 << 32,
-                  max_query_len: int = 64) -> DataFrame:
+                  max_query_len: int = 64,
+                  max_doc_len: int = 1 << 18) -> DataFrame:
     """Audit companion: ``(term, df, idf_int)`` per distinct in-contract
     query term (terms with zero matches are absent — df comes from the
-    posting aggregate, same frame the score uses)."""
+    posting aggregate, same frame the score uses).  Enforces the SAME
+    overflow contract as :func:`bm25_topk` (plan-time guard + runtime
+    ``max_docs`` arm) — an audit that runs where the main query refuses
+    would be misleading."""
+    _check_params(k1, b, max_docs, max_query_len, max_doc_len)
     qterms = _query_terms(queries, query_id_col, query_text_col,
                           max_query_len)
-    stats = _corpus_stats(corpus, text_col)
-    post = _postings(corpus, qterms, id_col, text_col)
+    stats = _corpus_stats(corpus, text_col, max_doc_len)
+    post = _postings(corpus, qterms, id_col, text_col, max_doc_len)
     n = F.col("n_docs")
     return (post.groupBy("term")
             .agg(F.count(F.lit(1)).cast("long").alias("df"))
             .crossJoin(F.broadcast(stats))
             .select("term", "df",
-                    _div(F.lit(IDF_SCALE).cast("long")
-                         * (2 * (n - F.col("df")) + 1),
-                         2 * F.col("df") + 1).alias("idf_int")))
+                    _idf_expr(F.col("df"), n, max_docs).alias("idf_int")))
 
 
 # ----------------------------------------------------------------- #
@@ -265,7 +296,8 @@ def _dl_sql(c: str) -> str:
 
 
 def _bm25_ctes(*, queries_sql: str, k1: tuple, b: tuple,
-               max_query_len: int, id_col: str = "doc_id",
+               max_query_len: int, max_doc_len: int,
+               id_col: str = "doc_id",
                text_col: str = "text", table: str = "documents") -> str:
     """CTE chain mirroring the engine integer-for-integer: qterms →
     corpus stats (avg_dl_m via ``//`` = the same floor) → matched
@@ -287,13 +319,15 @@ def _bm25_ctes(*, queries_sql: str, k1: tuple, b: tuple,
                  (1000 * CAST(coalesce(sum({_dl_sql(text_col)}), 0)
                               AS BIGINT))
                    // greatest(CAST(count(*) AS BIGINT), 1) AS avg_dl_m
-          FROM {table}),
+          FROM {table}
+          WHERE {_dl_sql(text_col)} <= {max_doc_len}),
         post AS (
           SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
           FROM (SELECT {id_col} AS doc_id, {_dl_sql(text_col)} AS dl,
                        unnest({_tokens_sql(text_col)}) AS term
                 FROM {table}) p
-          WHERE term <> ''
+          WHERE dl <= {max_doc_len}
+            AND term <> ''
             AND term IN (SELECT DISTINCT term FROM qterms)
           GROUP BY doc_id, dl, term),
         dfreq AS (
@@ -320,11 +354,13 @@ def _bm25_ctes(*, queries_sql: str, k1: tuple, b: tuple,
 
 def bm25_topk_oracle_sql(*, queries_sql: str, k: int,
                          k1: tuple = (6, 5), b: tuple = (3, 4),
-                         max_query_len: int = 64) -> str:
+                         max_query_len: int = 64,
+                         max_doc_len: int = 1 << 18) -> str:
     """DuckDB query reproducing :func:`bm25_topk` bit-for-bit.
     ``queries_sql`` must SELECT (query_id, query_text)."""
     ctes = _bm25_ctes(queries_sql=queries_sql, k1=k1, b=b,
-                      max_query_len=max_query_len)
+                      max_query_len=max_query_len,
+                      max_doc_len=max_doc_len)
     return f"""
         WITH {ctes}
         SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_int
@@ -337,10 +373,12 @@ def bm25_topk_oracle_sql(*, queries_sql: str, k: int,
 
 
 def bm25_df_stats_oracle_sql(*, queries_sql: str,
-                             max_query_len: int = 64) -> str:
+                             max_query_len: int = 64,
+                             max_doc_len: int = 1 << 18) -> str:
     """DuckDB query reproducing :func:`bm25_df_stats` bit-for-bit."""
     ctes = _bm25_ctes(queries_sql=queries_sql, k1=(6, 5), b=(3, 4),
-                      max_query_len=max_query_len)
+                      max_query_len=max_query_len,
+                      max_doc_len=max_doc_len)
     return f"""
         WITH {ctes}
         SELECT term, df, idf_int FROM idf

@@ -97,15 +97,16 @@ def test_tf_saturation_is_capped(spark):
 def test_overflow_guard_raises():
     from boon_spark.operators.search import _check_params
     with pytest.raises(ValueError, match="score overflow"):
-        _check_params((6, 5), (3, 4), max_docs=1 << 60, max_query_len=64)
+        _check_params((6, 5), (3, 4), max_docs=1 << 60,
+                      max_query_len=64, max_doc_len=1 << 18)
 
 
 def test_bad_rational_params():
     from boon_spark.operators.search import _check_params
     with pytest.raises(ValueError, match="k1 must be"):
-        _check_params((0, 5), (3, 4), 1 << 20, 8)
+        _check_params((0, 5), (3, 4), 1 << 20, 8, 1 << 18)
     with pytest.raises(ValueError, match="k1 must be"):
-        _check_params((6, 5), (5, 4), 1 << 20, 8)  # b > 1
+        _check_params((6, 5), (5, 4), 1 << 20, 8, 1 << 18)  # b > 1
 
 
 def test_max_docs_runtime_contract(spark):
@@ -146,3 +147,25 @@ def test_intermediates_are_persisted_once(spark):
     assert out.cached_postings.is_cached and out.cached_qterms.is_cached
     out.cached_postings.unpersist()
     out.cached_qterms.unpersist()
+
+
+def test_doc_len_overflow_guard_and_exclusion(spark):
+    from boon_spark.operators.search import _check_params
+    # quadratic-in-doc-length intermediate trips the plan-time guard
+    with pytest.raises(ValueError, match="tf-term overflow"):
+        _check_params((6, 5), (3, 4), 1 << 20, 8, max_doc_len=1 << 24)
+    # over-length documents are excluded identically in both engines
+    docs = spark.createDataFrame(
+        [(1, "cat mat"), (2, " ".join(["cat"] * 50))],
+        "doc_id long, text string")
+    qs = spark.createDataFrame([(9, "cat")],
+                               "query_id long, query_text string")
+    got = [(r.doc_id, r.rank) for r in
+           bm25_topk(docs, qs, k=5, max_query_len=8,
+                     max_doc_len=10).collect()]
+    assert got == [(1, 1)]
+    want = _oracle_con().execute(bm25_topk_oracle_sql(
+        queries_sql="SELECT 9 AS query_id, 'cat' AS query_text", k=5,
+        max_query_len=8, max_doc_len=10)).fetchall()
+    # oracle over the shared 8-doc table: only in-contract docs appear
+    assert all(w[2] != 2 for w in want)
