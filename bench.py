@@ -473,8 +473,18 @@ shuffle whose fan-in grows with cluster size.
 Run: `python bench.py --scaling` (env: SPARK_GRAFT_SF_DIR={SF_DIR}).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # the cross-round measurement-history section is maintained by hand
+    # below a fixed marker — regenerating the headline numbers must not
+    # drop it (it did once; the table is the steal-rejection evidence)
+    marker = "## Measurement history"
+    history = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            history = "\n" + old[old.index(marker):]
+    with open(path, "w") as f:
+        f.write(md + history)
     return summary
 
 
