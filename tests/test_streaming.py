@@ -756,3 +756,64 @@ def test_drift_dead_input_times_out_as_drifted():
     assert dead["batch_rows"].iloc[0] == 0
     assert dead["n_total"].iloc[0] == 3  # accumulated state retained
     assert st.duration == "30 minutes"  # re-armed: keeps flagging
+
+
+def test_relevance_stream_matches_batch_scores(spark, tmp_path):
+    # stateless streaming BM25 scoring converges to the batch operator's
+    # int64 scores exactly (model fitted once on the batch snapshot)
+    from boon_spark.operators.search import bm25_topk
+    from boon_spark.streaming.relevance_stream import (fit_bm25_model,
+                                                       relevance_stream)
+    ddl = "doc_id string, text string"
+    corpus_rows = [("d1", "the cat sat on the mat"),
+                   ("d2", "dogs chase the cat around the yard"),
+                   ("d3", "entirely unrelated filler words here"),
+                   ("d4", "cat cat cat mat mat"),
+                   ("d5", None),
+                   ("d6", " ".join(["long"] * 50))]
+    corpus = spark.createDataFrame(corpus_rows, ddl)
+    queries = spark.createDataFrame(
+        [("q1", "cat mat"), ("q2", "yard dogs")],
+        "query_id string, query_text string")
+    model = fit_bm25_model(corpus, queries, max_query_len=8,
+                           max_doc_len=10)
+    # batch reference: k >= |corpus| makes top-k the full scored frame
+    want = {(r.doc_id, r.query_id, r.score_int)
+            for r in bm25_topk(corpus, queries, k=100, max_query_len=8,
+                               max_doc_len=10).collect()}
+    assert want and all(s > 0 for _, _, s in want)
+
+    path = str(tmp_path / "rel_in")
+    corpus.filter(F.col("doc_id") <= "d3").coalesce(1) \
+        .write.parquet(path + "/a")
+    corpus.filter(F.col("doc_id") > "d3").coalesce(1) \
+        .write.parquet(path + "/b")
+    stream = (spark.readStream.schema(ddl)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    out = relevance_stream(stream, model)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("t_rel")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.query_id, r.score_int)
+           for r in spark.sql("select * from t_rel").collect()}
+    assert got == want
+    # d6 (50 tokens) is over max_doc_len=10 in BOTH paths; d5 is NULL
+    assert not any(d in ("d5", "d6") for d, _, _ in got)
+
+
+def test_relevance_stream_min_score_and_validation(spark):
+    from boon_spark.streaming.relevance_stream import (fit_bm25_model,
+                                                       relevance_stream)
+    ddl = "doc_id string, text string"
+    corpus = spark.createDataFrame([("d1", "cat mat"), ("d2", "cat")], ddl)
+    queries = spark.createDataFrame([("q1", "cat")],
+                                    "query_id string, query_text string")
+    model = fit_bm25_model(corpus, queries, max_query_len=8)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="min_score"):
+        relevance_stream(corpus, model, min_score=0)
+    # batch frames score identically (the function is mode-agnostic)
+    rows = relevance_stream(corpus, model, min_score=1).collect()
+    assert {r.doc_id for r in rows} == {"d1", "d2"}
