@@ -514,6 +514,18 @@ def q_mix_stats(spark, sf_dir):
 _CURATE_TH = {"min_stopword_hits": 0, "min_words": 40}
 
 
+def q_nchars_quantiles(spark, sf_dir):
+    """EXACT per-source quantiles of a bounded-cardinality column
+    (percentile_disc semantics), scale-safely: histogram counts (the
+    shuffle carries only DISTINCT values) + a cumulative window over
+    the tiny counts frame + an integer-exact ppm threshold test —
+    Spark's exact `percentile` buffers every value per group (the OOM
+    shape at 10^12 rows) and `percentile_approx`'s sketch can never be
+    oracle-paired."""
+    from boon_spark.operators.stats import value_quantiles
+    return value_quantiles(_docs(spark, sf_dir), "n_chars", by="source")
+
+
 def q_curation_pipeline(spark, sf_dir):
     """END-TO-END composition gate: quality filter (reduced Gopher
     rules) → exact dedup (min-id keeper per content md5) → deterministic
@@ -987,6 +999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": q_hash_sample,
     "mix_stats": q_mix_stats,
     "curation_pipeline": q_curation_pipeline,
+    "nchars_quantiles": q_nchars_quantiles,
     "token_windows": q_token_windows,
     "split_counts": q_split_counts,
     "pii_mask": q_pii_mask,
@@ -1031,6 +1044,11 @@ def _lsh_topk_oracle() -> str:
                                          query_pred="vid < 5")
 
 
+def _nchars_quantiles_oracle() -> str:
+    from boon_spark.operators.stats import value_quantiles_oracle_sql
+    return value_quantiles_oracle_sql("n_chars", by="source")
+
+
 def _curation_pipeline_oracle() -> str:
     from boon_spark.operators.pipeline import curation_stats_oracle_sql
     return curation_stats_oracle_sql(thresholds=_CURATE_TH)
@@ -1054,6 +1072,7 @@ def _sampling_oracles() -> dict[str, str]:
         "hash_sample": f"SELECT doc_id FROM documents WHERE {where}",
         "mix_stats": _mix_stats_oracle(),
         "curation_pipeline": _curation_pipeline_oracle(),
+        "nchars_quantiles": _nchars_quantiles_oracle(),
         "split_counts": f"""
             SELECT split, source, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT {case} AS split, source FROM documents)

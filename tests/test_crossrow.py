@@ -155,3 +155,36 @@ def test_drift_empty_side_fails_loudly(spark):
     b = spark.createDataFrame([(1,), (2,)], "v int")
     row = drift_check(a, b, "v", lo=0, hi=10, buckets=4).collect()[0]
     assert row.valid is False  # not NULL
+
+
+def test_value_quantiles_exact_disc_semantics(spark):
+    from boon_spark.operators.stats import value_quantiles
+    import pytest as _pt
+    # values 1..10 once each: q=0.5 -> smallest v with cum >= 5 -> 5;
+    # q=1.0 -> 10; q=0.05 -> first value
+    df = spark.createDataFrame([(v,) for v in range(1, 11)] + [(None,)],
+                               "x int")
+    got = {r.q_ppm: r.value for r in
+           value_quantiles(df, "x", qs=(0.05, 0.5, 1.0)).collect()}
+    assert got == {50000: 1, 500000: 5, 1000000: 10}
+    with _pt.raises(ValueError, match="quantiles must be"):
+        value_quantiles(df, "x", qs=(0.0,))
+    with _pt.raises(ValueError, match="non-empty"):
+        value_quantiles(df, "x", qs=())
+
+
+def test_value_quantiles_grouped_matches_oracle(spark):
+    import duckdb
+    from boon_spark.operators.stats import (value_quantiles,
+                                            value_quantiles_oracle_sql)
+    rows = [("a", v) for v in (1, 1, 2, 9)] + [("b", v) for v in (5, 6)] \
+        + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, x int")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, x INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = sorted(tuple(r) for r in
+                 value_quantiles(df, "x", by="g").collect())
+    want = sorted(tuple(w) for w in con.execute(
+        value_quantiles_oracle_sql("x", by="g", table="t")).fetchall())
+    assert got == want and len(got) == 10
