@@ -514,6 +514,27 @@ def q_mix_stats(spark, sf_dir):
 _CURATE_TH = {"min_stopword_hits": 0, "min_words": 40}
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot delta between two table versions ("what did this
+    refresh do?"): a deterministic synthetic refresh of documents —
+    every 11th doc removed, every 13th edited, every 17th re-added
+    under a shifted key — diffed against the original.  One row-local
+    digest per side + ONE full-outer key join (shuffle-free under
+    key-bucketed layouts)."""
+    from boon_spark.operators.equality import snapshot_diff
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    new = (docs.filter(F.col("doc_id") % 11 != 3)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 13 == 1,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text"),
+                   "source")
+           .unionAll(docs.filter(F.col("doc_id") % 17 == 2)
+                     .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                             "text", "source")))
+    return snapshot_diff(docs, new, columns=["text", "source"])
+
+
 def q_nchars_quantiles(spark, sf_dir):
     """EXACT per-source quantiles of a bounded-cardinality column
     (percentile_disc semantics), scale-safely: histogram counts (the
@@ -1000,6 +1021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_stats": q_mix_stats,
     "curation_pipeline": q_curation_pipeline,
     "nchars_quantiles": q_nchars_quantiles,
+    "snapshot_diff": q_snapshot_diff,
     "token_windows": q_token_windows,
     "split_counts": q_split_counts,
     "pii_mask": q_pii_mask,
@@ -1044,6 +1066,21 @@ def _lsh_topk_oracle() -> str:
                                          query_pred="vid < 5")
 
 
+def _snapshot_diff_oracle() -> str:
+    from boon_spark.operators.equality import snapshot_diff_oracle_sql
+    new_sql = """SELECT doc_id,
+                        CASE WHEN doc_id % 13 = 1 THEN text || ' v2'
+                             ELSE text END AS text, source
+                 FROM documents WHERE doc_id % 11 <> 3
+                 UNION ALL
+                 SELECT doc_id + 1000000, text, source
+                 FROM documents WHERE doc_id % 17 = 2"""
+    return snapshot_diff_oracle_sql(
+        columns=["text", "source"],
+        old_sql="SELECT doc_id, text, source FROM documents",
+        new_sql=new_sql)
+
+
 def _nchars_quantiles_oracle() -> str:
     from boon_spark.operators.stats import value_quantiles_oracle_sql
     return value_quantiles_oracle_sql("n_chars", by="source")
@@ -1073,6 +1110,7 @@ def _sampling_oracles() -> dict[str, str]:
         "mix_stats": _mix_stats_oracle(),
         "curation_pipeline": _curation_pipeline_oracle(),
         "nchars_quantiles": _nchars_quantiles_oracle(),
+        "snapshot_diff": _snapshot_diff_oracle(),
         "split_counts": f"""
             SELECT split, source, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT {case} AS split, source FROM documents)

@@ -50,3 +50,91 @@ def check_equality(cur: DataFrame, ref: DataFrame, *, key: str = "doc_id",
             .filter(F.size("_viols") > 0)
             .select(F.explode("_viols").alias("v"))
             .select("v.instance_location", "v.keyword_location", "v.error"))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, *, key: str = "doc_id",
+                  columns: list[str] | None = None) -> DataFrame:
+    """One-row snapshot delta between two versions of a table:
+    ``(n_old, n_new, n_added, n_removed, n_changed, n_unchanged)`` —
+    the pipeline-ops question ("what did this refresh actually do?")
+    answered before anything downstream reruns.
+
+    ``columns`` (default: all shared non-key columns) define "changed":
+    a key present on both sides whose compared columns differ
+    (NULL-safe, so NULL→NULL is unchanged and NULL→value is a change).
+    Scale shape: each side reduces to ``(key, md5 of the compared
+    columns)`` row-locally, then ONE full-outer join on the key — the
+    same high-cardinality skew-free shuffle as :func:`check_equality`,
+    shuffle-free under key-bucketed table layouts.  Duplicate keys are
+    the caller's invariant (validate with the uniqueness operator
+    first); rows joining many-to-many would double-count here.
+    """
+    if columns is None:
+        columns = sorted(c for c in new.columns
+                         if c in set(old.columns) and c != key)
+    if not columns:
+        raise ValueError("no shared non-key columns to compare")
+
+    def digest(df: DataFrame, side: str) -> DataFrame:
+        # one md5 over the NULL-tagged concatenation: per-column NULL
+        # markers keep ("a", NULL) distinct from ("aNULL",) shapes
+        parts = []
+        for c in columns:
+            parts.append(F.coalesce(F.col(c).cast("string"),
+                                    F.lit("\x00NULL")))
+            parts.append(F.lit("\x1f"))
+        return df.select(F.col(key).alias("_k"),
+                         F.md5(F.concat(*parts)).alias(side))
+
+    o = digest(old, "_ho")
+    n = digest(new, "_hn")
+    j = o.join(n, "_k", "full_outer")
+    return j.agg(
+        F.sum(F.col("_ho").isNotNull().cast("long")).alias("n_old"),
+        F.sum(F.col("_hn").isNotNull().cast("long")).alias("n_new"),
+        F.sum((F.col("_ho").isNull() & F.col("_hn").isNotNull())
+              .cast("long")).alias("n_added"),
+        F.sum((F.col("_ho").isNotNull() & F.col("_hn").isNull())
+              .cast("long")).alias("n_removed"),
+        F.sum((F.col("_ho").isNotNull() & F.col("_hn").isNotNull()
+               & (F.col("_ho") != F.col("_hn"))).cast("long"))
+        .alias("n_changed"),
+        F.sum((F.col("_ho").isNotNull() & F.col("_hn").isNotNull()
+               & (F.col("_ho") == F.col("_hn"))).cast("long"))
+        .alias("n_unchanged")).select(
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in ("n_old", "n_new", "n_added", "n_removed",
+                    "n_changed", "n_unchanged")])
+
+
+def snapshot_diff_oracle_sql(*, key: str = "doc_id",
+                             columns: list[str],
+                             old_sql: str, new_sql: str) -> str:
+    """DuckDB query reproducing :func:`snapshot_diff` bit-for-bit.
+    ``old_sql``/``new_sql`` are SELECTs producing the two versions."""
+    parts = " || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'NULL') || chr(31)"
+        for c in sorted(columns))
+    return f"""
+        WITH snap_o AS (SELECT {key} AS _k, md5({parts}) AS _ho
+                        FROM ({old_sql})),
+        snap_n AS (SELECT {key} AS _k, md5({parts}) AS _hn
+                   FROM ({new_sql})),
+        j AS (SELECT snap_o._ho, snap_n._hn
+              FROM snap_o FULL OUTER JOIN snap_n
+                ON snap_o._k = snap_n._k)
+        SELECT
+          CAST(coalesce(sum(CASE WHEN _ho IS NOT NULL THEN 1 END), 0)
+               AS BIGINT) AS n_old,
+          CAST(coalesce(sum(CASE WHEN _hn IS NOT NULL THEN 1 END), 0)
+               AS BIGINT) AS n_new,
+          CAST(coalesce(sum(CASE WHEN _ho IS NULL AND _hn IS NOT NULL
+               THEN 1 END), 0) AS BIGINT) AS n_added,
+          CAST(coalesce(sum(CASE WHEN _ho IS NOT NULL AND _hn IS NULL
+               THEN 1 END), 0) AS BIGINT) AS n_removed,
+          CAST(coalesce(sum(CASE WHEN _ho IS NOT NULL AND _hn IS NOT NULL
+               AND _ho <> _hn THEN 1 END), 0) AS BIGINT) AS n_changed,
+          CAST(coalesce(sum(CASE WHEN _ho IS NOT NULL AND _hn IS NOT NULL
+               AND _ho = _hn THEN 1 END), 0) AS BIGINT) AS n_unchanged
+        FROM j
+    """

@@ -188,3 +188,37 @@ def test_value_quantiles_grouped_matches_oracle(spark):
     want = sorted(tuple(w) for w in con.execute(
         value_quantiles_oracle_sql("x", by="g", table="t")).fetchall())
     assert got == want and len(got) == 10
+
+
+def test_snapshot_diff_counts_and_oracle(spark):
+    import duckdb
+    from boon_spark.operators.equality import (snapshot_diff,
+                                               snapshot_diff_oracle_sql)
+    old_rows = [(1, "a", "s"), (2, "b", "s"), (3, None, "s"), (4, "d", "s")]
+    new_rows = [(1, "a", "s"),          # unchanged
+                (2, "B", "s"),          # changed
+                (3, None, "s"),         # unchanged (NULL -> NULL)
+                (5, "e", "s")]          # added; 4 removed
+    ddl = "doc_id long, text string, source string"
+    old = spark.createDataFrame(old_rows, ddl)
+    new = spark.createDataFrame(new_rows, ddl)
+    r = snapshot_diff(old, new).collect()[0]
+    assert (r.n_old, r.n_new, r.n_added, r.n_removed, r.n_changed,
+            r.n_unchanged) == (4, 4, 1, 1, 1, 2)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE o(doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.execute("CREATE TABLE n(doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO o VALUES (?, ?, ?)", old_rows)
+    con.executemany("INSERT INTO n VALUES (?, ?, ?)", new_rows)
+    want = con.execute(snapshot_diff_oracle_sql(
+        columns=["text", "source"], old_sql="SELECT * FROM o",
+        new_sql="SELECT * FROM n")).fetchall()[0]
+    assert tuple(r) == tuple(want)
+    # NULL -> value must count as changed, not unchanged
+    new2 = spark.createDataFrame([(3, "now-set", "s")], ddl)
+    old2 = spark.createDataFrame([(3, None, "s")], ddl)
+    r2 = snapshot_diff(old2, new2).collect()[0]
+    assert (r2.n_changed, r2.n_unchanged) == (1, 0)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no shared"):
+        snapshot_diff(old.select("doc_id"), new.select("doc_id"))
