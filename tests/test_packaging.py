@@ -32,3 +32,18 @@ def test_spark_submit_py_files(tmp_path, spark):
     out = json.loads(lines[-1])
     assert out["n_rows"] == 3000
     assert out["valid"] is False and r.returncode == 2
+
+
+def test_coverage_header_matches_gate_count():
+    # commit-message/doc gate totals drifted twice in r5; pin the
+    # COVERAGE.md header to the one source of truth: len(queries())
+    import os
+    import re
+    import __spark_entry__ as e
+    n = len(e.queries())
+    assert len(e.oracle_sql()) == n, "every gate must be oracle-paired"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    head = open(os.path.join(root, "COVERAGE.md")).read()[:400]
+    m = re.search(r"(\d+) gate\nqueries, \*\*(\d+)/(\d+) DuckDB", head)
+    assert m, "COVERAGE.md header count not found"
+    assert {int(g) for g in m.groups()} == {n}, (m.groups(), n)
