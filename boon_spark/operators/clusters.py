@@ -141,9 +141,15 @@ def connected_components(edges: DataFrame, src_col: str = "id_a",
         if nxt_fp == cur_fp and cur.exceptAll(nxt).isEmpty():
             # equal counts + empty one-sided multiset difference
             # ⇒ the distinct sets are identical: true fixed point
+            cur.unpersist()
             converged = True
             cur = nxt
             break
+        # release the superseded round's checkpoint blocks NOW — waiting
+        # for JVM GC + ContextCleaner accumulates ~rounds full copies of
+        # the edge frame in executor storage (nxt is already
+        # materialized by ck/fingerprint, so nothing recomputes)
+        cur.unpersist()
         cur, cur_fp = nxt, nxt_fp
     if not converged:
         raise RuntimeError(

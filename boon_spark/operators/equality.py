@@ -61,9 +61,10 @@ def snapshot_diff(old: DataFrame, new: DataFrame, *, key: str = "doc_id",
 
     ``columns`` (default: all shared non-key columns) define "changed":
     a key present on both sides whose compared columns differ
-    (NULL-safe, so NULL→NULL is unchanged and NULL→value is a change).
-    Scale shape: each side reduces to ``(key, md5 of the compared
-    columns)`` row-locally, then ONE full-outer join on the key — the
+    (NULL-safe, so NULL→NULL is unchanged and NULL→value is a change;
+    the digest is fixed-width per-column md5 blocks, so separator
+    injection cannot alias two different rows).  Scale shape: each side
+    reduces to ``(key, 16-byte content digest)`` row-locally, then ONE full-outer join on the key — the
     same high-cardinality skew-free shuffle as :func:`check_equality`,
     shuffle-free under key-bucketed table layouts.  Duplicate keys are
     the caller's invariant (validate with the uniqueness operator
@@ -76,13 +77,12 @@ def snapshot_diff(old: DataFrame, new: DataFrame, *, key: str = "doc_id",
         raise ValueError("no shared non-key columns to compare")
 
     def digest(df: DataFrame, side: str) -> DataFrame:
-        # one md5 over the NULL-tagged concatenation: per-column NULL
-        # markers keep ("a", NULL) distinct from ("aNULL",) shapes
-        parts = []
-        for c in columns:
-            parts.append(F.coalesce(F.col(c).cast("string"),
-                                    F.lit("\x00NULL")))
-            parts.append(F.lit("\x1f"))
+        # fixed-width per-column blocks: each column contributes its own
+        # md5 (32 hex chars) or the non-hex sentinel 'N'*32 for NULL, so
+        # no value can shift bytes into a neighbor — a separator-based
+        # concatenation is injectable (value containing the separator)
+        parts = [F.coalesce(F.md5(F.col(c).cast("string")),
+                            F.lit("N" * 32)) for c in columns]
         return df.select(F.col(key).alias("_k"),
                          F.md5(F.concat(*parts)).alias(side))
 
@@ -113,7 +113,7 @@ def snapshot_diff_oracle_sql(*, key: str = "doc_id",
     """DuckDB query reproducing :func:`snapshot_diff` bit-for-bit.
     ``old_sql``/``new_sql`` are SELECTs producing the two versions."""
     parts = " || ".join(
-        f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'NULL') || chr(31)"
+        f"coalesce(md5(CAST({c} AS VARCHAR)), repeat('N', 32))"
         for c in sorted(columns))
     return f"""
         WITH snap_o AS (SELECT {key} AS _k, md5({parts}) AS _ho

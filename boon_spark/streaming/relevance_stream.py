@@ -75,8 +75,14 @@ def fit_bm25_model(corpus: DataFrame, queries: DataFrame, *,
              .collect()}
     qterms = [(str(r["query_id"]), r["term"], int(r["qtf"]))
               for r in qt.collect()]
-    idf = {t: (IDF_SCALE * (2 * (n_docs - df) + 1)) // (2 * df + 1)
-           for t, df in dfreq.items()}
+    # idf over the QUERY term set, not just matched terms: a term with
+    # zero corpus matches carries df = 0 (idf at its maximum) so an
+    # out-of-snapshot streamed document holding it still scores — on
+    # the fit corpus itself such a term can never match, so batch
+    # equality is unaffected
+    idf = {t: (IDF_SCALE * (2 * (n_docs - dfreq.get(t, 0)) + 1))
+           // (2 * dfreq.get(t, 0) + 1)
+           for t in {t for _, t, _ in qterms}}
     return {
         "avg_dl_m": int(avg_dl_m), "n_docs": int(n_docs),
         "coeffs": (k1n, k1d, bn, bd), "idf": idf, "qterms": qterms,
@@ -84,14 +90,15 @@ def fit_bm25_model(corpus: DataFrame, queries: DataFrame, *,
     }
 
 
-def _score_doc(tokens, dl: int, model: dict) -> dict:
+def _score_doc(tokens, dl: int, model: dict, wanted: set) -> dict:
     """score per query_id for one document — exact Python integer math,
-    the same quantized formula as the batch operator."""
+    the same quantized formula as the batch operator.  ``wanted`` is
+    the query-term set, hoisted out of this per-row path by the
+    caller."""
     k1n, k1d, bn, bd = model["coeffs"]
     adl = model["avg_dl_m"]
     idf = model["idf"]
     tf: dict = {}
-    wanted = {t for _, t, _ in model["qterms"]}
     for t in tokens:
         if t in wanted:
             tf[t] = tf.get(t, 0) + 1
@@ -126,13 +133,15 @@ def relevance_stream(stream: DataFrame, model: dict, *,
     def scorer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = b_model.value
         cap = m["max_doc_len"]
+        wanted = {t for _, t, _ in m["qterms"]}
         for pdf in batches:
             out = []
             for doc_id, dl, toks in zip(pdf["doc_id"], pdf["dl"],
                                         pdf["toks"]):
                 if dl is None or dl == 0 or dl > cap or toks is None:
                     continue
-                for qid, s in _score_doc(toks, int(dl), m).items():
+                for qid, s in _score_doc(toks, int(dl), m,
+                                         wanted).items():
                     if s >= min_score:
                         out.append((doc_id, qid, s))
             yield pd.DataFrame(out,

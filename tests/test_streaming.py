@@ -817,3 +817,22 @@ def test_relevance_stream_min_score_and_validation(spark):
     # batch frames score identically (the function is mode-agnostic)
     rows = relevance_stream(corpus, model, min_score=1).collect()
     assert {r.doc_id for r in rows} == {"d1", "d2"}
+
+
+def test_relevance_stream_scores_out_of_corpus_terms(spark):
+    # a query term absent from the FIT corpus carries df=0 (max idf):
+    # an out-of-snapshot streamed doc holding it must still score
+    from boon_spark.streaming.relevance_stream import (fit_bm25_model,
+                                                       relevance_stream)
+    ddl = "doc_id string, text string"
+    corpus = spark.createDataFrame(
+        [("d1", "common words only"), ("d2", "more common words")], ddl)
+    queries = spark.createDataFrame(
+        [("q1", "unseen common")], "query_id string, query_text string")
+    model = fit_bm25_model(corpus, queries, max_query_len=8)
+    assert "unseen" in model["idf"]  # df=0 entry present
+    assert model["idf"]["unseen"] > model["idf"]["common"]
+    newdoc = spark.createDataFrame([("x1", "totally unseen topic")], ddl)
+    rows = {(r.doc_id, r.query_id): r.score_int
+            for r in relevance_stream(newdoc, model).collect()}
+    assert ("x1", "q1") in rows and rows[("x1", "q1")] > 0
