@@ -148,3 +148,37 @@ def test_sample_preserves_user_rate_column(spark):
     out = token_budget_sample(df, TARGETS, weight=_weight())
     assert "rate" in out.columns
     assert all(r.rate == 0.123 for r in out.select("rate").collect())
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SRC = ["s1", "s2", "s3", "s4"]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(_SRC + [None]),
+              st.one_of(st.none(), st.integers(0, 500))),
+    min_size=1, max_size=30),
+    weights=st.lists(st.floats(0.01, 10.0, allow_nan=False),
+                     min_size=2, max_size=4))
+def test_mix_stats_cross_engine_fuzz(spark, rows, weights):
+    # the float-parity claim under fire: random corpora and random
+    # target shares through both engines — every IEEE step must agree
+    targets = {s: w for s, w in zip(_SRC, weights)}
+    data = [(i, s, n) for i, (s, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, source string, n_tok long")
+    got = sorted(tuple(r) for r in
+                 mix_stats(df, targets,
+                           weight=F.coalesce(F.col("n_tok"), F.lit(0)))
+                 .collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, source VARCHAR, n_tok BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", data)
+    want = sorted(tuple(w) for w in con.execute(mix_stats_oracle_sql(
+        targets, weight_sql="coalesce(n_tok, 0)", table="t")).fetchall())
+    con.close()
+    assert got == want, f"rows={rows!r} weights={weights!r}"

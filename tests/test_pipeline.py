@@ -86,3 +86,44 @@ def test_no_corpus_self_join_in_plan(spark, tmp_path):
     # exchanges)
     assert "Join" not in plan
     assert "ArrowEvalPython" in plan or "EvalPython" in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "the", "and",
+                         "words", "of", "text", "x1", "..."])
+
+
+@st.composite
+def _pdoc(draw):
+    pick = draw(st.integers(0, 10))
+    if pick == 0:
+        return draw(st.sampled_from([None, "", "  "]))
+    words = draw(st.lists(_word, min_size=1, max_size=10))
+    return " ".join(words)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(docs=st.lists(_pdoc(), min_size=1, max_size=12),
+       frac=st.floats(0.1, 1.0, allow_nan=False))
+def test_curation_pipeline_cross_engine_fuzz(spark, docs, frac):
+    # the full four-stage composition under random corpora and random
+    # sample fractions — duplicates (hypothesis repeats docs often)
+    # exercise the dedup stage, NULL/blank docs the filter stage
+    rows = [(i, "src%d" % (i % 3), t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(tuple(r) for r in
+                 curation_stats(df, sample_fraction=frac,
+                                thresholds=EASY).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR, "
+                "text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)",
+                    [(i, s, t) for i, s, t in rows])
+    want = sorted(tuple(w) for w in con.execute(curation_stats_oracle_sql(
+        sample_fraction=frac, thresholds=EASY)).fetchall())
+    con.close()
+    assert got == want, f"docs={docs!r} frac={frac!r}"
