@@ -732,6 +732,18 @@ def q_chunk_tokens(spark, sf_dir):
         "n_tok", "n_docs")
 
 
+def q_span_dedup(spark, sf_dir):
+    """Span-level duplicate REMOVAL (Lee et al. 2022, k-gram form):
+    tokens covered by a corpus-hot k-gram (document frequency >= 6 —
+    the synthetic boilerplate group spans 6 docs at sf0.01) are deleted
+    from every document; byte-exact surviving content via md5.  Hot set
+    via one count-only aggregation, applied as a row-local coverage
+    mask — the corpus never shuffles."""
+    from boon_spark.operators.tokens import remove_hot_kgram_spans
+    return remove_hot_kgram_spans(
+        _tok_frame(spark, sf_dir, _KGRAM_GEN), 5, min_df=6)
+
+
 def q_token_kgram(spark, sf_dir):
     """Token-level 5-gram duplicate candidates (Lee et al. 2022-style
     duplicated-span detection): shared-prefix groups yield pairs;
@@ -1035,6 +1047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_topk": q_token_topk,
     "oov_stats": q_oov_stats,
     "token_kgram": q_token_kgram,
+    "span_dedup": q_span_dedup,
     "chunk_tokens": q_chunk_tokens,
 }
 
@@ -1301,13 +1314,16 @@ def _packing_oracles() -> dict[str, str]:
 def _tokens_oracles() -> dict[str, str]:
     from boon_spark.operators.packing import materialize_chunks_oracle_sql
     from boon_spark.operators.tokens import (
-        oov_stats_oracle_sql, token_kgram_candidates_oracle_sql,
-        token_topk_oracle_sql, token_windows_oracle_sql)
+        oov_stats_oracle_sql, remove_hot_kgram_spans_oracle_sql,
+        token_kgram_candidates_oracle_sql, token_topk_oracle_sql,
+        token_windows_oracle_sql)
     return {
         "token_topk": token_topk_oracle_sql(20),
         "oov_stats": oov_stats_oracle_sql(900),
         "token_kgram": token_kgram_candidates_oracle_sql(
             5, min_shared=5, gen_sql=_KGRAM_GEN_SQL, max_bucket=40),
+        "span_dedup": remove_hot_kgram_spans_oracle_sql(
+            5, min_df=6, gen_sql=_KGRAM_GEN_SQL),
         "chunk_tokens": materialize_chunks_oracle_sql(128),
         "token_windows": token_windows_oracle_sql(32, 24),
     }

@@ -206,7 +206,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float],
              "contamination", "dedup_clusters", "lsh_topk",
              "bm25_topk", "token_windows", "repetition_metrics",
              "c4_clean", "seq_pack", "pii_mask", "boilerplate",
-             "hash_sample", "token_kgram", "chunk_tokens",
+             "hash_sample", "token_kgram", "span_dedup", "chunk_tokens",
              "curation_pipeline"]
     out: dict[str, float] = {}
     cold: dict[str, float] = {}

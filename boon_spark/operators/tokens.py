@@ -121,16 +121,23 @@ def oov_stats(df: DataFrame, vocab_size: int, *,
     return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
 
 
+def _kgram_hash_at(tokens: Column, p, k: int) -> Column:
+    """md5 hash of the k-window starting at 0-based position ``p`` —
+    the ONE k-gram hash definition (counting, candidacy, and span
+    removal all share it, as do the DuckDB oracles)."""
+    return _hash_shingle(
+        F.array_join(F.transform(F.slice(tokens, p + 1, k),
+                                 lambda t: t.cast("string")), ","),
+        KGRAM_SALT)
+
+
 def _kgram_hashes(tokens: Column, k: int) -> Column:
     """Distinct md5 k-gram hashes of an int array, row-local: hash of
     the comma-joined k-window at each position."""
     n = F.size(tokens)
-    win = lambda p: _hash_shingle(
-        F.array_join(F.transform(F.slice(tokens, p + 1, k),
-                                 lambda t: t.cast("string")), ","),
-        KGRAM_SALT)
     return F.when(n >= k, F.array_distinct(
-        F.transform(F.sequence(F.lit(0), n - k), win))) \
+        F.transform(F.sequence(F.lit(0), n - k),
+                    lambda p: _kgram_hash_at(tokens, p, k)))) \
         .otherwise(F.array().cast("array<long>"))
 
 
@@ -200,6 +207,70 @@ def token_windows(df: DataFrame, window: int, stride: int, *,
         # projection out of whole-stage codegen (CLAUDE.md)
         F.md5(F.array_join(piece.cast("array<string>"), ","))
         .alias("win_md5"))
+
+
+def remove_hot_kgram_spans(df: DataFrame, k: int, *, min_df: int,
+                           tokens_col: str = "tokens",
+                           id_col: str = "doc_id",
+                           max_hot: int = 10_000) -> DataFrame:
+    """Span-level duplicate REMOVAL (the Lee et al. 2022 exact-substring
+    dedup move, k-gram-approximated): every token covered by a k-gram
+    whose corpus document frequency reaches ``min_df`` is deleted from
+    every document.  Returns ``(id_col, n_kept, n_removed, kept_md5)``
+    — ``kept_md5`` is the md5 of the comma-joined surviving tokens
+    (byte-exact content, not just counts).
+
+    The document-level dedup family drops whole near-duplicate
+    documents; this drops the duplicated SPANS themselves — the right
+    tool when distinct documents share boilerplate passages (license
+    headers, navigation text) that training should not memorize.
+
+    Two-phase, same discipline as ``cleaning.remove_boilerplate``:
+    (1) the per-(doc, distinct k-gram) hash frame aggregates document
+    frequencies — the only shuffle, 8-byte rows; (2) hot hashes return
+    to the driver (``max_hot`` guards the broadcast-sized assumption
+    LOUDLY) and are applied as a row-local IN-set coverage mask over
+    the original scan: a token at position ``j`` survives iff no hot
+    k-gram starts in ``[j-k+1, j]``.  The corpus never shuffles.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    counts = (_kgram_exploded(df, k, tokens_col, id_col)
+              .groupBy("h").agg(F.count(F.lit(1)).alias("_df")))
+    hot_rows = (counts.filter(F.col("_df") >= min_df)
+                .orderBy(F.col("_df").desc(), F.col("h").asc())
+                .limit(max_hot + 1).collect())
+    if len(hot_rows) > max_hot:
+        raise ValueError(
+            f"more than max_hot={max_hot} hot k-grams at "
+            f"min_df={min_df}; raise max_hot or min_df "
+            f"(see token_kgram_stats)")
+    hot = [r.h for r in hot_rows]
+
+    toks = F.col(tokens_col)
+    n = F.coalesce(F.size(toks), F.lit(0))
+    n = F.when(n < 0, 0).otherwise(n)  # size(NULL) is -1 pre-coalesce
+    if hot:
+        starts = F.when(n >= k, F.filter(
+            F.sequence(F.lit(0), n - k),
+            lambda p: _kgram_hash_at(toks, p, k).isin(hot))) \
+            .otherwise(F.array().cast("array<int>"))
+        # (element, index) two-parameter lambda — position j survives
+        # iff no hot start covers it
+        kept = F.filter(toks, lambda t, j: ~F.exists(
+            starts, lambda p: (j >= p) & (j <= p + (k - 1))))
+    else:
+        kept = toks  # NULL arrays stay NULL, like the filter branch
+    kept_n = F.coalesce(F.size(kept), F.lit(0))
+    kept_n = F.when(kept_n < 0, 0).otherwise(kept_n)
+    return df.select(
+        F.col(id_col),
+        kept_n.cast("bigint").alias("n_kept"),
+        (n - kept_n).cast("bigint").alias("n_removed"),
+        F.md5(F.array_join(kept.cast("array<string>"), ","))
+        .alias("kept_md5"))
 
 
 def token_kgram_candidates(df: DataFrame, k: int, *,
@@ -405,4 +476,55 @@ def token_windows_oracle_sql(window: int, stride: int, *,
                md5(array_to_string(list_slice(toks, {lo}, {hi}), ','))
                  AS win_md5
         FROM wins
+    """
+
+
+def remove_hot_kgram_spans_oracle_sql(k: int, *, min_df: int,
+                                      gen_sql: str = "doc_id",
+                                      vocab: int = 997) -> str:
+    """Bit-exact reproduction of :func:`remove_hot_kgram_spans` over
+    the synthetic token frame: per-doc DISTINCT k-gram hashes →
+    document frequencies → hot set → position anti-join coverage →
+    md5 of the surviving comma-joined tokens."""
+    kg = ("CAST(concat('0x', substr(md5(concat(array_to_string("
+          f"toks[CAST(p + 1 AS BIGINT):CAST(p + {k} AS BIGINT)], ','), "
+          f"'#{KGRAM_SALT}')), 1, 15)) AS BIGINT)")
+    return f"""
+        WITH t AS ({_synth_cte(gen_sql, vocab)}
+        ), ph AS (
+          SELECT doc_id, p, {kg} AS h
+          FROM (SELECT doc_id, toks,
+                       unnest(range(0, CAST(greatest(len(toks) - {k} + 1,
+                                                     0) AS BIGINT))) AS p
+                FROM tok)
+        ), dfreq AS (
+          SELECT h, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, h FROM ph) GROUP BY h
+        ), hot AS (
+          SELECT h FROM dfreq WHERE df >= {min_df}
+        ), starts AS (
+          SELECT doc_id, p FROM ph WHERE h IN (SELECT h FROM hot)
+        ), jpos AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, CAST(len(toks) AS BIGINT))) AS j
+          FROM tok
+        ), kept AS (
+          SELECT doc_id, j, toks[CAST(j + 1 AS BIGINT)] AS tk
+          FROM jpos
+          WHERE NOT EXISTS (SELECT 1 FROM starts s
+                            WHERE s.doc_id = jpos.doc_id
+                              AND s.p <= j AND j <= s.p + {k - 1})
+        ), agg AS (
+          SELECT tok.doc_id,
+                 coalesce(kc.n_kept, 0) AS n_kept,
+                 md5(coalesce(kc.joined, '')) AS kept_md5,
+                 CAST(len(toks) AS BIGINT) AS n
+          FROM tok LEFT JOIN (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   array_to_string(list(tk ORDER BY j), ',') AS joined
+            FROM kept GROUP BY doc_id) kc ON kc.doc_id = tok.doc_id
+        )
+        SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept,
+               CAST(n - n_kept AS BIGINT) AS n_removed, kept_md5
+        FROM agg
     """

@@ -143,3 +143,40 @@ def test_token_windows_validation(spark):
         token_windows(df, 0, 3)
     with pytest.raises(ValueError, match="window and stride"):
         token_windows(df, 4, 0)
+
+
+def test_remove_hot_kgram_spans_semantics(spark):
+    from boon_spark.operators.tokens import remove_hot_kgram_spans
+    import hashlib
+    # docs a,b share the 3-gram [1,2,3] (df=2 >= min_df); c is unique;
+    # d is short; e is empty
+    rows = [("a", [1, 2, 3, 9]), ("b", [7, 1, 2, 3]),
+            ("c", [4, 5, 6, 8]), ("d", [1, 2]), ("e", [])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {r.doc_id: (r.n_kept, r.n_removed, r.kept_md5)
+           for r in remove_hot_kgram_spans(df, 3, min_df=2).collect()}
+
+    def h(toks):
+        return hashlib.md5(",".join(map(str, toks)).encode()).hexdigest()
+    # a: positions 0-2 covered -> [9]; b: positions 1-3 covered -> [7]
+    assert got["a"] == (1, 3, h([9]))
+    assert got["b"] == (1, 3, h([7]))
+    assert got["c"] == (4, 0, h([4, 5, 6, 8]))
+    assert got["d"] == (2, 0, h([1, 2]))
+    assert got["e"] == (0, 0, h([]))
+
+
+def test_remove_hot_kgram_spans_guards(spark):
+    from boon_spark.operators.tokens import remove_hot_kgram_spans
+    df = spark.createDataFrame([("a", [1, 2, 3]), ("b", [1, 2, 3])],
+                               "doc_id string, tokens array<int>")
+    with pytest.raises(ValueError, match="min_df must be"):
+        remove_hot_kgram_spans(df, 3, min_df=1)
+    with pytest.raises(ValueError, match="k must be"):
+        remove_hot_kgram_spans(df, 0, min_df=2)
+    with pytest.raises(ValueError, match="max_hot"):
+        remove_hot_kgram_spans(df, 2, min_df=2, max_hot=1).collect()
+    # no hot k-grams at high min_df: everything survives
+    out = {r.doc_id: r.n_removed
+           for r in remove_hot_kgram_spans(df, 3, min_df=5).collect()}
+    assert out == {"a": 0, "b": 0}
