@@ -225,13 +225,18 @@ def remove_hot_kgram_spans(df: DataFrame, k: int, *, min_df: int,
     tool when distinct documents share boilerplate passages (license
     headers, navigation text) that training should not memorize.
 
-    Two-phase, same discipline as ``cleaning.remove_boilerplate``:
+    Three-phase, same discipline as ``cleaning.remove_boilerplate``:
     (1) the per-(doc, distinct k-gram) hash frame aggregates document
-    frequencies — the only shuffle, 8-byte rows; (2) hot hashes return
-    to the driver (``max_hot`` guards the broadcast-sized assumption
-    LOUDLY) and are applied as a row-local IN-set coverage mask over
-    the original scan: a token at position ``j`` survives iff no hot
-    k-gram starts in ``[j-k+1, j]``.  The corpus never shuffles.
+    frequencies — 8-byte rows; (2) hot hashes return to the driver
+    (``max_hot`` guards the broadcast-sized assumption LOUDLY) and
+    gate an EXPLODED per-position pass that computes each position's
+    hash exactly once (an in-lambda coverage expression would be
+    re-evaluated per TOKEN — O(n²·k) md5 calls per document, measured
+    10x the whole suite's cost); (3) the per-doc hot-start lists come
+    back through a BROADCAST join (hot rows only — small by the same
+    contract as the hot set) and the coverage mask is a row-local
+    filter: a token at position ``j`` survives iff no hot k-gram
+    starts in ``[j-k+1, j]``.  The corpus itself never shuffles.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -253,19 +258,31 @@ def remove_hot_kgram_spans(df: DataFrame, k: int, *, min_df: int,
     n = F.coalesce(F.size(toks), F.lit(0))
     n = F.when(n < 0, 0).otherwise(n)  # size(NULL) is -1 pre-coalesce
     if hot:
-        starts = F.when(n >= k, F.filter(
-            F.sequence(F.lit(0), n - k),
-            lambda p: _kgram_hash_at(toks, p, k).isin(hot))) \
-            .otherwise(F.array().cast("array<int>"))
-        # (element, index) two-parameter lambda — position j survives
-        # iff no hot start covers it
-        kept = F.filter(toks, lambda t, j: ~F.exists(
-            starts, lambda p: (j >= p) & (j <= p + (k - 1))))
+        # each position hashed ONCE: explode positions, keep hot ones,
+        # list them per doc, broadcast back
+        pos = df.select(
+            F.col(id_col).alias("_sid"),
+            F.explode(F.when(n >= k, F.sequence(F.lit(0), n - k))
+                      .otherwise(F.array().cast("array<int>")))
+            .alias("_p"),
+            toks.alias("_t"))
+        hot_starts = (pos.filter(
+            _kgram_hash_at(F.col("_t"), F.col("_p"), k).isin(hot))
+            .groupBy("_sid")
+            .agg(F.collect_list("_p").alias("_starts")))
+        base = df.join(
+            F.broadcast(hot_starts.withColumnRenamed("_sid", id_col)),
+            id_col, "left")
+        starts = F.col("_starts")
+        kept = F.when(starts.isNull(), toks).otherwise(
+            F.filter(toks, lambda t, j: ~F.exists(
+                starts, lambda p: (j >= p) & (j <= p + (k - 1)))))
     else:
+        base = df
         kept = toks  # NULL arrays stay NULL, like the filter branch
     kept_n = F.coalesce(F.size(kept), F.lit(0))
     kept_n = F.when(kept_n < 0, 0).otherwise(kept_n)
-    return df.select(
+    return base.select(
         F.col(id_col),
         kept_n.cast("bigint").alias("n_kept"),
         (n - kept_n).cast("bigint").alias("n_removed"),
