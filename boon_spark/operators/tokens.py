@@ -233,10 +233,24 @@ def remove_hot_kgram_spans(df: DataFrame, k: int, *, min_df: int,
     hash exactly once (an in-lambda coverage expression would be
     re-evaluated per TOKEN — O(n²·k) md5 calls per document, measured
     10x the whole suite's cost); (3) the per-doc hot-start lists come
-    back through a BROADCAST join (hot rows only — small by the same
-    contract as the hot set) and the coverage mask is a row-local
-    filter: a token at position ``j`` survives iff no hot k-gram
-    starts in ``[j-k+1, j]``.  The corpus itself never shuffles.
+    back through a plain left join on ``doc_id`` and the coverage mask
+    is a row-local filter: a token at position ``j`` survives iff no
+    hot k-gram starts in ``[j-k+1, j]``.
+
+    The hot-start frame is one row per document CONTAINING a hot
+    k-gram — bounded by the affected-document count, NOT by
+    ``max_hot`` (a license-header k-gram hot in 10^9 documents means
+    10^9 rows), and corpus-wide boilerplate is exactly this operator's
+    use case.  So the join must NOT be hinted broadcast: it stays a
+    plain equi-join and AQE broadcasts only when it measures the frame
+    small at runtime (``test_plans_curation`` pins the absence of the
+    hint).  That one doc-keyed shuffle is the scale price of span
+    removal; everything upstream of it exchanges 8-byte hash rows.
+
+    NULL token arrays are treated as EMPTY: ``n_kept = n_removed = 0``
+    and ``kept_md5 = md5('')`` — the same arm the generated oracle
+    produces for length-0 synthetic rows, so the contract is uniform
+    whether the frame ever had a NULL.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -254,12 +268,16 @@ def remove_hot_kgram_spans(df: DataFrame, k: int, *, min_df: int,
             f"(see token_kgram_stats)")
     hot = [r.h for r in hot_rows]
 
-    toks = F.col(tokens_col)
-    n = F.coalesce(F.size(toks), F.lit(0))
-    n = F.when(n < 0, 0).otherwise(n)  # size(NULL) is -1 pre-coalesce
+    # NULL arrays = empty arrays (uniform kept_md5 = md5('') contract)
+    tok_type = df.schema[tokens_col].dataType.simpleString()
+    toks = F.coalesce(F.col(tokens_col), F.array().cast(tok_type))
+    n = F.size(toks)
     if hot:
         # each position hashed ONCE: explode positions, keep hot ones,
-        # list them per doc, broadcast back
+        # list them per doc, join back on the document id.  NO
+        # broadcast hint: hot_starts is bounded by the number of
+        # AFFECTED documents, not by max_hot (see docstring) — AQE may
+        # still broadcast it when it measures small.
         pos = df.select(
             F.col(id_col).alias("_sid"),
             F.explode(F.when(n >= k, F.sequence(F.lit(0), n - k))
@@ -270,18 +288,16 @@ def remove_hot_kgram_spans(df: DataFrame, k: int, *, min_df: int,
             _kgram_hash_at(F.col("_t"), F.col("_p"), k).isin(hot))
             .groupBy("_sid")
             .agg(F.collect_list("_p").alias("_starts")))
-        base = df.join(
-            F.broadcast(hot_starts.withColumnRenamed("_sid", id_col)),
-            id_col, "left")
+        base = df.join(hot_starts.withColumnRenamed("_sid", id_col),
+                       id_col, "left")
         starts = F.col("_starts")
         kept = F.when(starts.isNull(), toks).otherwise(
             F.filter(toks, lambda t, j: ~F.exists(
                 starts, lambda p: (j >= p) & (j <= p + (k - 1)))))
     else:
         base = df
-        kept = toks  # NULL arrays stay NULL, like the filter branch
-    kept_n = F.coalesce(F.size(kept), F.lit(0))
-    kept_n = F.when(kept_n < 0, 0).otherwise(kept_n)
+        kept = toks
+    kept_n = F.size(kept)
     return base.select(
         F.col(id_col),
         kept_n.cast("bigint").alias("n_kept"),

@@ -103,3 +103,21 @@ def test_ranked_topk_plans_as_take_ordered(spark, docs, toks):
         # table is never globally sorted nor moved to one partition
         assert "TakeOrderedAndProject" in plan
         assert "Exchange rangepartitioning" not in plan
+
+
+def test_span_removal_hot_starts_join_is_not_forced_broadcast(spark):
+    from boon_spark.operators.tokens import remove_hot_kgram_spans
+    # shared [1,2,3] prefix makes the 3-gram hot -> the hot_starts join
+    # branch is active
+    rows = [(f"d{i}", [1, 2, 3, 100 + i]) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = remove_hot_kgram_spans(df, 3, min_df=2)
+    # hot_starts is one row per AFFECTED document (corpus-sized when
+    # boilerplate is corpus-wide), so it must NOT carry a broadcast
+    # hint — AQE may still broadcast at runtime when it measures the
+    # frame small, which is the desired behavior.  A hint survives into
+    # the optimized logical plan as `strategy=broadcast`.
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+    # the join itself is still there (left join on the doc id)
+    assert "Join LeftOuter" in logical

@@ -151,7 +151,8 @@ def test_remove_hot_kgram_spans_semantics(spark):
     # docs a,b share the 3-gram [1,2,3] (df=2 >= min_df); c is unique;
     # d is short; e is empty
     rows = [("a", [1, 2, 3, 9]), ("b", [7, 1, 2, 3]),
-            ("c", [4, 5, 6, 8]), ("d", [1, 2]), ("e", [])]
+            ("c", [4, 5, 6, 8]), ("d", [1, 2]), ("e", []),
+            ("f", None)]
     df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
     got = {r.doc_id: (r.n_kept, r.n_removed, r.kept_md5)
            for r in remove_hot_kgram_spans(df, 3, min_df=2).collect()}
@@ -164,6 +165,8 @@ def test_remove_hot_kgram_spans_semantics(spark):
     assert got["c"] == (4, 0, h([4, 5, 6, 8]))
     assert got["d"] == (2, 0, h([1, 2]))
     assert got["e"] == (0, 0, h([]))
+    # NULL arrays = empty arrays: same (0, 0, md5('')) arm as "e"
+    assert got["f"] == (0, 0, h([]))
 
 
 def test_remove_hot_kgram_spans_guards(spark):
