@@ -313,6 +313,7 @@ def cross_table_contamination(corpus: DataFrame, benchmark: DataFrame, *,
                               metric: str = "containment",
                               max_bucket: int = 64,
                               max_df: int = 10_000,
+                              max_hot: int = 10_000,
                               min_shared: int = 1,
                               hash_family: str = "xxhash64") -> DataFrame:
     """Train/benchmark decontamination: documents of ``corpus`` whose
@@ -332,9 +333,11 @@ def cross_table_contamination(corpus: DataFrame, benchmark: DataFrame, *,
       doc that embeds a whole 100-token eval item has Jaccard ~0.01, so
       no band ever collides, while its containment is 1.0.  Skew guard:
       shingles whose corpus document-frequency exceeds ``max_df``
-      (boilerplate) are dropped from the index via a count-only agg +
-      broadcast anti-join; ``min_shared`` requires that many distinct
-      shared shingles before the exact verify.
+      (boilerplate) are dropped from the index via a count-only agg
+      whose hot rows come back to the driver (more than ``max_hot``
+      of them raises LOUDLY — the hot set must stay driver-sized) and
+      apply as row-local IN-set filters; ``min_shared`` requires that
+      many distinct shared shingles before the exact verify.
     - ``metric="jaccard"``: symmetric near-duplicate semantics —
       MinHash banding per TABLE (same pipeline as
       :func:`minhash_lsh_pairs`; the band exchange carries only
@@ -373,10 +376,23 @@ def cross_table_contamination(corpus: DataFrame, benchmark: DataFrame, *,
         tok_c = tokens(sh_c, "corpus_id")
         tok_b = tokens(sh_b, "benchmark_id")
         # shingles are distinct within a document (word_shingles), so
-        # the count per hash IS the corpus document frequency
-        hot = (tok_c.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
-               .filter(F.col("_n") > max_df).select("_h"))
-        tok_c = tok_c.join(F.broadcast(hot), on="_h", how="left_anti")
+        # the count per hash IS the corpus document frequency.  Hot
+        # hashes come back to the driver with the same loud max_hot
+        # guard as cleaning.remove_boilerplate — one row per hot
+        # shingle, broadcast-sized only because the guard PROVES it
+        # (never a silent oversized broadcast) — and gate both sides
+        # as row-local IN-set filters (no joins at all).
+        hot_rows = (tok_c.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") > max_df)
+                    .limit(max_hot + 1).collect())
+        if len(hot_rows) > max_hot:
+            raise ValueError(
+                f"more than max_hot={max_hot} shingle hashes exceed "
+                f"max_df={max_df}; raise max_df or max_hot (the hot "
+                f"set must stay driver/broadcast-sized)")
+        hot = [r._h for r in hot_rows]
+        if hot:
+            tok_c = tok_c.filter(~F.col("_h").isin(hot))
         # SOUND threshold prune (r5): the final filter keeps a pair iff
         # inter/|B| >= t (IEEE double compare), and the non-hot
         # hash-collision count is >= inter − |{s∈B : h(s) hot}|, i.e.
@@ -393,13 +409,17 @@ def cross_table_contamination(corpus: DataFrame, benchmark: DataFrame, *,
         # documented tradeoff.  On vocab-limited text this is the
         # difference between verifying every corpus×benchmark pair
         # sharing ONE 3-gram (202k pairs at sf0.1) and ~the true hits.
-        b_meta = (sh_b.select(F.col("_id").alias("benchmark_id"),
+        b_sizes = sh_b.select(F.col("_id").alias("benchmark_id"),
                               F.size("_sh").alias("_nb"))
-                  .join(tok_b.join(F.broadcast(hot), on="_h")
-                        .groupBy("benchmark_id")
-                        .agg(F.count(F.lit(1)).alias("_hot_b")),
-                        on="benchmark_id", how="left")
-                  .fillna(0, ["_hot_b"]))
+        if hot:
+            b_meta = (b_sizes
+                      .join(tok_b.filter(F.col("_h").isin(hot))
+                            .groupBy("benchmark_id")
+                            .agg(F.count(F.lit(1)).alias("_hot_b")),
+                            on="benchmark_id", how="left")
+                      .fillna(0, ["_hot_b"]))
+        else:
+            b_meta = b_sizes.withColumn("_hot_b", F.lit(0))
         cand = (tok_c.join(F.broadcast(tok_b), on="_h")
                 .groupBy("corpus_id", "benchmark_id")
                 .agg(F.count(F.lit(1)).alias("_shared"))
