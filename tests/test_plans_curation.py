@@ -121,3 +121,24 @@ def test_span_removal_hot_starts_join_is_not_forced_broadcast(spark):
     assert "strategy=broadcast" not in logical
     # the join itself is still there (left join on the doc id)
     assert "Join LeftOuter" in logical
+
+
+def test_split_points_single_pass_no_count(spark):
+    # the split-point sample is a hash-order top-K (one corpus pass,
+    # TakeOrderedAndProject) — never a count + Bernoulli sample (the
+    # count was the packing family's only avoidable scan, r5 finding)
+    from boon_spark.operators.packing import _split_points
+    df = spark.createDataFrame([(f"d{i:03d}", i) for i in range(100)],
+                               "doc_id string, n_tok int")
+    sample_plan = _plan(
+        df.select("doc_id")
+        .orderBy(F.xxhash64(F.col("doc_id").cast("string"), F.lit(1)))
+        .limit(16))
+    assert "TakeOrderedAndProject" in sample_plan
+    pts = _split_points(df, "doc_id", 4, 16, seed=9407)
+    assert pts == sorted(pts) and 0 < len(pts) <= 3
+    # deterministic across invocations (seeded hash order)
+    assert pts == _split_points(df, "doc_id", 4, 16, seed=9407)
+    # empty frame: no split points, no crash (and still no count job)
+    empty = spark.createDataFrame([], "doc_id string, n_tok int")
+    assert _split_points(empty, "doc_id", 4, 16, seed=9407) == []
