@@ -53,6 +53,31 @@ __all__ = ["connected_components", "attach_clusters", "keep_canonical",
            "cluster_size_stats"]
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Release a superseded round's storage blocks NOW, not at the next
+    GC + ContextCleaner sweep (waiting accumulates ~rounds full copies
+    of the edge frame in executor storage).
+
+    ``DataFrame.unpersist()`` is a CacheManager no-op for a
+    ``localCheckpoint``'d frame — its blocks are RDD-level cache behind
+    the ``LogicalRDD`` plan node, not a registered cached query
+    (measured: ``getRDDStorageInfo`` still lists the RDD after the
+    DataFrame-level call, and drops it after the RDD-level one).  So
+    release at the RDD level when the plan is a ``LogicalRDD``, and
+    fall back to the DataFrame-level call for ``persist()``-based
+    checkpoint callables.  Best-effort by design (touches py4j
+    internals): never load-bearing for correctness, and only ever
+    called on frames no longer referenced."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+            return
+    except Exception:
+        pass
+    df.unpersist()
+
+
 def _canonical_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """Distinct undirected edges oriented large-endpoint-first
     ``(u, v)`` with ``u > v`` — the invariant every loop step
@@ -118,7 +143,11 @@ def connected_components(edges: DataFrame, src_col: str = "id_a",
     Raises ``RuntimeError`` if not converged within ``max_iters``
     rounds (the algorithm needs O(log n); 50 covers any realistic
     graph — non-convergence means something is wrong, not that more
-    rounds are needed).
+    rounds are needed).  On success the returned frame carries
+    ``_cc_stats = {"rounds", "edges_start", "edges_end"}`` — the
+    convergence telemetry an unattended 100 TB run should log (same
+    attached-attribute shape as ``token_kgram_candidates``'s
+    ``_cached_kgrams``).
     """
     ck = checkpoint or (lambda df: df.localCheckpoint(eager=True))
 
@@ -131,6 +160,8 @@ def connected_components(edges: DataFrame, src_col: str = "id_a",
 
     cur = ck(_canonical_edges(edges, src_col, dst_col))
     cur_fp = fingerprint(cur)
+    edges_start = cur_fp[0]
+    rounds = 0
     converged = False
     for _ in range(max_iters):
         if cur_fp[0] == 0:  # no edges at all — vacuously converged
@@ -138,18 +169,19 @@ def connected_components(edges: DataFrame, src_col: str = "id_a",
             break
         nxt = ck(_small_star(_large_star(cur)))
         nxt_fp = fingerprint(nxt)
+        rounds += 1
         if nxt_fp == cur_fp and cur.exceptAll(nxt).isEmpty():
             # equal counts + empty one-sided multiset difference
             # ⇒ the distinct sets are identical: true fixed point
-            cur.unpersist()
+            _release_checkpoint(cur)
             converged = True
             cur = nxt
             break
-        # release the superseded round's checkpoint blocks NOW — waiting
-        # for JVM GC + ContextCleaner accumulates ~rounds full copies of
-        # the edge frame in executor storage (nxt is already
-        # materialized by ck/fingerprint, so nothing recomputes)
-        cur.unpersist()
+        # release the superseded round's blocks NOW (RDD-level — the
+        # DataFrame-level call is a no-op for localCheckpoint frames;
+        # nxt is already materialized by ck/fingerprint, so nothing
+        # recomputes)
+        _release_checkpoint(cur)
         cur, cur_fp = nxt, nxt_fp
     if not converged:
         raise RuntimeError(
@@ -164,7 +196,13 @@ def connected_components(edges: DataFrame, src_col: str = "id_a",
                         F.col("v").alias("component")) \
         .union(cur.select(F.col("v").alias("node"),
                           F.col("v").alias("component")))
-    return labels.groupBy("node").agg(F.min("component").alias("component"))
+    out = labels.groupBy("node").agg(F.min("component").alias("component"))
+    # success telemetry (the audit-companion shape): how many
+    # alternating rounds ran and how the edge frame contracted — the
+    # numbers a 100 TB operator should report, not just raise on
+    out._cc_stats = {"rounds": rounds, "edges_start": edges_start,
+                     "edges_end": cur_fp[0]}
+    return out
 
 
 def attach_clusters(df: DataFrame, labels: DataFrame,

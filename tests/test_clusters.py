@@ -159,3 +159,37 @@ def test_labels_parallelism_independent(spark):
     many = {(r.node, r.component)
             for r in connected_components(df.repartition(7)).collect()}
     assert one == many
+
+
+def test_convergence_telemetry_attached(spark):
+    from boon_spark.operators.clusters import connected_components
+    # a path graph forces several alternating rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(16)],
+                                  "id_a int, id_b int")
+    out = connected_components(edges)
+    assert out.count() == 17
+    st = out._cc_stats
+    assert st["edges_start"] == 16
+    assert st["edges_end"] == 16  # star forest: one edge per non-root
+    assert 1 <= st["rounds"] <= 10
+    # vacuous case: zero edges, zero rounds
+    empty = spark.createDataFrame([], "id_a int, id_b int")
+    st0 = connected_components(empty)._cc_stats
+    assert st0 == {"rounds": 0, "edges_start": 0, "edges_end": 0}
+
+
+def test_superseded_rounds_release_storage(spark):
+    # DataFrame.unpersist() is a CacheManager no-op for localCheckpoint
+    # frames (ADVICE r5): the loop must release at the RDD level, so
+    # executor storage holds O(1) edge-frame copies, not O(rounds)
+    from boon_spark.operators.clusters import connected_components
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    edges = spark.createDataFrame([(i, i + 1) for i in range(32)],
+                                  "id_a int, id_b int")
+    out = connected_components(edges)
+    out.count()
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    # only the final fixed-point frame may remain stored (plus whatever
+    # unrelated tests left behind) — superseded rounds must be gone
+    assert after - before <= 1, (before, after)
