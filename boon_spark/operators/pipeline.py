@@ -14,10 +14,11 @@ Stages (all reusing the shared definitions — no re-implementations):
 
 1. **quality filter** — the SQL-expressible subset of the Gopher rules
    over :func:`..repetition.repetition_metrics` columns
-   (:data:`REDUCED_RULES`; thresholds from ``GOPHER_THRESHOLDS``).  The
-   full `gopher_quality_flags` rule set includes line/paragraph metrics
-   whose oracles aren't generated — the reduced set is the documented
-   contract here.  NULL-text rows have NULL metrics, so every
+   (:data:`REDUCED_RULES`; thresholds from ``GOPHER_THRESHOLDS``),
+   including the line/paragraph duplicate fractions (r6 — their oracle
+   CTEs live in ``repetition._NGRAM_CTES``).  Still outside the
+   composed oracle: bullet/ellipsis layout fracs and the n>2 top- /
+   n>5 dup-gram tails.  NULL-text rows have NULL metrics, so every
    comparison is NULL and both engines drop them (SQL three-valued
    logic is the shared semantics).
 2. **exact dedup** — keep the minimum-id document per
@@ -58,6 +59,10 @@ REDUCED_RULES = (
     ("symbol_word_ratio", "swr", "<=", "max_symbol_word_ratio"),
     ("top_2gram_char_frac", "top2", "<=", "max_top_2gram_char_frac"),
     ("dup_5gram_char_frac", "dup5", "<=", "max_dup_5gram_char_frac"),
+    ("dup_line_frac", "dlf", "<=", "max_dup_line_frac"),
+    ("dup_line_char_frac", "dlcf", "<=", "max_dup_line_char_frac"),
+    ("dup_para_frac", "dpf", "<=", "max_dup_para_frac"),
+    ("dup_para_char_frac", "dpcf", "<=", "max_dup_para_char_frac"),
 )
 
 

@@ -275,9 +275,12 @@ def ppm(col: Column) -> Column:
     return F.floor(col * F.lit(1_000_000.0)).cast("bigint")
 
 
-# DuckDB CTEs shared by both oracle generators: normalized words, the
+# DuckDB CTEs shared by the oracle generators: normalized words, the
 # top-2-gram winner (ties: count desc, chars desc, gram asc — the same
-# total order _doc_metrics minimizes), and duplicated-5-gram chars.
+# total order _doc_metrics minimizes), duplicated-5-gram chars, and the
+# RAW-text line/paragraph duplicate fractions (dlf/dlcf/dpf/dpcf —
+# non-empty split parts, NULL text stays NULL, partless text is 0.0,
+# exactly _doc_metrics' arms).
 # ``w[i] || ' ' || w[i+1]`` equals Python's ``' '.join`` exactly, and
 # the CASE guard mirrors "empty text has zero words" (DuckDB
 # string_split('', ' ') would yield ['']).
@@ -318,8 +321,42 @@ norm AS (
 ), d5 AS (
   SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * lg ELSE 0 END) AS chars
   FROM c5 GROUP BY doc_id
+), lc AS (
+  SELECT doc_id, p, count(*) AS c, length(p) AS lp
+  FROM (SELECT doc_id, unnest(list_filter(
+            string_split(text, chr(10)), x -> x <> '')) AS p
+        FROM norm)
+  GROUP BY doc_id, p
+), lmet AS (
+  SELECT doc_id,
+         CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+           AS dlf,
+         CAST(sum(CASE WHEN c >= 2 THEN c * lp ELSE 0 END) AS DOUBLE)
+           / CAST(sum(c * lp) AS DOUBLE) AS dlcf
+  FROM lc GROUP BY doc_id
+), pc AS (
+  SELECT doc_id, p, count(*) AS c, length(p) AS lp
+  FROM (SELECT doc_id, unnest(list_filter(
+            string_split(text, chr(10) || chr(10)), x -> x <> '')) AS p
+        FROM norm)
+  GROUP BY doc_id, p
+), pmet AS (
+  SELECT doc_id,
+         CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+           AS dpf,
+         CAST(sum(CASE WHEN c >= 2 THEN c * lp ELSE 0 END) AS DOUBLE)
+           / CAST(sum(c * lp) AS DOUBLE) AS dpcf
+  FROM pc GROUP BY doc_id
 ), met AS (
   SELECT b.doc_id, b.nw,
+         CASE WHEN b.text IS NULL THEN NULL
+              ELSE coalesce(lmet.dlf, 0.0) END AS dlf,
+         CASE WHEN b.text IS NULL THEN NULL
+              ELSE coalesce(lmet.dlcf, 0.0) END AS dlcf,
+         CASE WHEN b.text IS NULL THEN NULL
+              ELSE coalesce(pmet.dpf, 0.0) END AS dpf,
+         CASE WHEN b.text IS NULL THEN NULL
+              ELSE coalesce(pmet.dpcf, 0.0) END AS dpcf,
          least(1.0, coalesce(CAST(t2.chars AS DOUBLE)
                              / nullif(b.nc, 0), 0.0)) AS top2,
          least(1.0, coalesce(CAST(d5.chars AS DOUBLE)
@@ -343,6 +380,7 @@ norm AS (
               + length(b.text) - length(replace(b.text, '…', ''))
               AS DOUBLE) / greatest(b.nw, 1) AS swr
   FROM base2 b LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+       LEFT JOIN lmet USING (doc_id) LEFT JOIN pmet USING (doc_id)
 )"""
 
 

@@ -21,6 +21,10 @@ DOCS = [
     (6, "srcB", None),                              # NULL text
     (7, "srcA", "yet another unique document with plenty of words inside"),
     (8, "srcB", "numbers 123 456 789 000 111 222"),  # low alpha frac
+    (9, "srcA", "same line here\nsame line here\nsame line here\n"
+                "a unique closing line"),            # dup_line_frac 0.5
+    (10, "srcB", "para one sits right here\n\npara one sits right here"
+                 "\n\nthe closing paragraph text"),  # dup_para_frac 1/3
 ]
 
 
@@ -47,6 +51,9 @@ def test_curate_stage_semantics(spark):
     assert 2 not in out and 3 not in out
     assert 5 not in out and 6 not in out and 8 not in out
     assert 4 in out and 7 in out
+    # the r6 line/paragraph duplicate rules (active at the 0.30/0.20
+    # Gopher defaults — EASY doesn't relax them)
+    assert 9 not in out and 10 not in out
     assert set(out.values()) <= {"train", "val", "test"}
 
 
@@ -101,7 +108,9 @@ def _pdoc(draw):
     if pick == 0:
         return draw(st.sampled_from([None, "", "  "]))
     words = draw(st.lists(_word, min_size=1, max_size=10))
-    return " ".join(words)
+    # newline-bearing joiners exercise the r6 line/para dup rules
+    sep = draw(st.sampled_from([" ", " ", " ", "\n", "\n\n"]))
+    return sep.join(words)
 
 
 @settings(max_examples=12, deadline=None,
