@@ -60,6 +60,21 @@ def fit_bm25_model(corpus: DataFrame, queries: DataFrame, *,
     contributes 0 either way, so the two stay equal)."""
     k1n, k1d, bn, bd = _check_params(k1, b, max_docs, max_query_len,
                                      max_doc_len)
+    # STREAMING-ONLY overflow arm (ADVICE r5): the model scores query
+    # terms ABSENT from the fit corpus at df = 0, whose idf
+    # IDF_SCALE*(2N+1) is ~3x the df=1 bound _check_params certifies —
+    # a streamed document can hit it, the batch operator never can.
+    # Size the guard on the df=0 idf so every score the model can
+    # produce fits the declared int64 Arrow column.
+    idf0_max = IDF_SCALE * (2 * max_docs + 1)
+    tfq_max = (TF_SCALE * (k1n + k1d)) // k1d + 1
+    if max_query_len * idf0_max * tfq_max >= (1 << 63):
+        raise ValueError(
+            f"fit_bm25_model: df=0 idf overflows int64 for streamed "
+            f"documents (max_docs={max_docs}, "
+            f"max_query_len={max_query_len}, k1={k1}) — lower "
+            f"max_docs or max_query_len (the streaming bound is ~3x "
+            f"the batch df=1 bound)")
     qt = _query_terms(queries, query_id_col, query_text_col,
                       max_query_len)
     stats = _corpus_stats(corpus, text_col, max_doc_len).first()

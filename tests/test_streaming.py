@@ -836,3 +836,22 @@ def test_relevance_stream_scores_out_of_corpus_terms(spark):
     rows = {(r.doc_id, r.query_id): r.score_int
             for r in relevance_stream(newdoc, model).collect()}
     assert ("x1", "q1") in rows and rows[("x1", "q1")] > 0
+
+
+def test_fit_bm25_model_df0_overflow_guard(spark):
+    # a param set the BATCH guard accepts (df=1 idf bound) can still
+    # overflow int64 through a df=0 term on a streamed doc — the fit
+    # must size its own guard on the df=0 idf (ADVICE r5)
+    from boon_spark.operators.search import _check_params
+    from boon_spark.streaming.relevance_stream import fit_bm25_model
+    corpus = spark.createDataFrame([("d1", "cat mat")],
+                                   "doc_id string, text string")
+    queries = spark.createDataFrame([("q1", "cat")],
+                                    "query_id string, query_text string")
+    # batch-side guard passes at these params...
+    _check_params((6, 5), (3, 4), 1 << 35, 64, 1 << 10)
+    # ...but the streaming df=0 bound is ~3x higher and must raise
+    import pytest as _pt
+    with _pt.raises(ValueError, match="df=0"):
+        fit_bm25_model(corpus, queries, max_docs=1 << 35,
+                       max_query_len=64, max_doc_len=1 << 10)
