@@ -744,6 +744,21 @@ def q_span_dedup(spark, sf_dir):
         _tok_frame(spark, sf_dir, _KGRAM_GEN), 5, min_df=6)
 
 
+def q_bloom_member(spark, sf_dir):
+    """Deterministic Bloom-filter membership audit (blocklist/seen-set
+    shape): every document key tested against the even-n_chars member
+    subset through a deliberately TINY bitmap (m=512, k=2) so false
+    positives are guaranteed — and reproduced bit-identically by the
+    oracle, which builds the same md5 bloom.  Corpus-side check is a
+    zero-shuffle broadcast-bitmap map; the exact-truth join here exists
+    to price the FP rate."""
+    from boon_spark.operators.membership import membership_report
+    docs = _docs(spark, sf_dir)
+    members = docs.filter(F.col("n_chars") % 2 == 0)
+    return membership_report(docs, members, key_col="doc_id",
+                             m_bits=512, k_hashes=2)
+
+
 def q_token_kgram(spark, sf_dir):
     """Token-level 5-gram duplicate candidates (Lee et al. 2022-style
     duplicated-span detection): shared-prefix groups yield pairs;
@@ -1049,6 +1064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_kgram": q_token_kgram,
     "span_dedup": q_span_dedup,
     "chunk_tokens": q_chunk_tokens,
+    "bloom_member": q_bloom_member,
 }
 
 
@@ -1327,6 +1343,14 @@ def _tokens_oracles() -> dict[str, str]:
         "chunk_tokens": materialize_chunks_oracle_sql(128),
         "token_windows": token_windows_oracle_sql(32, 24),
     }
+
+
+def _bloom_member_oracle() -> str:
+    from boon_spark.operators.membership import membership_report_oracle_sql
+    return membership_report_oracle_sql(
+        members_sql="SELECT doc_id FROM documents WHERE n_chars % 2 = 0",
+        corpus_sql="SELECT doc_id FROM documents",
+        m_bits=512, k_hashes=2)
 
 
 def _lsh_q_stats_oracle() -> str:
@@ -1884,4 +1908,5 @@ def oracle_sql() -> dict[str, str]:
         **_cleaning_oracles(),
         **_packing_oracles(),
         **_tokens_oracles(),
+        "bloom_member": _bloom_member_oracle(),
     }
