@@ -189,6 +189,46 @@ def _postings(corpus: DataFrame, terms: DataFrame, id_col: str,
             .agg(F.count(F.lit(1)).cast("long").alias("tf")))
 
 
+def _bm25_rank_pipeline(corpus: DataFrame, queries: DataFrame, *, k: int,
+                        id_col: str, text_col: str, query_id_col: str,
+                        query_text_col: str, max_query_len: int,
+                        max_doc_len: int, term_score: Column,
+                        agg_score: Column, score_alias: str) -> DataFrame:
+    """The ONE top-k plumbing both scoring variants share (quantized
+    gate + float convenience): persisted query terms and matched
+    postings (the two twice-consumed intermediates — no ReusedExchange
+    forms across a broadcast boundary, measured r5), df aggregate,
+    broadcast joins, per-(query, doc) ``agg_score`` over the caller's
+    ``term_score`` expression (resolved against columns ``df``, ``tf``,
+    ``dl``, ``qtf``, ``n_docs``, ``avg_dl_m``, with the per-term value
+    aliased ``_s``), and the (score desc, doc_id asc) rank window.
+    Keeping this shared is what stops the two variants' cache/join/rank
+    behavior drifting apart."""
+    from pyspark import StorageLevel
+    qterms = _query_terms(queries, query_id_col, query_text_col,
+                          max_query_len).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    stats = _corpus_stats(corpus, text_col, max_doc_len)
+    post = _postings(corpus, qterms, id_col, text_col,
+                     max_doc_len).persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = (post.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    scored = (post.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(qterms), "term")
+              .crossJoin(F.broadcast(stats))
+              .select("query_id", "doc_id", term_score.alias("_s"))
+              .groupBy("query_id", "doc_id")
+              .agg(agg_score.alias(score_alias)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_alias).desc(), F.col("doc_id").asc())
+    out = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("rank") <= k)
+           .select("query_id", "rank", "doc_id", score_alias))
+    out.cached_qterms = qterms
+    out.cached_postings = post
+    return out
+
+
 def bm25_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
               id_col: str = "doc_id", text_col: str = "text",
               query_id_col: str = "query_id",
@@ -207,24 +247,6 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     """
     k1n, k1d, bn, bd = _check_params(k1, b, max_docs, max_query_len,
                                      max_doc_len)
-    from pyspark import StorageLevel
-    # qterms feeds the posting gate AND the score join; post feeds the
-    # df aggregate AND the score join.  Without persistence Spark plans
-    # each consumer as a full recomputation (no ReusedExchange across
-    # the broadcast boundary — measured: 6 corpus/query scans, 2 posting
-    # shuffles); both frames are small by contract, so they are cached
-    # spill-safely for the query's lifetime.  Unpersist handles are
-    # attached to the result as ``cached_qterms``/``cached_postings``
-    # (same contract as token_kgram_candidates' ``_cached_kgrams``).
-    qterms = _query_terms(queries, query_id_col, query_text_col,
-                          max_query_len).persist(
-        StorageLevel.MEMORY_AND_DISK)
-    stats = _corpus_stats(corpus, text_col, max_doc_len)
-    post = _postings(corpus, qterms, id_col, text_col,
-                     max_doc_len).persist(StorageLevel.MEMORY_AND_DISK)
-    dfreq = (post.groupBy("term")
-             .agg(F.count(F.lit(1)).cast("long").alias("df")))
-
     n, adl = F.col("n_docs"), F.col("avg_dl_m")
     idf_int = _idf_expr(F.col("df"), n, max_docs)
     denom = (F.lit(k1d * bd).cast("long") * adl * F.col("tf")
@@ -232,22 +254,12 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
              + F.lit(k1n * bn * 1000).cast("long") * F.col("dl"))
     tfq = _div(F.lit(TF_SCALE * (k1n + k1d) * bd).cast("long")
                * adl * F.col("tf"), denom)
-
-    scored = (post.join(F.broadcast(dfreq), "term")
-              .join(F.broadcast(qterms), "term")
-              .crossJoin(F.broadcast(stats))
-              .select("query_id", "doc_id",
-                      (F.col("qtf") * idf_int * tfq).alias("_s"))
-              .groupBy("query_id", "doc_id")
-              .agg(F.sum("_s").cast("long").alias("score_int")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_int").desc(), F.col("doc_id").asc())
-    out = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-           .filter(F.col("rank") <= k)
-           .select("query_id", "rank", "doc_id", "score_int"))
-    out.cached_qterms = qterms
-    out.cached_postings = post
-    return out
+    return _bm25_rank_pipeline(
+        corpus, queries, k=k, id_col=id_col, text_col=text_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        max_query_len=max_query_len, max_doc_len=max_doc_len,
+        term_score=F.col("qtf") * idf_int * tfq,
+        agg_score=F.sum("_s").cast("long"), score_alias="score_int")
 
 
 def bm25_topk_float(corpus: DataFrame, queries: DataFrame, *, k: int,
@@ -285,16 +297,6 @@ def bm25_topk_float(corpus: DataFrame, queries: DataFrame, *, k: int,
     if not (k1 > 0 and 0.0 <= b <= 1.0):
         raise ValueError(f"k1 must be > 0 and b in [0, 1], "
                          f"got k1={k1}, b={b}")
-    from pyspark import StorageLevel
-    qterms = _query_terms(queries, query_id_col, query_text_col,
-                          max_query_len).persist(
-        StorageLevel.MEMORY_AND_DISK)
-    stats = _corpus_stats(corpus, text_col, max_doc_len)
-    post = _postings(corpus, qterms, id_col, text_col,
-                     max_doc_len).persist(StorageLevel.MEMORY_AND_DISK)
-    dfreq = (post.groupBy("term")
-             .agg(F.count(F.lit(1)).cast("long").alias("df")))
-
     n = F.col("n_docs").cast("double")
     avgdl = F.col("avg_dl_m").cast("double") / F.lit(1000.0)
     idf = F.log(F.lit(1.0) + (n - F.col("df") + 0.5)
@@ -303,21 +305,12 @@ def bm25_topk_float(corpus: DataFrame, queries: DataFrame, *, k: int,
     tfs = (tf * F.lit(k1 + 1.0)
            / (tf + F.lit(k1) * (F.lit(1.0 - b)
                                 + F.lit(b) * F.col("dl") / avgdl)))
-    scored = (post.join(F.broadcast(dfreq), "term")
-              .join(F.broadcast(qterms), "term")
-              .crossJoin(F.broadcast(stats))
-              .select("query_id", "doc_id",
-                      (F.col("qtf") * idf * tfs).alias("_s"))
-              .groupBy("query_id", "doc_id")
-              .agg(F.sum("_s").alias("score")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc())
-    out = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-           .filter(F.col("rank") <= k)
-           .select("query_id", "rank", "doc_id", "score"))
-    out.cached_qterms = qterms
-    out.cached_postings = post
-    return out
+    return _bm25_rank_pipeline(
+        corpus, queries, k=k, id_col=id_col, text_col=text_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        max_query_len=max_query_len, max_doc_len=max_doc_len,
+        term_score=F.col("qtf") * idf * tfs,
+        agg_score=F.sum("_s"), score_alias="score")
 
 
 def bm25_df_stats(corpus: DataFrame, queries: DataFrame, *,
