@@ -207,7 +207,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float],
              "bm25_topk", "token_windows", "repetition_metrics",
              "c4_clean", "seq_pack", "pii_mask", "boilerplate",
              "hash_sample", "token_kgram", "span_dedup", "chunk_tokens",
-             "curation_pipeline"]
+             "curation_pipeline", "bloom_member"]
     out: dict[str, float] = {}
     cold: dict[str, float] = {}
     cache: dict[str, float] = {}
