@@ -759,6 +759,18 @@ def q_bloom_member(spark, sf_dir):
                              m_bits=512, k_hashes=2)
 
 
+def q_source_cap(spark, sf_dir):
+    """Per-source deterministic cap (the per-domain cap of web-corpus
+    curation): keep at most 10 docs per source, chosen by md5 key-hash
+    rank with ascending-id tiebreak — rerun/partitioning-stable, and
+    monotone in k.  The oracle reproduces the same (hash, key)
+    row_number ordering bit-for-bit."""
+    from boon_spark.operators.sampling import group_cap
+    return group_cap(_docs(spark, sf_dir), 10, group_col="source",
+                     key_col="doc_id", seed=3).select(
+        "doc_id", "source", F.col("cap_rank").cast("long").alias("cap_rank"))
+
+
 def q_token_kgram(spark, sf_dir):
     """Token-level 5-gram duplicate candidates (Lee et al. 2022-style
     duplicated-span detection): shared-prefix groups yield pairs;
@@ -1065,6 +1077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "chunk_tokens": q_chunk_tokens,
     "bloom_member": q_bloom_member,
+    "source_cap": q_source_cap,
 }
 
 
@@ -1134,8 +1147,15 @@ def _sampling_oracles() -> dict[str, str]:
     case = split_assign_oracle_case(
         key_sql="doc_id",
         weights={"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
+    from boon_spark.operators.sampling import group_cap_oracle_sql
+    cap_frag = group_cap_oracle_sql(table_sql="documents", k=10,
+                                    group_sql="source", key_sql="doc_id",
+                                    seed=3)
     return {
         "hash_sample": f"SELECT doc_id FROM documents WHERE {where}",
+        "source_cap": ("SELECT doc_id, source, "
+                       "CAST(cap_rank AS BIGINT) AS cap_rank "
+                       f"FROM {cap_frag}"),
         "mix_stats": _mix_stats_oracle(),
         "curation_pipeline": _curation_pipeline_oracle(),
         "nchars_quantiles": _nchars_quantiles_oracle(),

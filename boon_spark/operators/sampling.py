@@ -132,6 +132,49 @@ def split_assign(df: DataFrame, weights: dict, *, key_col: str,
     return df.withColumn(split_col, expr)
 
 
+def group_cap(df: DataFrame, k: int, *, group_col: str, key_col: str,
+              seed: int = 0, hash_family: str = "md5",
+              rank_col: str = "cap_rank") -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen deterministically by
+    key-hash rank — the per-domain / per-source cap every web-corpus
+    curation pipeline applies (cap boilerplate-heavy domains before
+    they dominate the token budget).
+
+    Selection is ``row_number`` over (group, ORDER BY key-hash, key):
+    the kept subset is a pure function of the keys, so it is rerun- and
+    partitioning-stable, and raising ``k`` only ADDS rows (the rank of
+    a surviving row never changes).  Ties on the 60-bit hash are broken
+    by ascending key — the repo-wide oracle-parity rule.
+
+    Scale: ONE shuffle on ``group_col``; the within-group sort is
+    Spark's spillable window sort, so a hot group costs time on one
+    task, never memory.  If a single group can exceed one task's
+    time budget (a 10^9-doc domain), pre-thin it first with
+    ``hash_sample`` at ``fraction ≈ safety·k/count`` and re-apply this
+    exact cap to the survivors — the hash-rank ordering makes the
+    two-stage result identical whenever the pre-thin keeps ≥ k rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+    h = _key_hash(F.col(key_col), seed, hash_family)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (df.withColumn(rank_col, F.row_number().over(w))
+              .filter(F.col(rank_col) <= F.lit(int(k))))
+
+
+def group_cap_oracle_sql(*, table_sql: str, k: int, group_sql: str,
+                         key_sql: str, seed: int = 0,
+                         rank_col: str = "cap_rank") -> str:
+    """DuckDB subquery reproducing md5 ``group_cap`` membership
+    bit-for-bit: same 60-bit integer hash, same (hash, key) ordering."""
+    h = (f"CAST(concat('0x', substr(md5(concat(CAST({key_sql} AS "
+         f"VARCHAR), '#{seed}')), 1, 15)) AS BIGINT)")
+    return (f"(SELECT *, row_number() OVER (PARTITION BY {group_sql} "
+            f"ORDER BY {h} ASC, {key_sql} ASC) AS {rank_col} "
+            f"FROM {table_sql}) WHERE {rank_col} <= {int(k)}")
+
+
 def _uniform_sql(key_sql: str, seed: int) -> str:
     return (f"(CAST(concat('0x', substr(md5(concat(CAST({key_sql} AS "
             f"VARCHAR), '#{seed}')), 1, 15)) AS BIGINT) "

@@ -112,3 +112,35 @@ def test_sample_plan_is_scan_side_filter(keyed):
     plan = hash_sample(keyed, 0.4, key_col="k")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_group_cap_respects_k_and_is_monotone(keyed):
+    from boon_spark.operators.sampling import group_cap
+    out = group_cap(keyed, 20, group_col="s", key_col="k", seed=3)
+    per = {r.s: r["n"] for r in
+           out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert per == {"s0": 20, "s1": 20, "s2": 20}
+    # monotone: k=5 survivors are a subset of k=20 survivors, with the
+    # SAME ranks (raising k only adds rows)
+    small = {(r.k, r.cap_rank) for r in
+             group_cap(keyed, 5, group_col="s", key_col="k",
+                       seed=3).collect()}
+    big = {(r.k, r.cap_rank) for r in out.collect()}
+    assert small <= big and len(small) == 15
+
+
+def test_group_cap_is_partitioning_independent(keyed):
+    from boon_spark.operators.sampling import group_cap
+    a = _ids(group_cap(keyed.repartition(1), 7, group_col="s",
+                       key_col="k", seed=1))
+    b = _ids(group_cap(keyed.repartition(17), 7, group_col="s",
+                       key_col="k", seed=1))
+    c = _ids(group_cap(keyed.orderBy(F.desc("k")), 7, group_col="s",
+                       key_col="k", seed=1))
+    assert a == b == c and len(a) == 21
+
+
+def test_group_cap_rejects_bad_k(keyed):
+    from boon_spark.operators.sampling import group_cap
+    with pytest.raises(ValueError, match=r"k must be >= 1"):
+        group_cap(keyed, 0, group_col="s", key_col="k")
