@@ -771,6 +771,30 @@ def q_source_cap(spark, sf_dir):
         "doc_id", "source", F.col("cap_rank").cast("long").alias("cap_rank"))
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-count over event ids (p=8,
+    raw-estimate regime at sf0.01): integer-exact internals — occupied
+    registers, the scaled harmonic sum, and the raw estimate as one
+    decimal integral division — reproduce bit-identically in the
+    oracle, estimation error included.  Spark's approx_count_distinct
+    can't be verified this way (implementation-defined hashing)."""
+    from boon_spark.operators.sketches import hll_report
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_report(ev, key_col="event_id", p=8).select(
+        "n_occupied", "n_zero", "harmonic_scaled", "est_raw")
+
+
+def q_cms_freq(spark, sf_dir):
+    """Count-Min frequency audit: top-15 n_chars values by exact count
+    with their CMS estimates (depth=3, width=64 — deliberately small so
+    collisions overestimate, reproduced bit-exactly by the oracle which
+    builds the same cells).  est_n >= exact_n always (the Count-Min
+    guarantee)."""
+    from boon_spark.operators.sketches import cms_topk_report
+    return cms_topk_report(_docs(spark, sf_dir), 15, key_col="n_chars",
+                           depth=3, width=64)
+
+
 def q_token_kgram(spark, sf_dir):
     """Token-level 5-gram duplicate candidates (Lee et al. 2022-style
     duplicated-span detection): shared-prefix groups yield pairs;
@@ -1078,6 +1102,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_tokens": q_chunk_tokens,
     "bloom_member": q_bloom_member,
     "source_cap": q_source_cap,
+    "hll_distinct": q_hll_distinct,
+    "cms_freq": q_cms_freq,
 }
 
 
@@ -1362,6 +1388,19 @@ def _tokens_oracles() -> dict[str, str]:
             5, min_df=6, gen_sql=_KGRAM_GEN_SQL),
         "chunk_tokens": materialize_chunks_oracle_sql(128),
         "token_windows": token_windows_oracle_sql(32, 24),
+    }
+
+
+def _sketch_oracles() -> dict[str, str]:
+    from boon_spark.operators.sketches import (cms_topk_oracle_sql,
+                                               hll_report_oracle_sql)
+    return {
+        "hll_distinct": hll_report_oracle_sql(
+            corpus_sql="SELECT event_id FROM events",
+            key_sql="event_id", p=8),
+        "cms_freq": cms_topk_oracle_sql(
+            corpus_sql="SELECT n_chars FROM documents",
+            key_sql="n_chars", k=15, depth=3, width=64),
     }
 
 
@@ -1929,4 +1968,5 @@ def oracle_sql() -> dict[str, str]:
         **_packing_oracles(),
         **_tokens_oracles(),
         "bloom_member": _bloom_member_oracle(),
+        **_sketch_oracles(),
     }
