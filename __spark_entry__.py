@@ -771,6 +771,17 @@ def q_source_cap(spark, sf_dir):
         "doc_id", "source", F.col("cap_rank").cast("long").alias("cap_rank"))
 
 
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization over the events table (gap = 12 hours;
+    median per-user gap at sf0.01 is ~7.3h, so sessions split for
+    real): per-session (n_events, start_ms, end_ms, duration_ms), all
+    integer-exact epoch ms.  Boundaries reproduce bit-exactly in the
+    oracle — same (ts, event_id) ordering, same integer gap test."""
+    from boon_spark.operators.sessions import session_stats
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap="12 hours")
+
+
 def q_hll_distinct(spark, sf_dir):
     """Deterministic HyperLogLog distinct-count over event ids (p=8,
     raw-estimate regime at sf0.01): integer-exact internals — occupied
@@ -1104,6 +1115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cap": q_source_cap,
     "hll_distinct": q_hll_distinct,
     "cms_freq": q_cms_freq,
+    "sessions": q_sessions,
 }
 
 
@@ -1401,7 +1413,15 @@ def _sketch_oracles() -> dict[str, str]:
         "cms_freq": cms_topk_oracle_sql(
             corpus_sql="SELECT n_chars FROM documents",
             key_sql="n_chars", k=15, depth=3, width=64),
+        "sessions": _sessions_oracle(),
     }
+
+
+def _sessions_oracle() -> str:
+    from boon_spark.operators.sessions import session_stats_oracle_sql
+    return session_stats_oracle_sql(
+        events_sql="SELECT user_id, event_id, ts FROM events",
+        gap="12 hours")
 
 
 def _bloom_member_oracle() -> str:
