@@ -771,6 +771,19 @@ def q_source_cap(spark, sf_dir):
         "doc_id", "source", F.col("cap_rank").cast("long").alias("cap_rank"))
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity scoring over the synthetic
+    token corpus (fit == score): per-doc exact-integer NLL in
+    64th-nats via the shared ln-boundary table — Python computes
+    B_i = ceil(e^(i/64)) once, both engines count boundaries <= x, so
+    no float ln ever crosses an engine (the BM25 lesson, taken one
+    step further)."""
+    from boon_spark.operators.lm import fit_bigram_lm, score_bigram_lm
+    tok = _tok_frame(spark, sf_dir, "doc_id")
+    model = fit_bigram_lm(tok)
+    return score_bigram_lm(tok, model)
+
+
 def q_sessions(spark, sf_dir):
     """Gap-based sessionization over the events table (gap = 12 hours;
     median per-user gap at sf0.01 is ~7.3h, so sessions split for
@@ -1116,6 +1129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "cms_freq": q_cms_freq,
     "sessions": q_sessions,
+    "lm_score": q_lm_score,
 }
 
 
@@ -1414,7 +1428,13 @@ def _sketch_oracles() -> dict[str, str]:
             corpus_sql="SELECT n_chars FROM documents",
             key_sql="n_chars", k=15, depth=3, width=64),
         "sessions": _sessions_oracle(),
+        "lm_score": _lm_oracle(),
     }
+
+
+def _lm_oracle() -> str:
+    from boon_spark.operators.lm import score_bigram_lm_oracle_sql
+    return score_bigram_lm_oracle_sql(gen_sql="doc_id")
 
 
 def _sessions_oracle() -> str:

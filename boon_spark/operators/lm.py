@@ -1,0 +1,220 @@
+"""Bigram language-model scoring over token arrays — the CCNet-style
+perplexity filter ("score each document under a reference n-gram LM,
+keep/bucket by perplexity") that every large pretraining-corpus
+pipeline runs.
+
+Model: add-one-smoothed bigram LM.  For each adjacent token pair
+(w1, w2) the negative log-likelihood contribution is
+``ln((c1 + V) / (c12 + 1))`` — c12 = corpus count of the bigram,
+c1 = corpus count of the unigram, V = vocabulary size.
+
+Cross-engine exactness is the hard part: ``ln()`` is the BM25 float
+problem again (engines differ in the last ulp; sums and rank ties
+flip).  The fix here is stronger than quantized rationals: a
+**shared integer boundary table**.  Python computes, once,
+``B_i = ceil(e^(i/64))`` for i = 1..n_steps, and BOTH engines define
+
+    q64(x) = #{ i : B_i <= x }   (= floor(64·ln x) up to boundary
+                                    rounding — resolution 1/64 nat)
+
+as a pure INTEGER count against that table — the engine via a
+vectorized ``np.searchsorted`` on the broadcast array, the oracle via
+a VALUES list.  No float ever crosses an engine boundary, so scores
+are bit-identical by construction.  Per-bigram score s = q64(c12+1) −
+q64(c1+V) ≤ 0; the document's ``nll_q64 = −Σs`` is an exact bigint
+("64th-nats"), and ``avg_nll_mq64 = 1000·nll_q64 DIV n_bigrams`` is
+the integer per-token quality score to threshold on.
+
+Scale shape (10^12 tokens): fit = one explode + groupBy per n-gram
+order (the exchanges carry (int, int, count) rows); scoring = pairs
+explode joined against the count frames — the bigram join is the big
+shuffle, and q64 is applied to the (distinct-bigram / distinct-unigram)
+COUNT frames before the join, never per corpus row.  The boundary
+table is a few KB broadcast.
+
+Counts exceeding the last boundary raise loudly (engine-side
+ValueError inside the q64 kernel) — raise ``n_steps`` to extend the
+range: 768 steps cover counts up to e^12 ≈ 162k, 1920 up to e^30 ≈
+10^13 (one literal per step, still KBs).
+
+Unigram counts are over ALL token occurrences (not just context
+positions) — a documented simplification mirrored exactly in the
+oracle.  Documents with fewer than 2 tokens have no bigrams and do
+not appear in the output.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ln64_bounds", "fit_bigram_lm", "score_bigram_lm",
+           "score_bigram_lm_oracle_sql"]
+
+#: q64 resolution: 64 steps per nat
+LN64_R = 64
+
+#: default boundary-table size — covers counts up to ceil(e^12) = 162755
+LM_STEPS_DEFAULT = 768
+
+
+def ln64_bounds(n_steps: int = LM_STEPS_DEFAULT) -> np.ndarray:
+    """The shared integer boundary table ``B_i = ceil(e^(i/64))``,
+    i = 1..n_steps, ascending with duplicates (small i repeat the same
+    integer — the duplicates ARE the step function).  Computed once in
+    Python and rendered into both engines, so any float rounding here
+    is shared, not divergent."""
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    return np.array([math.ceil(math.exp(i / LN64_R))
+                     for i in range(1, n_steps + 1)], dtype=np.int64)
+
+
+def _pairs(df: DataFrame, tokens_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair.  Row-local
+    (``arrays_zip`` of two slices is a plain expression, not a HOF);
+    docs with <2 tokens are filtered before the slice so the -length
+    slice can't trip ANSI mode."""
+    t = F.col(tokens_col)
+    z = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"))
+    return (df.filter(F.size(t) >= 2)
+              .select(F.col(id_col), F.explode(z).alias("p"))
+              .select(id_col,
+                      F.col("p.w1").cast("long").alias("w1"),
+                      F.col("p.w2").cast("long").alias("w2")))
+
+
+def fit_bigram_lm(df: DataFrame, *, tokens_col: str = "tokens",
+                  id_col: str = "doc_id",
+                  n_steps: int = LM_STEPS_DEFAULT) -> dict:
+    """Fit the count model: ``{"uni": DF(w1, c1), "bi": DF(w1, w2,
+    c12), "vocab": int, "bounds": np.ndarray, "n_steps": int}``.
+    Two explode+groupBy passes; the count frames stay distributed
+    (never collected) — only V, a single int, reaches the driver."""
+    t = F.col(tokens_col)
+    uni = (df.select(F.explode(t).alias("_w"))
+             .select(F.col("_w").cast("long").alias("w1"))
+             .groupBy("w1")
+             .agg(F.count(F.lit(1)).cast("long").alias("c1")))
+    bi = (_pairs(df, tokens_col, id_col)
+          .groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).cast("long").alias("c12")))
+    vocab = uni.count()
+    return {"uni": uni, "bi": bi, "vocab": int(vocab),
+            "bounds": ln64_bounds(n_steps), "n_steps": int(n_steps)}
+
+
+def _q64_udf(spark, bounds: np.ndarray):
+    b_bounds = spark.sparkContext.broadcast(bounds)
+
+    @F.pandas_udf("long")
+    def q64(x: pd.Series) -> pd.Series:
+        b = b_bounds.value
+        vals = x.to_numpy()
+        over = vals > b[-1]
+        if over.any():
+            bad = int(vals[over][0])
+            raise ValueError(
+                f"q64 argument {bad} exceeds the boundary table "
+                f"(max {int(b[-1])}) — raise n_steps")
+        return pd.Series(np.searchsorted(b, vals, side="right"))
+
+    return q64
+
+
+def score_bigram_lm(df: DataFrame, model: dict, *,
+                    tokens_col: str = "tokens",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document LM score under the fitted model: ``(id, n_bigrams,
+    nll_q64, avg_nll_mq64)`` — all exact integers (see module doc).
+    Unseen bigrams smooth to c12 = 0 (q64(1) = 0); unseen context
+    unigrams to c1 = 0.  q64 runs over the COUNT frames (distinct
+    n-grams), never per corpus row."""
+    spark = df.sparkSession
+    q64 = _q64_udf(spark, model["bounds"])
+    v = int(model["vocab"])
+    biq = model["bi"].withColumn("qn", q64(F.col("c12") + 1))
+    uniq = model["uni"].withColumn("qd", q64(F.col("c1") + F.lit(v)))
+    pairs = _pairs(df, tokens_col, id_col)
+    # unseen w1: qd is NULL -> contribution is q64(0 + V), computed
+    # once driver-side with the same searchsorted definition
+    q_v = int(np.searchsorted(model["bounds"],
+                              np.int64(v), side="right"))
+    scored = (pairs
+              .join(biq, ["w1", "w2"], "left")
+              .join(uniq, ["w1"], "left")
+              .select(id_col,
+                      (F.coalesce(F.col("qn"), F.lit(0))
+                       - F.coalesce(F.col("qd"), F.lit(q_v)))
+                      .alias("s")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 (-F.sum("s")).cast("long").alias("nll_q64"))
+            .withColumn("avg_nll_mq64",
+                        F.expr("(nll_q64 * 1000) div n_bigrams")
+                        .cast("long")))
+
+
+def score_bigram_lm_oracle_sql(*, gen_sql: str = "doc_id",
+                               vocab: int = 997,
+                               n_steps: int = LM_STEPS_DEFAULT) -> str:
+    """DuckDB reproduction over the shared synthetic-token corpus
+    (fit corpus == scored corpus, like the gate): same counts, same
+    boundary table rendered as a VALUES list, same integer q64 —
+    scores match bit-for-bit."""
+    from .tokens import _synth_cte
+    bounds = ln64_bounds(n_steps)
+    vals = ", ".join(f"({int(b)})" for b in bounds)
+    return f"""
+        WITH t AS ({_synth_cte(gen_sql, vocab)}
+        ), bounds(b) AS (VALUES {vals}
+        ), pairs AS (
+          SELECT doc_id,
+                 CAST(toks[i + 1] AS BIGINT) AS w1,
+                 CAST(toks[i + 2] AS BIGINT) AS w2
+          FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(n - 1 AS BIGINT))) AS i
+            FROM tok WHERE n >= 2)
+        ), uni AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS c1
+          FROM (SELECT CAST(unnest(toks) AS BIGINT) AS w1 FROM tok)
+          GROUP BY w1
+        ), voc AS (
+          SELECT count(*) AS v FROM uni
+        ), bi AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM pairs GROUP BY w1, w2
+        ), vals AS (
+          SELECT DISTINCT c12 + 1 AS x FROM bi
+          UNION
+          SELECT DISTINCT c1 + (SELECT v FROM voc) AS x FROM uni
+        ), qmap AS (
+          SELECT x, (SELECT count(*) FROM bounds WHERE b <= x) AS q
+          FROM vals
+        ), biq AS (
+          SELECT bi.w1, bi.w2, qm.q AS qn
+          FROM bi JOIN qmap qm ON qm.x = bi.c12 + 1
+        ), uniq_ AS (
+          SELECT uni.w1, qm.q AS qd
+          FROM uni JOIN qmap qm
+            ON qm.x = uni.c1 + (SELECT v FROM voc)
+        ), scored AS (
+          SELECT p.doc_id, biq.qn - uniq_.qd AS s
+          FROM pairs p
+          JOIN biq ON biq.w1 = p.w1 AND biq.w2 = p.w2
+          JOIN uniq_ ON uniq_.w1 = p.w1
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(-sum(s) AS BIGINT) AS nll_q64,
+               CAST((-sum(s) * 1000) // count(*) AS BIGINT)
+                 AS avg_nll_mq64
+        FROM scored GROUP BY doc_id
+    """

@@ -1,0 +1,104 @@
+"""Bigram LM scoring (operators/lm.py).
+
+The DuckDB oracle gate (`lm_score` in test_oracle_parity) pins
+cross-engine bit-exactness; this file pins the q64 integer-log
+definition, hand-computed scores on a tiny corpus, the
+out-of-range guard, and the discriminative property the filter exists
+for (repetitive text scores lower NLL than novel text).
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from boon_spark.operators.lm import (fit_bigram_lm, ln64_bounds,
+                                     score_bigram_lm)
+
+
+def _q64(bounds, x):
+    return int(np.searchsorted(bounds, np.int64(x), side="right"))
+
+
+def test_ln64_bounds_definition():
+    b = ln64_bounds(768)  # covers x <= e^12 = 162755
+    assert b[0] == 2 and (np.diff(b) >= 0).all()
+    # q64(x) approximates floor(64 ln x) within 1 step (in range)
+    for x in (1, 2, 3, 10, 100, 7919, 162000):
+        q = _q64(b, x)
+        assert abs(q - 64 * math.log(x)) <= 1.0 + 1e-9
+    assert _q64(b, 1) == 0
+    with pytest.raises(ValueError, match=r"n_steps"):
+        ln64_bounds(0)
+
+
+def test_hand_computed_scores(spark):
+    # corpus: doc a = [1,2,1,2,1], doc b = [1,3]
+    df = spark.createDataFrame(
+        [("a", [1, 2, 1, 2, 1]), ("b", [1, 3])],
+        "doc_id string, tokens array<int>")
+    model = fit_bigram_lm(df)
+    v = model["vocab"]
+    assert v == 3  # {1, 2, 3}
+    bi = {(r.w1, r.w2): r.c12 for r in model["bi"].collect()}
+    uni = {r.w1: r.c1 for r in model["uni"].collect()}
+    assert bi == {(1, 2): 2, (2, 1): 2, (1, 3): 1}
+    assert uni == {1: 4, 2: 2, 3: 1}
+    b = model["bounds"]
+    out = {r.doc_id: r for r in score_bigram_lm(df, model).collect()}
+
+    def s(c12, c1):
+        return _q64(b, c12 + 1) - _q64(b, c1 + v)
+
+    nll_a = -(2 * s(2, 4) + 2 * s(2, 2))        # 1-2,2-1,1-2,2-1
+    nll_b = -(s(1, 4))                           # 1-3
+    assert out["a"].n_bigrams == 4 and out["a"].nll_q64 == nll_a
+    assert out["b"].n_bigrams == 1 and out["b"].nll_q64 == nll_b
+    assert out["a"].avg_nll_mq64 == (nll_a * 1000) // 4
+    # single-token / empty docs produce no row
+    df2 = df.union(spark.createDataFrame(
+        [("c", [7]), ("d", [])], "doc_id string, tokens array<int>"))
+    assert score_bigram_lm(df2, model).filter(
+        F.col("doc_id").isin("c", "d")).count() == 0
+
+
+def test_out_of_range_raises(spark):
+    df = spark.createDataFrame(
+        [("a", [1] * 200)], "doc_id string, tokens array<int>")
+    model = fit_bigram_lm(df, n_steps=64)  # covers counts <= e^1 = 3
+    with pytest.raises(Exception, match=r"q64 argument .* exceeds"):
+        score_bigram_lm(df, model).collect()
+
+
+def test_repetitive_scores_below_novel(spark):
+    # the filter's raison d'etre: a doc of one repeated bigram scores
+    # far lower per-token NLL than a doc of all-unique bigrams
+    rep = [5, 6] * 50
+    novel = list(range(100, 200))
+    filler = [[i % 7, (i + 1) % 7, (i + 2) % 7] for i in range(30)]
+    rows = [("rep", rep), ("novel", novel)] + [
+        (f"f{i}", t) for i, t in enumerate(filler)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    model = fit_bigram_lm(df)
+    out = {r.doc_id: r.avg_nll_mq64
+           for r in score_bigram_lm(df, model).collect()}
+    assert out["rep"] < out["novel"]
+
+
+def test_q64_runs_on_count_frames_not_pairs(spark):
+    """The Arrow kernel must annotate the (distinct-ngram) count frames
+    — exactly two ArrowEvalPython nodes, each ABOVE an aggregate, never
+    over the exploded pairs."""
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3, 1, 2])], "doc_id string, tokens array<int>")
+    model = fit_bigram_lm(df)
+    plan = score_bigram_lm(df, model) \
+        ._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    arrow = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
+    assert len(arrow) == 2, plan
+    # each kernel's direct child is the n-gram count aggregate — the
+    # UDF consumes (distinct-ngram, count) rows, never exploded pairs
+    for i in arrow:
+        assert "HashAggregate" in lines[i + 1], plan
