@@ -102,3 +102,54 @@ def test_q64_runs_on_count_frames_not_pairs(spark):
     # UDF consumes (distinct-ngram, count) rows, never exploded pairs
     for i in arrow:
         assert "HashAggregate" in lines[i + 1], plan
+
+
+def test_lm_stream_matches_batch(spark, tmp_path):
+    """Stateless stream scoring == batch integers, both on a real
+    micro-batched stream and in batch mode (the scorer is mode-
+    agnostic by construction)."""
+    from boon_spark.streaming.lm_stream import (collect_lm_model,
+                                                lm_score_stream)
+    rows = [(f"d{i}", [(i * 7 + j) % 23 for j in range(5 + i % 4)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    model = fit_bigram_lm(df)
+    lm = collect_lm_model(model)
+    want = {(r.doc_id, r.n_bigrams, r.nll_q64, r.avg_nll_mq64)
+            for r in score_bigram_lm(df, model).collect()}
+    # batch mode
+    got_b = {(r.doc_id, r.n_bigrams, r.nll_q64, r.avg_nll_mq64)
+             for r in lm_score_stream(df, lm).collect()}
+    assert got_b == want
+    # real stream, two micro-batches; an unseen-token doc must score
+    # via the df=0 smoothing arms without error
+    path = str(tmp_path / "lm_in")
+    df.limit(20).coalesce(1).write.parquet(path + "/p1")
+    extra = spark.createDataFrame(
+        [("novel", [900, 901, 902])], "doc_id string, tokens array<int>")
+    df.subtract(df.limit(20)).union(extra) \
+        .coalesce(1).write.parquet(path + "/p2")
+    stream = (spark.readStream
+              .schema("doc_id string, tokens array<int>")
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    q = (lm_score_stream(stream, lm).writeStream.format("memory")
+         .queryName("t_lm").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got_s = {(r.doc_id, r.n_bigrams, r.nll_q64, r.avg_nll_mq64)
+             for r in spark.sql("select * from t_lm").collect()}
+    novel = {t for t in got_s if t[0] == "novel"}
+    assert got_s - novel == want
+    # unseen bigrams: qn = q64(1) = 0, unseen context = q64(V) each
+    (_, n, nll, avg) = next(iter(novel))
+    assert n == 2 and nll > 0
+
+
+def test_collect_lm_model_guard(spark):
+    from boon_spark.streaming.lm_stream import collect_lm_model
+    df = spark.createDataFrame(
+        [("a", list(range(30)))], "doc_id string, tokens array<int>")
+    model = fit_bigram_lm(df)
+    with pytest.raises(ValueError, match=r"max_ngrams"):
+        collect_lm_model(model, max_ngrams=10)
