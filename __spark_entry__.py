@@ -784,6 +784,16 @@ def q_lm_score(spark, sf_dir):
     return score_bigram_lm(tok, model)
 
 
+def q_pmi_topk(spark, sf_dir):
+    """Top-20 token collocations by quantized PMI (min_count=3) over
+    the synthetic token corpus — four-term integer PMI on the shared
+    ln-boundary table (no products, overflow-free at any corpus
+    size), total order (pmi desc, w1, w2)."""
+    from boon_spark.operators.lm import pmi_collocations
+    return pmi_collocations(_tok_frame(spark, sf_dir, "doc_id"), 20,
+                            min_count=3)
+
+
 def q_sessions(spark, sf_dir):
     """Gap-based sessionization over the events table (gap = 12 hours;
     median per-user gap at sf0.01 is ~7.3h, so sessions split for
@@ -1130,6 +1140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_freq": q_cms_freq,
     "sessions": q_sessions,
     "lm_score": q_lm_score,
+    "pmi_topk": q_pmi_topk,
 }
 
 
@@ -1429,12 +1440,19 @@ def _sketch_oracles() -> dict[str, str]:
             key_sql="n_chars", k=15, depth=3, width=64),
         "sessions": _sessions_oracle(),
         "lm_score": _lm_oracle(),
+        "pmi_topk": _pmi_oracle(),
     }
 
 
 def _lm_oracle() -> str:
     from boon_spark.operators.lm import score_bigram_lm_oracle_sql
     return score_bigram_lm_oracle_sql(gen_sql="doc_id")
+
+
+def _pmi_oracle() -> str:
+    from boon_spark.operators.lm import pmi_collocations_oracle_sql
+    return pmi_collocations_oracle_sql(20, gen_sql="doc_id",
+                                       min_count=3)
 
 
 def _sessions_oracle() -> str:

@@ -207,7 +207,8 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float],
              "bm25_topk", "token_windows", "repetition_metrics",
              "c4_clean", "seq_pack", "pii_mask", "boilerplate",
              "hash_sample", "token_kgram", "span_dedup", "chunk_tokens",
-             "curation_pipeline", "bloom_member"]
+             "curation_pipeline", "bloom_member", "sessions",
+             "lm_score", "hll_distinct"]
     out: dict[str, float] = {}
     cold: dict[str, float] = {}
     cache: dict[str, float] = {}

@@ -53,7 +53,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["ln64_bounds", "fit_bigram_lm", "score_bigram_lm",
-           "score_bigram_lm_oracle_sql"]
+           "score_bigram_lm_oracle_sql", "pmi_collocations",
+           "pmi_collocations_oracle_sql"]
 
 #: q64 resolution: 64 steps per nat
 LN64_R = 64
@@ -217,4 +218,120 @@ def score_bigram_lm_oracle_sql(*, gen_sql: str = "doc_id",
                CAST((-sum(s) * 1000) // count(*) AS BIGINT)
                  AS avg_nll_mq64
         FROM scored GROUP BY doc_id
+    """
+
+
+def pmi_collocations(df: DataFrame, k: int, *,
+                     tokens_col: str = "tokens",
+                     id_col: str = "doc_id", min_count: int = 3,
+                     n_steps: int = LM_STEPS_DEFAULT) -> DataFrame:
+    """Top-``k`` token collocations by quantized PMI — the vocabulary
+    curation staple ("which token pairs co-occur far above chance") on
+    the same exact-integer footing as the LM score.
+
+    PMI = ln(c12·N / (c1·c2)) is DEFINED here as the integer
+
+        pmi_q64 = q64(c12) + q64(N) − q64(c1) − q64(c2)
+
+    — each term a boundary-table count on a bare COUNT (never a
+    product, so nothing can overflow int64 at any corpus size; the
+    additivity error vs a true log of the ratio is ≤ 4 steps = 1/16
+    nat, constant and shared by both engines).  c1/c2 are the pair
+    marginals (w as first / second element), N the total pair count.
+    ``min_count`` prunes rare pairs (PMI on hapax pairs is noise —
+    standard practice, and it keeps the oracle's q-map small).
+    Output ``(rank, w1, w2, c12, pmi_q64)`` by (pmi desc, w1, w2) —
+    orderBy+limit plans as TakeOrderedAndProject, then the rank window
+    runs over k survivors only (the ranked_topk shape)."""
+    from pyspark.sql.window import Window
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    spark = df.sparkSession
+    bounds = ln64_bounds(n_steps)
+    q64 = _q64_udf(spark, bounds)
+    bi = (_pairs(df, tokens_col, id_col)
+          .groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).cast("long").alias("c12")))
+    n_pairs = bi.agg(F.sum("c12")).first()[0]
+    if n_pairs is None or n_pairs == 0:
+        return spark.createDataFrame(
+            [], "rank long, w1 long, w2 long, c12 long, pmi_q64 long")
+    q_n = int(np.searchsorted(bounds, np.int64(n_pairs), side="right"))
+    if int(n_pairs) > int(bounds[-1]):
+        raise ValueError(
+            f"total pair count {n_pairs} exceeds the boundary table "
+            f"(max {int(bounds[-1])}) — raise n_steps")
+    c1 = bi.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    c2 = bi.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    cand = (bi.filter(F.col("c12") >= F.lit(int(min_count)))
+              .join(c1, "w1").join(c2, "w2")
+              .withColumn("pmi_q64",
+                          (q64(F.col("c12")) + F.lit(q_n)
+                           - q64(F.col("c1")) - q64(F.col("c2")))
+                          .cast("long")))
+    order = [F.col("pmi_q64").desc(), F.col("w1").asc(),
+             F.col("w2").asc()]
+    top = cand.orderBy(*order).limit(int(k))
+    w = Window.orderBy(*order)
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "w1", "w2", "c12", "pmi_q64"))
+
+
+def pmi_collocations_oracle_sql(k: int, *, gen_sql: str = "doc_id",
+                                vocab: int = 997, min_count: int = 3,
+                                n_steps: int = LM_STEPS_DEFAULT) -> str:
+    """Bit-exact DuckDB reproduction of :func:`pmi_collocations` over
+    the shared synthetic-token corpus — same boundary table, same
+    four-term integer PMI, same (pmi desc, w1, w2) total order."""
+    from .tokens import _synth_cte
+    bounds = ln64_bounds(n_steps)
+    vals = ", ".join(f"({int(b)})" for b in bounds)
+    return f"""
+        WITH t AS ({_synth_cte(gen_sql, vocab)}
+        ), bounds(b) AS (VALUES {vals}
+        ), pairs AS (
+          SELECT CAST(toks[i + 1] AS BIGINT) AS w1,
+                 CAST(toks[i + 2] AS BIGINT) AS w2
+          FROM (
+            SELECT toks,
+                   unnest(range(0, CAST(n - 1 AS BIGINT))) AS i
+            FROM tok WHERE n >= 2)
+        ), bi AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM pairs GROUP BY w1, w2
+        ), tot AS (
+          SELECT CAST(sum(c12) AS BIGINT) AS n FROM bi
+        ), m1 AS (
+          SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY w1
+        ), m2 AS (
+          SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bi GROUP BY w2
+        ), vals_ AS (
+          SELECT DISTINCT c12 AS x FROM bi WHERE c12 >= {int(min_count)}
+          UNION SELECT DISTINCT c1 FROM m1
+          UNION SELECT DISTINCT c2 FROM m2
+          UNION SELECT n FROM tot
+        ), qmap AS (
+          SELECT x, (SELECT count(*) FROM bounds WHERE b <= x) AS q
+          FROM vals_
+        ), cand AS (
+          SELECT bi.w1, bi.w2, bi.c12,
+                 q12.q + qn.q - q1.q - q2.q AS pmi_q64
+          FROM bi
+          JOIN m1 ON m1.w1 = bi.w1
+          JOIN m2 ON m2.w2 = bi.w2
+          JOIN qmap q12 ON q12.x = bi.c12
+          JOIN qmap q1 ON q1.x = m1.c1
+          JOIN qmap q2 ON q2.x = m2.c2
+          JOIN tot ON true
+          JOIN qmap qn ON qn.x = tot.n
+          WHERE bi.c12 >= {int(min_count)}
+        )
+        SELECT CAST(row_number() OVER
+                 (ORDER BY pmi_q64 DESC, w1 ASC, w2 ASC) AS BIGINT)
+                 AS rank,
+               w1, w2, c12, CAST(pmi_q64 AS BIGINT) AS pmi_q64
+        FROM cand
+        ORDER BY rank LIMIT {int(k)}
     """

@@ -153,3 +153,32 @@ def test_collect_lm_model_guard(spark):
     model = fit_bigram_lm(df)
     with pytest.raises(ValueError, match=r"max_ngrams"):
         collect_lm_model(model, max_ngrams=10)
+
+
+def test_pmi_collocations(spark):
+    from boon_spark.operators.lm import pmi_collocations
+    # pair (100, 200) co-occurs ONLY together; filler pairs are spread
+    rows = [(f"p{i}", [100, 200]) for i in range(6)]
+    rows += [(f"f{i}", [i % 5, (i * 3) % 5, (i * 7) % 5, (i + 1) % 5])
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = pmi_collocations(df, 5, min_count=3).collect()
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    top = out[0]
+    assert (top.w1, top.w2) == (100, 200) and top.c12 == 6
+    # exclusive pair: q64-PMI within 4 steps of 64*ln(c12*N/(c1*c2))
+    import math
+    n = sum(len(t) - 1 for _, t in rows)
+    true = 64 * math.log(6 * n / (6 * 6))
+    assert abs(top.pmi_q64 - true) <= 4 + 1
+    with pytest.raises(ValueError, match=r"k must be"):
+        pmi_collocations(df, 0)
+    with pytest.raises(ValueError, match=r"min_count"):
+        pmi_collocations(df, 3, min_count=0)
+
+
+def test_pmi_empty_corpus(spark):
+    from boon_spark.operators.lm import pmi_collocations
+    df = spark.createDataFrame([("a", [7])],
+                               "doc_id string, tokens array<int>")
+    assert pmi_collocations(df, 5).count() == 0
