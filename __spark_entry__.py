@@ -784,6 +784,29 @@ def q_lm_score(spark, sf_dir):
     return score_bigram_lm(tok, model)
 
 
+def q_event_windows(spark, sf_dir):
+    """Tumbling 6-hour event-time windows per event_type — the
+    fixed-window counterpart of `sessions`, epoch-aligned exactly like
+    Spark's built-in F.window so the streaming variant (native
+    watermark + windowed agg) emits the same integers (pinned)."""
+    from boon_spark.operators.windows import window_counts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return window_counts(ev, window="6 hours", group_col="event_type")
+
+
+def q_source_topk(spark, sf_dir):
+    """Per-source top-3 token ids (heavy hitters per group) over the
+    synthetic token corpus — (n desc, token asc) rank within each
+    source."""
+    from boon_spark.operators.cleaning import group_topk
+    tok = _tok_frame(spark, sf_dir, "doc_id")
+    agg = (tok.select("source", F.explode("tokens").alias("token"))
+           .groupBy("source", "token")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+           .withColumn("token", F.col("token").cast("bigint")))
+    return group_topk(agg, 3, group_col="source")
+
+
 def q_pmi_topk(spark, sf_dir):
     """Top-20 token collocations by quantized PMI (min_count=3) over
     the synthetic token corpus — four-term integer PMI on the shared
@@ -1141,6 +1164,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions": q_sessions,
     "lm_score": q_lm_score,
     "pmi_topk": q_pmi_topk,
+    "event_windows": q_event_windows,
+    "source_topk": q_source_topk,
 }
 
 
@@ -1441,7 +1466,36 @@ def _sketch_oracles() -> dict[str, str]:
         "sessions": _sessions_oracle(),
         "lm_score": _lm_oracle(),
         "pmi_topk": _pmi_oracle(),
+        "event_windows": _event_windows_oracle(),
+        "source_topk": _source_topk_oracle(),
     }
+
+
+def _event_windows_oracle() -> str:
+    from boon_spark.operators.windows import window_counts_oracle_sql
+    return window_counts_oracle_sql(
+        events_sql="SELECT ts, event_type FROM events",
+        window="6 hours", group_sql="event_type")
+
+
+def _source_topk_oracle() -> str:
+    from boon_spark.operators.tokens import _synth_cte
+    return f"""
+        WITH t AS ({_synth_cte('doc_id', 997)}
+        ), e AS (
+          SELECT source, CAST(unnest(toks) AS BIGINT) AS token FROM tok
+        ), agg AS (
+          SELECT source, token, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY source, token
+        ), ranked AS (
+          SELECT source, token, n,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n DESC, token ASC) AS rank
+          FROM agg
+        )
+        SELECT source, CAST(rank AS BIGINT) AS rank, token, n
+        FROM ranked WHERE rank <= 3
+    """
 
 
 def _lm_oracle() -> str:

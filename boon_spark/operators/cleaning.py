@@ -329,3 +329,25 @@ def vocab_topk_oracle_sql(k: int) -> str:
         FROM agg
         ORDER BY rank LIMIT {k}
     """
+
+
+def group_topk(agg: DataFrame, k: int, *, group_col: str,
+               key_col: str = "token", n_col: str = "n") -> DataFrame:
+    """Per-group top-``k`` over a ``(group, key, n)`` counts frame:
+    ``rank`` by (n desc, key asc) WITHIN each group — the per-domain /
+    per-source heavy-hitters view of :func:`ranked_topk`.
+
+    One shuffle on the group key; the within-group sort is the
+    spillable window sort (a hot group costs one task's time, never
+    memory).  Unlike the global take there is no TakeOrderedAndProject
+    for per-group top-k — for extreme group counts pre-prune the counts
+    frame with a ``n >= threshold`` filter before ranking (any
+    threshold below the group's k-th count is lossless)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(n_col).desc(), F.col(key_col).asc())
+    return (agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= F.lit(int(k)))
+            .select(group_col, "rank", key_col, n_col))
