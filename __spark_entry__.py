@@ -784,6 +784,22 @@ def q_lm_score(spark, sf_dir):
     return score_bigram_lm(tok, model)
 
 
+def q_nchars_buckets(spark, sf_dir):
+    """Equal-frequency quartile buckets over n_chars (fit thresholds =
+    exact discrete quantiles; apply = codegen'd CASE, zero shuffle):
+    per-bucket (n, lo, hi) audit — the stratification every
+    length-balanced mixing/eval split needs."""
+    from boon_spark.operators.stats import quantile_bucket_stats
+    return quantile_bucket_stats(_docs(spark, sf_dir), "n_chars", 4)
+
+
+def q_nchars_outliers(spark, sf_dir):
+    """Median/MAD robust-outlier audit over n_chars — integer 1.5-MAD
+    rule (2|v-med| > 3·mad), med and mad exact discrete quantiles."""
+    from boon_spark.operators.stats import robust_outlier_summary
+    return robust_outlier_summary(_docs(spark, sf_dir), "n_chars")
+
+
 def q_event_windows(spark, sf_dir):
     """Tumbling 6-hour event-time windows per event_type — the
     fixed-window counterpart of `sessions`, epoch-aligned exactly like
@@ -1166,6 +1182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_topk": q_pmi_topk,
     "event_windows": q_event_windows,
     "source_topk": q_source_topk,
+    "nchars_buckets": q_nchars_buckets,
+    "nchars_outliers": q_nchars_outliers,
 }
 
 
@@ -1468,7 +1486,19 @@ def _sketch_oracles() -> dict[str, str]:
         "pmi_topk": _pmi_oracle(),
         "event_windows": _event_windows_oracle(),
         "source_topk": _source_topk_oracle(),
+        "nchars_buckets": _nchars_buckets_oracle(),
+        "nchars_outliers": _nchars_outliers_oracle(),
     }
+
+
+def _nchars_buckets_oracle() -> str:
+    from boon_spark.operators.stats import quantile_bucket_stats_oracle_sql
+    return quantile_bucket_stats_oracle_sql("n_chars", 4)
+
+
+def _nchars_outliers_oracle() -> str:
+    from boon_spark.operators.stats import robust_outlier_summary_oracle_sql
+    return robust_outlier_summary_oracle_sql("n_chars")
 
 
 def _event_windows_oracle() -> str:

@@ -135,3 +135,140 @@ def value_quantiles_oracle_sql(column: str,
         WHERE _cum * 1000000 >= q_ppm * _tot
         GROUP BY {key_grp}q_ppm
     """
+
+
+def quantile_thresholds(df: DataFrame, column: str,
+                        n_buckets: int = 4) -> list:
+    """Equal-frequency bucket thresholds: the exact j/n-quantile values
+    (``value_quantiles`` semantics) for j = 1..n, collected to the
+    driver (n tiny ints — a fit step, like every fit/apply operator).
+    The last threshold is the exact column max (q = 1.0), so bucket
+    assignment needs no fallback arm."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    qs = [j / n_buckets for j in range(1, n_buckets + 1)]
+    rows = value_quantiles(df, column, qs).collect()
+    by_ppm = {r["q_ppm"]: r["value"] for r in rows}
+    return [by_ppm[int(q * 1_000_000)] for q in qs]
+
+
+def assign_quantile_bucket(df: DataFrame, column: str, thresholds: list,
+                           *, bucket_col: str = "bucket") -> DataFrame:
+    """``df`` plus a 1-based equal-frequency ``bucket_col``: the
+    smallest j with value <= thresholds[j-1].  A codegen'd CASE chain —
+    zero shuffle at apply time (the fit/apply split every deterministic
+    operator here uses).  NULL values bucket NULL."""
+    expr = F.lit(None).cast("long")
+    for j, t in reversed(list(enumerate(thresholds, 1))):
+        expr = F.when(F.col(column) <= F.lit(t),
+                      F.lit(j)).otherwise(expr)
+    return df.withColumn(bucket_col, expr.cast("long"))
+
+
+def quantile_bucket_stats(df: DataFrame, column: str,
+                          n_buckets: int = 4) -> DataFrame:
+    """Fit + apply + audit in one call: ``(bucket, n, lo, hi)`` per
+    equal-frequency bucket — the stratification audit (equal-frequency
+    binning is how mixing/eval sets stratify on length-like columns)."""
+    thr = quantile_thresholds(df, column, n_buckets)
+    assigned = assign_quantile_bucket(
+        df.filter(F.col(column).isNotNull()), column, thr)
+    return (assigned.groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min(column).cast("long").alias("lo"),
+                 F.max(column).cast("long").alias("hi")))
+
+
+def quantile_bucket_stats_oracle_sql(column: str, n_buckets: int = 4,
+                                     *, table: str = "documents") -> str:
+    """DuckDB reproduction of :func:`quantile_bucket_stats` — computes
+    the SAME thresholds with the shared ppm rule, assigns the same
+    min-j bucket."""
+    ppms = ", ".join(
+        f"({j}, {int((j / n_buckets) * 1_000_000)})"
+        for j in range(1, n_buckets + 1))
+    return f"""
+        WITH counts AS (
+          SELECT {column} AS _v, CAST(count(*) AS BIGINT) AS _n
+          FROM {table} WHERE {column} IS NOT NULL GROUP BY {column}),
+        cum AS (
+          SELECT *,
+                 CAST(sum(_n) OVER (ORDER BY _v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS _cum,
+                 CAST(sum(_n) OVER () AS BIGINT) AS _tot
+          FROM counts),
+        q(j, q_ppm) AS (VALUES {ppms}),
+        thr AS (
+          SELECT j, min(_v) AS t FROM cum, q
+          WHERE _cum * 1000000 >= q_ppm * _tot GROUP BY j),
+        assigned AS (
+          SELECT {column} AS v,
+                 (SELECT min(j) FROM thr WHERE v <= t) AS bucket
+          FROM {table} WHERE {column} IS NOT NULL)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(v) AS BIGINT) AS lo,
+               CAST(max(v) AS BIGINT) AS hi
+        FROM assigned GROUP BY bucket
+    """
+
+
+def robust_outlier_summary(df: DataFrame, column: str) -> DataFrame:
+    """Median/MAD outlier audit, integer-exact: one row ``(med, mad,
+    n_total, n_flagged)`` where a value flags iff ``2·|v − med| >
+    3·mad`` (the 1.5-MAD rule kept integral — no float multiplier).
+    med and mad are exact discrete quantiles (``percentile_disc``
+    semantics via :func:`value_quantiles`), so the whole audit
+    reproduces bit-exactly in any engine.  The robust center/spread
+    pair is the outlier rule that survives the heavy tails a mean/std
+    rule dies on at web scale."""
+    med = value_quantiles(df, column, [0.5]).first()["value"]
+    dev = df.filter(F.col(column).isNotNull()).select(
+        F.abs(F.col(column) - F.lit(med)).alias("_d"))
+    mad = value_quantiles(dev, "_d", [0.5]).first()["value"]
+    base = df.filter(F.col(column).isNotNull())
+    return base.agg(
+        F.lit(int(med)).cast("long").alias("med"),
+        F.lit(int(mad)).cast("long").alias("mad"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(2 * F.abs(F.col(column) - F.lit(med))
+                     > 3 * F.lit(int(mad)), 1).otherwise(0))
+        .cast("long").alias("n_flagged"))
+
+
+def robust_outlier_summary_oracle_sql(column: str, *,
+                                      table: str = "documents") -> str:
+    """DuckDB reproduction of :func:`robust_outlier_summary` — the 0.5
+    ppm rule reduces to ``2·cum >= tot`` for both the median and the
+    MAD median."""
+    return f"""
+        WITH counts AS (
+          SELECT {column} AS _v, CAST(count(*) AS BIGINT) AS _n
+          FROM {table} WHERE {column} IS NOT NULL GROUP BY {column}),
+        cum AS (
+          SELECT *, CAST(sum(_n) OVER (ORDER BY _v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS _cum,
+                 CAST(sum(_n) OVER () AS BIGINT) AS _tot
+          FROM counts),
+        med AS (SELECT min(_v) AS m FROM cum WHERE 2 * _cum >= _tot),
+        devc AS (
+          SELECT abs({column} - (SELECT m FROM med)) AS _d,
+                 CAST(count(*) AS BIGINT) AS _n
+          FROM {table} WHERE {column} IS NOT NULL GROUP BY _d),
+        devcum AS (
+          SELECT *, CAST(sum(_n) OVER (ORDER BY _d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS _cum,
+                 CAST(sum(_n) OVER () AS BIGINT) AS _tot
+          FROM devc),
+        mad AS (SELECT min(_d) AS d FROM devcum WHERE 2 * _cum >= _tot)
+        SELECT CAST((SELECT m FROM med) AS BIGINT) AS med,
+               CAST((SELECT d FROM mad) AS BIGINT) AS mad,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN 2 * abs({column} - (SELECT m FROM med))
+                                  > 3 * (SELECT d FROM mad)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM {table} WHERE {column} IS NOT NULL
+    """

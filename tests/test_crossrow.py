@@ -222,3 +222,43 @@ def test_snapshot_diff_counts_and_oracle(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="no shared"):
         snapshot_diff(old.select("doc_id"), new.select("doc_id"))
+
+
+def test_quantile_buckets(spark):
+    from boon_spark.operators.stats import (assign_quantile_bucket,
+                                            quantile_bucket_stats,
+                                            quantile_thresholds)
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame([(i, i) for i in range(1, 101)],
+                               "id bigint, v bigint")
+    thr = quantile_thresholds(df, "v", 4)
+    assert thr == [25, 50, 75, 100]  # exact quartiles of 1..100
+    out = assign_quantile_bucket(df, "v", thr)
+    got = {r.id: r.bucket for r in out.collect()}
+    assert got[1] == 1 and got[25] == 1 and got[26] == 2
+    assert got[75] == 3 and got[100] == 4
+    stats = {r.bucket: (r.n, r.lo, r.hi)
+             for r in quantile_bucket_stats(df, "v", 4).collect()}
+    assert stats == {1: (25, 1, 25), 2: (25, 26, 50),
+                     3: (25, 51, 75), 4: (25, 76, 100)}
+    # apply is a zero-shuffle codegen'd CASE
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # NULL values bucket NULL
+    df2 = spark.createDataFrame([(0, None)], "id bigint, v bigint")
+    assert assign_quantile_bucket(df2, "v", thr).first().bucket is None
+    import pytest as _pt
+    with _pt.raises(ValueError, match=r"n_buckets"):
+        quantile_thresholds(df, "v", 1)
+
+
+def test_robust_outlier_summary(spark):
+    from boon_spark.operators.stats import robust_outlier_summary
+    # 1..9 plus one far outlier: med = 5, deviations {0..4, 995}
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 10)] + [(99, 1000)],
+        "id bigint, v bigint")
+    r = robust_outlier_summary(df, "v").first()
+    assert r.med == 5 and r.mad == 2
+    # flag rule 2|v-5| > 6: |v-5| > 3 -> v in {1, 9?|9-5|=4>3 yes, 1000}
+    assert r.n_total == 10 and r.n_flagged == 3
