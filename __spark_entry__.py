@@ -823,6 +823,17 @@ def q_source_topk(spark, sf_dir):
     return group_topk(agg, 3, group_col="source")
 
 
+def q_lm3_score(spark, sf_dir):
+    """Stupid-backoff trigram LM (Brants et al. 2007) over the
+    synthetic token corpus: three-arm backoff (trigram -> 0.4·bigram
+    -> 0.4²·unigram) with the discount as the shared integer literal
+    round(64·ln 0.4) = -59 — the whole score stays in exact q64
+    integers."""
+    from boon_spark.operators.lm import fit_backoff_lm, score_backoff_lm
+    tok = _tok_frame(spark, sf_dir, "doc_id")
+    return score_backoff_lm(tok, fit_backoff_lm(tok))
+
+
 def q_pmi_topk(spark, sf_dir):
     """Top-20 token collocations by quantized PMI (min_count=3) over
     the synthetic token corpus — four-term integer PMI on the shared
@@ -1184,6 +1195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_topk": q_source_topk,
     "nchars_buckets": q_nchars_buckets,
     "nchars_outliers": q_nchars_outliers,
+    "lm3_score": q_lm3_score,
 }
 
 
@@ -1488,7 +1500,13 @@ def _sketch_oracles() -> dict[str, str]:
         "source_topk": _source_topk_oracle(),
         "nchars_buckets": _nchars_buckets_oracle(),
         "nchars_outliers": _nchars_outliers_oracle(),
+        "lm3_score": _lm3_oracle(),
     }
+
+
+def _lm3_oracle() -> str:
+    from boon_spark.operators.lm import score_backoff_lm_oracle_sql
+    return score_backoff_lm_oracle_sql(gen_sql="doc_id")
 
 
 def _nchars_buckets_oracle() -> str:

@@ -54,13 +54,16 @@ from pyspark.sql import functions as F
 
 __all__ = ["ln64_bounds", "fit_bigram_lm", "score_bigram_lm",
            "score_bigram_lm_oracle_sql", "pmi_collocations",
-           "pmi_collocations_oracle_sql"]
+           "pmi_collocations_oracle_sql", "fit_backoff_lm",
+           "score_backoff_lm", "score_backoff_lm_oracle_sql"]
 
 #: q64 resolution: 64 steps per nat
 LN64_R = 64
 
-#: default boundary-table size — covers counts up to ceil(e^12) = 162755
-LM_STEPS_DEFAULT = 768
+#: default boundary-table size — covers counts up to e^30 ≈ 1.07e13
+#: (per-count literals both engines: ~1920 ints, KBs — cheap insurance
+#: against the loud out-of-range raise on bigger corpora)
+LM_STEPS_DEFAULT = 1920
 
 
 def ln64_bounds(n_steps: int = LM_STEPS_DEFAULT) -> np.ndarray:
@@ -334,4 +337,186 @@ def pmi_collocations_oracle_sql(k: int, *, gen_sql: str = "doc_id",
                w1, w2, c12, CAST(pmi_q64 AS BIGINT) AS pmi_q64
         FROM cand
         ORDER BY rank LIMIT {int(k)}
+    """
+
+
+#: stupid-backoff discount ln(0.4) in q64 steps — a SHARED literal
+#: (round(64·ln 0.4) = -59), never a float at runtime
+BACKOFF_Q64 = -59
+
+
+def _triples(df: DataFrame, tokens_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2, w3) — one row per adjacent token triple (docs with
+    <3 tokens are filtered first)."""
+    t = F.col(tokens_col)
+    z = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 2).alias("w1"),
+        F.slice(t, 2, F.size(t) - 2).alias("w2"),
+        F.slice(t, 3, F.size(t) - 2).alias("w3"))
+    return (df.filter(F.size(t) >= 3)
+              .select(F.col(id_col), F.explode(z).alias("p"))
+              .select(id_col,
+                      F.col("p.w1").cast("long").alias("w1"),
+                      F.col("p.w2").cast("long").alias("w2"),
+                      F.col("p.w3").cast("long").alias("w3")))
+
+
+def fit_backoff_lm(df: DataFrame, *, tokens_col: str = "tokens",
+                   id_col: str = "doc_id",
+                   n_steps: int = LM_STEPS_DEFAULT) -> dict:
+    """Fit the stupid-backoff trigram model (Brants et al. 2007 —
+    "Large Language Models in Machine Translation": no normalization,
+    a fixed 0.4 backoff discount; THE web-scale n-gram scoring rule
+    because it needs only raw counts):
+
+        S(w3|w1,w2) = c123/c12         if c123 > 0
+                    = 0.4 · S(w3|w2)   else
+        S(w3|w2)    = c23/c2           if c23 > 0
+                    = 0.4 · c3/N       else
+
+    Count frames stay distributed; only N (one long) reaches the
+    driver.  In q64 units the discount is the shared integer literal
+    ``BACKOFF_Q64 = round(64·ln 0.4) = -59``."""
+    uni = (df.select(F.explode(F.col(tokens_col)).alias("_w"))
+             .select(F.col("_w").cast("long").alias("w"))
+             .groupBy("w")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    bi = (_pairs(df, tokens_col, id_col)
+          .groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).cast("long").alias("c12")))
+    tri = (_triples(df, tokens_col, id_col)
+           .groupBy("w1", "w2", "w3")
+           .agg(F.count(F.lit(1)).cast("long").alias("c123")))
+    n_tokens = uni.agg(F.sum("c")).first()[0] or 0
+    return {"uni": uni, "bi": bi, "tri": tri,
+            "n_tokens": int(n_tokens),
+            "bounds": ln64_bounds(n_steps), "n_steps": int(n_steps)}
+
+
+def score_backoff_lm(df: DataFrame, model: dict, *,
+                     tokens_col: str = "tokens",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document stupid-backoff trigram score: ``(id, n_trigrams,
+    nll_q64, avg_nll_mq64)`` — exact integers; docs with <3 tokens
+    emit nothing.  Each count frame is q64-annotated BEFORE joining
+    the triples (the kernel never runs per corpus row); the backoff
+    arms are one codegen'd CASE.  An unseen last token scores
+    2·BACKOFF + q64(0) − q64(N) (q64(0) = 0, the documented floor)."""
+    spark = df.sparkSession
+    q64 = _q64_udf(spark, model["bounds"])
+    n_tok = int(model["n_tokens"])
+    q_n = int(np.searchsorted(model["bounds"], np.int64(max(n_tok, 1)),
+                              side="right"))
+    if n_tok > int(model["bounds"][-1]):
+        raise ValueError(
+            f"total token count {n_tok} exceeds the boundary table "
+            f"(max {int(model['bounds'][-1])}) — raise n_steps")
+    tri_q = model["tri"].withColumn("qa", q64(F.col("c123"))) \
+        .select("w1", "w2", "w3", "qa")
+    bi12_q = model["bi"].withColumn("qb", q64(F.col("c12"))) \
+        .select("w1", "w2", "qb")
+    bi23_q = model["bi"].withColumn("qc", q64(F.col("c12"))) \
+        .select(F.col("w1").alias("w2"), F.col("w2").alias("w3"), "qc")
+    uni2_q = model["uni"].withColumn("qd", q64(F.col("c"))) \
+        .select(F.col("w").alias("w2"), "qd")
+    uni3_q = model["uni"].withColumn("qe", q64(F.col("c"))) \
+        .select(F.col("w").alias("w3"), "qe")
+    trips = _triples(df, tokens_col, id_col)
+    a = F.lit(BACKOFF_Q64)
+    s = (F.when(F.col("qa").isNotNull(), F.col("qa") - F.col("qb"))
+         .when(F.col("qc").isNotNull(), a + F.col("qc") - F.col("qd"))
+         .otherwise(2 * a + F.coalesce(F.col("qe"), F.lit(0))
+                    - F.lit(q_n)))
+    scored = (trips
+              .join(tri_q, ["w1", "w2", "w3"], "left")
+              .join(bi12_q, ["w1", "w2"], "left")
+              .join(bi23_q, ["w2", "w3"], "left")
+              .join(uni2_q, ["w2"], "left")
+              .join(uni3_q, ["w3"], "left")
+              .select(id_col, s.alias("s")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+                 (-F.sum("s")).cast("long").alias("nll_q64"))
+            .withColumn("avg_nll_mq64",
+                        F.expr("(nll_q64 * 1000) div n_trigrams")
+                        .cast("long")))
+
+
+def score_backoff_lm_oracle_sql(*, gen_sql: str = "doc_id",
+                                vocab: int = 997,
+                                n_steps: int = LM_STEPS_DEFAULT) -> str:
+    """DuckDB reproduction of :func:`score_backoff_lm` over the shared
+    synthetic-token corpus — same counts, same boundary table, same
+    three-arm CASE with the shared -59 discount."""
+    from .tokens import _synth_cte
+    bounds = ln64_bounds(n_steps)
+    vals = ", ".join(f"({int(b)})" for b in bounds)
+    return f"""
+        WITH t AS ({_synth_cte(gen_sql, vocab)}
+        ), bounds(b) AS (VALUES {vals}
+        ), trips AS (
+          SELECT doc_id,
+                 CAST(toks[i + 1] AS BIGINT) AS w1,
+                 CAST(toks[i + 2] AS BIGINT) AS w2,
+                 CAST(toks[i + 3] AS BIGINT) AS w3
+          FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(n - 2 AS BIGINT))) AS i
+            FROM tok WHERE n >= 3)
+        ), uni AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT CAST(unnest(toks) AS BIGINT) AS w FROM tok)
+          GROUP BY w
+        ), bi AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM (
+            SELECT CAST(toks[i + 1] AS BIGINT) AS w1,
+                   CAST(toks[i + 2] AS BIGINT) AS w2
+            FROM (
+              SELECT toks,
+                     unnest(range(0, CAST(n - 1 AS BIGINT))) AS i
+              FROM tok WHERE n >= 2))
+          GROUP BY w1, w2
+        ), tri AS (
+          SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+          FROM trips GROUP BY w1, w2, w3
+        ), tot AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n FROM uni
+        ), vals_ AS (
+          SELECT DISTINCT c123 AS x FROM tri
+          UNION SELECT DISTINCT c12 FROM bi
+          UNION SELECT DISTINCT c FROM uni
+          UNION SELECT n FROM tot
+        ), qmap AS (
+          SELECT x, (SELECT count(*) FROM bounds WHERE b <= x) AS q
+          FROM vals_
+        ), scored AS (
+          SELECT p.doc_id,
+                 CASE
+                   WHEN qa.q IS NOT NULL THEN qa.q - qb.q
+                   WHEN qc.q IS NOT NULL
+                     THEN {BACKOFF_Q64} + qc.q - qd.q
+                   ELSE {2 * BACKOFF_Q64} + coalesce(qe.q, 0)
+                        - (SELECT qm.q FROM qmap qm, tot
+                           WHERE qm.x = tot.n)
+                 END AS s
+          FROM trips p
+          LEFT JOIN tri ON tri.w1 = p.w1 AND tri.w2 = p.w2
+                       AND tri.w3 = p.w3
+          LEFT JOIN qmap qa ON qa.x = tri.c123
+          LEFT JOIN bi b12 ON b12.w1 = p.w1 AND b12.w2 = p.w2
+          LEFT JOIN qmap qb ON qb.x = b12.c12
+          LEFT JOIN bi b23 ON b23.w1 = p.w2 AND b23.w2 = p.w3
+          LEFT JOIN qmap qc ON qc.x = b23.c12
+          LEFT JOIN uni u2 ON u2.w = p.w2
+          LEFT JOIN qmap qd ON qd.x = u2.c
+          LEFT JOIN uni u3 ON u3.w = p.w3
+          LEFT JOIN qmap qe ON qe.x = u3.c
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(-sum(s) AS BIGINT) AS nll_q64,
+               CAST((-sum(s) * 1000) // count(*) AS BIGINT)
+                 AS avg_nll_mq64
+        FROM scored GROUP BY doc_id
     """

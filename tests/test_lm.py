@@ -182,3 +182,39 @@ def test_pmi_empty_corpus(spark):
     df = spark.createDataFrame([("a", [7])],
                                "doc_id string, tokens array<int>")
     assert pmi_collocations(df, 5).count() == 0
+
+
+def test_backoff_lm_hand_computed(spark):
+    from boon_spark.operators.lm import (BACKOFF_Q64, fit_backoff_lm,
+                                         score_backoff_lm)
+    # corpus: a = [1,2,3,1,2,3], b = [2,3,4]
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3, 1, 2, 3]), ("b", [2, 3, 4])],
+        "doc_id string, tokens array<int>")
+    model = fit_backoff_lm(df)
+    n = model["n_tokens"]
+    assert n == 9
+    b = model["bounds"]
+    out = {r.doc_id: r for r in score_backoff_lm(df, model).collect()}
+    q = lambda x: _q64(b, x)
+    # doc a trigrams: (1,2,3)x2 c123=2 c12=2; (2,3,1) c123=1 c12(2,3)=3;
+    # (3,1,2) c123=1 c12(3,1)=1
+    nll_a = -((q(2) - q(2)) * 2 + (q(1) - q(3)) + (q(1) - q(1)))
+    assert out["a"].n_trigrams == 4 and out["a"].nll_q64 == nll_a
+    # doc b: (2,3,4) unseen trigram? c123(2,3,4)=1 -> seen (fit==score)
+    assert out["b"].n_trigrams == 1
+    # scoring fresh docs exercises the backoff arms:
+    fresh = spark.createDataFrame(
+        [("x", [1, 2, 9]),    # tri (1,2,9) unseen; bi (2,9) unseen ->
+                              # 2A + q64(c(9)=0 -> 0) - q64(N)
+         ("y", [9, 2, 3])],   # tri unseen; bi (2,3) c12=3, uni 2 c=3
+                              # -> A + q(3) - q(3) = A
+        "doc_id string, tokens array<int>")
+    got = {r.doc_id: r.nll_q64
+           for r in score_backoff_lm(fresh, model).collect()}
+    assert got["x"] == -(2 * BACKOFF_Q64 + 0 - q(9))  # q64(N), N = 9
+    assert got["y"] == -BACKOFF_Q64
+    # docs with <3 tokens emit nothing
+    short = spark.createDataFrame([("s", [1, 2])],
+                                  "doc_id string, tokens array<int>")
+    assert score_backoff_lm(short, model).count() == 0
