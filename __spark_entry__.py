@@ -823,6 +823,29 @@ def q_source_topk(spark, sf_dir):
     return group_topk(agg, 3, group_col="source")
 
 
+def q_fertility(spark, sf_dir):
+    """Tokenizer fertility audit per source: chars-per-token in exact
+    integer ppm — the audit a tokenizer swap runs (fertility up =
+    vocab splits this source into more pieces).  Zero-token docs are
+    counted but excluded from the ratio, both engines."""
+    from boon_spark.operators.text import fertility_stats
+    frame = _docs(spark, sf_dir).select(
+        "source", "n_chars",
+        F.coalesce(F.size(F.split(F.trim(F.col("text")), r"\s+")),
+                   F.lit(0)).cast("long").alias("n_tok"))
+    return fertility_stats(frame)
+
+
+def q_compaction(spark, sf_dir):
+    """Small-files compaction plan per source partition (byte proxy =
+    n_chars, target 2000): exact integer ceilings for file counts and
+    rows-per-file — one partially-aggregated shuffle produces the
+    whole 10^12-row maintenance plan."""
+    from boon_spark.operators.stats import compaction_plan
+    return compaction_plan(_docs(spark, sf_dir), partition_col="source",
+                           bytes_col="n_chars", target_bytes=2000)
+
+
 def q_lm3_score(spark, sf_dir):
     """Stupid-backoff trigram LM (Brants et al. 2007) over the
     synthetic token corpus: three-arm backoff (trigram -> 0.4·bigram
@@ -1196,6 +1219,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nchars_buckets": q_nchars_buckets,
     "nchars_outliers": q_nchars_outliers,
     "lm3_score": q_lm3_score,
+    "fertility_stats": q_fertility,
+    "compaction_plan": q_compaction,
 }
 
 
@@ -1501,6 +1526,43 @@ def _sketch_oracles() -> dict[str, str]:
         "nchars_buckets": _nchars_buckets_oracle(),
         "nchars_outliers": _nchars_outliers_oracle(),
         "lm3_score": _lm3_oracle(),
+        "fertility_stats": """
+            WITH d AS (
+              SELECT source, coalesce(n_chars, 0) AS n_chars,
+                     coalesce(len(regexp_split_to_array(trim(text),
+                                                        '\\s+')), 0)
+                       AS n_tok
+              FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n_tok > 0 THEN n_chars
+                            ELSE 0 END) AS BIGINT) AS sum_chars,
+                   CAST(sum(CASE WHEN n_tok > 0 THEN n_tok
+                            ELSE 0 END) AS BIGINT) AS sum_toks,
+                   CAST(CASE WHEN sum(CASE WHEN n_tok > 0 THEN n_tok
+                                     ELSE 0 END) > 0
+                        THEN (sum(CASE WHEN n_tok > 0 THEN n_chars
+                                  ELSE 0 END) * 1000000)
+                             // sum(CASE WHEN n_tok > 0 THEN n_tok
+                                    ELSE 0 END)
+                        ELSE NULL END AS BIGINT) AS fertility_ppm
+            FROM d GROUP BY source
+        """,
+        "compaction_plan": """
+            WITH agg AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+                       AS total_bytes
+              FROM documents GROUP BY source)
+            SELECT source, n_rows, total_bytes,
+                   CAST(greatest(1, (total_bytes + 1999) // 2000)
+                        AS BIGINT) AS n_files,
+                   CAST((n_rows + greatest(1, (total_bytes + 1999)
+                                           // 2000) - 1)
+                        // greatest(1, (total_bytes + 1999) // 2000)
+                        AS BIGINT) AS rows_per_file
+            FROM agg
+        """,
     }
 
 

@@ -272,3 +272,34 @@ def robust_outlier_summary_oracle_sql(column: str, *,
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         FROM {table} WHERE {column} IS NOT NULL
     """
+
+
+def compaction_plan(df: DataFrame, *, partition_col: str,
+                    bytes_col: str, target_bytes: int) -> DataFrame:
+    """File-compaction plan per partition: ``(partition, n_rows,
+    total_bytes, n_files, rows_per_file)`` with ``n_files =
+    ceil(total/target)`` and ``rows_per_file = ceil(rows/n_files)`` —
+    exact integer ceilings (``(a + b - 1) div b``).
+
+    The small-files planner every lakehouse maintenance job needs at
+    10^12 rows: ONE partially-aggregated shuffle over (partition,
+    sum) pairs produces the whole plan; the plan is then fed to
+    per-partition ``repartition(n_files)`` writes.  ``bytes_col`` is
+    whatever byte proxy the table carries (physical file sizes,
+    serialized row sizes, or a content-length column)."""
+    if target_bytes < 1:
+        raise ValueError(
+            f"target_bytes must be >= 1, got {target_bytes}")
+    t = int(target_bytes)
+    agg = (df.groupBy(partition_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(F.sum(F.col(bytes_col).cast("long")),
+                           F.lit(0)).cast("long").alias("total_bytes")))
+    return (agg
+            .withColumn("n_files",
+                        F.greatest(F.lit(1),
+                                   F.expr(f"(total_bytes + {t} - 1) "
+                                          f"div {t}")).cast("long"))
+            .withColumn("rows_per_file",
+                        F.expr("(n_rows + n_files - 1) div n_files")
+                        .cast("long")))

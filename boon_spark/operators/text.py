@@ -119,3 +119,29 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         comp["alpha_ratio"].alias("alpha_ratio"),
         comp["stopword_ratio"].alias("stopword_ratio"),
         rolling_fingerprint(t).alias("fingerprint"))
+
+
+def fertility_stats(df: DataFrame, *, chars_col: str = "n_chars",
+                    ntok_col: str = "n_tok",
+                    by: str = "source") -> DataFrame:
+    """Tokenizer fertility audit per group: ``(by, n_docs, sum_chars,
+    sum_toks, fertility_ppm)`` where fertility_ppm = chars per token in
+    parts-per-million (``1e6·Σchars DIV Σtoks`` — exact integer, the
+    repo's no-raw-float rule).  The audit every tokenizer swap runs:
+    fertility regressions mean the new vocab splits this source's text
+    into more pieces.  Docs with zero/NULL tokens are counted in
+    ``n_docs`` but excluded from both sums (a 0-token doc has no
+    fertility).  One partial-aggregated group shuffle."""
+    tok = F.coalesce(F.col(ntok_col).cast("long"), F.lit(0))
+    chars = F.coalesce(F.col(chars_col).cast("long"), F.lit(0))
+    pos = tok > 0
+    return (df.groupBy(by)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.when(pos, chars).otherwise(0)).cast("long")
+                 .alias("sum_chars"),
+                 F.sum(F.when(pos, tok).otherwise(0)).cast("long")
+                 .alias("sum_toks"))
+            .withColumn("fertility_ppm",
+                        F.expr("CASE WHEN sum_toks > 0 THEN "
+                               "(sum_chars * 1000000) div sum_toks "
+                               "ELSE NULL END").cast("long")))

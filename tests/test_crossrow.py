@@ -262,3 +262,38 @@ def test_robust_outlier_summary(spark):
     assert r.med == 5 and r.mad == 2
     # flag rule 2|v-5| > 6: |v-5| > 3 -> v in {1, 9?|9-5|=4>3 yes, 1000}
     assert r.n_total == 10 and r.n_flagged == 3
+
+
+def test_compaction_plan(spark):
+    from boon_spark.operators.stats import compaction_plan
+    import pytest as _pt
+    df = spark.createDataFrame(
+        [("a", 900), ("a", 900), ("a", 900),   # 2700 bytes -> 3 files
+         ("b", 10),                            # tiny -> still 1 file
+         ("c", None)],                         # NULL bytes -> 0
+        "p string, sz bigint")
+    plan = {r.p: (r.n_rows, r.total_bytes, r.n_files, r.rows_per_file)
+            for r in compaction_plan(df, partition_col="p",
+                                     bytes_col="sz",
+                                     target_bytes=1000).collect()}
+    assert plan["a"] == (3, 2700, 3, 1)
+    assert plan["b"] == (1, 10, 1, 1)
+    assert plan["c"] == (1, 0, 1, 1)
+    with _pt.raises(ValueError, match=r"target_bytes"):
+        compaction_plan(df, partition_col="p", bytes_col="sz",
+                        target_bytes=0)
+
+
+def test_fertility_stats(spark):
+    from boon_spark.operators.text import fertility_stats
+    df = spark.createDataFrame(
+        [("web", 100, 20), ("web", 50, 10), ("web", 999, 0),
+         ("pdf", 30, None)],
+        "source string, n_chars bigint, n_tok bigint")
+    out = {r.source: r for r in fertility_stats(df).collect()}
+    w = out["web"]
+    # zero-token doc counted but excluded from sums
+    assert (w.n_docs, w.sum_chars, w.sum_toks) == (3, 150, 30)
+    assert w.fertility_ppm == 5_000_000  # 5 chars/token
+    p = out["pdf"]
+    assert (p.n_docs, p.sum_toks, p.fertility_ppm) == (1, 0, None)
