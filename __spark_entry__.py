@@ -829,9 +829,12 @@ def q_fertility(spark, sf_dir):
     vocab splits this source into more pieces).  Zero-token docs are
     counted but excluded from the ratio, both engines."""
     from boon_spark.operators.text import fertility_stats
+    # explicit class, not \s: Java \s includes \x0B, RE2's does not —
+    # the class spells the union so both engines tokenize identically
     frame = _docs(spark, sf_dir).select(
         "source", "n_chars",
-        F.coalesce(F.size(F.split(F.trim(F.col("text")), r"\s+")),
+        F.coalesce(F.size(F.split(F.trim(F.col("text")),
+                                  "[ \\t\\n\\f\\r\\x0B]+")),
                    F.lit(0)).cast("long").alias("n_tok"))
     return fertility_stats(frame)
 
@@ -1530,7 +1533,7 @@ def _sketch_oracles() -> dict[str, str]:
             WITH d AS (
               SELECT source, coalesce(n_chars, 0) AS n_chars,
                      coalesce(len(regexp_split_to_array(trim(text),
-                                                        '\\s+')), 0)
+                              '[ \\t\\n\\f\\r\\x0B]+')), 0)
                        AS n_tok
               FROM documents)
             SELECT source,

@@ -55,7 +55,8 @@ from pyspark.sql import functions as F
 __all__ = ["ln64_bounds", "fit_bigram_lm", "score_bigram_lm",
            "score_bigram_lm_oracle_sql", "pmi_collocations",
            "pmi_collocations_oracle_sql", "fit_backoff_lm",
-           "score_backoff_lm", "score_backoff_lm_oracle_sql"]
+           "score_backoff_lm", "score_backoff_lm_oracle_sql",
+           "unpersist_model"]
 
 #: q64 resolution: 64 steps per nat
 LN64_R = 64
@@ -109,9 +110,24 @@ def fit_bigram_lm(df: DataFrame, *, tokens_col: str = "tokens",
     bi = (_pairs(df, tokens_col, id_col)
           .groupBy("w1", "w2")
           .agg(F.count(F.lit(1)).cast("long").alias("c12")))
+    # persist: the count frames are consumed by the driver count here
+    # AND as broadcast-join build sides in scoring — and NO
+    # ReusedExchange forms across a broadcast boundary (the measured
+    # bm25 law), so without persist each corpus explode+shuffle would
+    # run once per consumer.  unpersist_model() releases the blocks.
+    uni = uni.persist()
+    bi = bi.persist()
     vocab = uni.count()
     return {"uni": uni, "bi": bi, "vocab": int(vocab),
             "bounds": ln64_bounds(n_steps), "n_steps": int(n_steps)}
+
+
+def unpersist_model(model: dict) -> None:
+    """Release the persisted count frames of a fitted LM model
+    (fit_bigram_lm / fit_backoff_lm)."""
+    for k in ("uni", "bi", "tri"):
+        if k in model:
+            model[k].unpersist()
 
 
 def _q64_udf(spark, bounds: np.ndarray):
@@ -256,9 +272,11 @@ def pmi_collocations(df: DataFrame, k: int, *,
     q64 = _q64_udf(spark, bounds)
     bi = (_pairs(df, tokens_col, id_col)
           .groupBy("w1", "w2")
-          .agg(F.count(F.lit(1)).cast("long").alias("c12")))
+          .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+          .persist())  # consumed by the total, two marginals, and cand
     n_pairs = bi.agg(F.sum("c12")).first()[0]
     if n_pairs is None or n_pairs == 0:
+        bi.unpersist()
         return spark.createDataFrame(
             [], "rank long, w1 long, w2 long, c12 long, pmi_q64 long")
     q_n = int(np.searchsorted(bounds, np.int64(n_pairs), side="right"))
@@ -278,8 +296,11 @@ def pmi_collocations(df: DataFrame, k: int, *,
              F.col("w2").asc()]
     top = cand.orderBy(*order).limit(int(k))
     w = Window.orderBy(*order)
-    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
-            .select("rank", "w1", "w2", "c12", "pmi_q64"))
+    out = (top.withColumn("rank", F.row_number().over(w).cast("long"))
+           .select("rank", "w1", "w2", "c12", "pmi_q64"))
+    # unpersist handle for the caller (the repo's cached_corpus idiom)
+    out._pmi_persisted = bi
+    return out
 
 
 def pmi_collocations_oracle_sql(k: int, *, gen_sql: str = "doc_id",
@@ -387,6 +408,12 @@ def fit_backoff_lm(df: DataFrame, *, tokens_col: str = "tokens",
     tri = (_triples(df, tokens_col, id_col)
            .groupBy("w1", "w2", "w3")
            .agg(F.count(F.lit(1)).cast("long").alias("c123")))
+    # same persist rationale as fit_bigram_lm: uni/bi are each consumed
+    # TWICE in scoring (as w2- and w3-keyed sides), tri once plus the
+    # oracle-replica runs; the driver total below materializes uni
+    uni = uni.persist()
+    bi = bi.persist()
+    tri = tri.persist()
     n_tokens = uni.agg(F.sum("c")).first()[0] or 0
     return {"uni": uni, "bi": bi, "tri": tri,
             "n_tokens": int(n_tokens),

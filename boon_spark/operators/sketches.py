@@ -141,10 +141,8 @@ def hll_report(df: DataFrame, *, key_col: str, p: int = 12,
     r_bits = _HASH_BITS - p
     alpha_num, alpha_den = _alpha_fraction(m)
     regs = hll_registers(df, key_col=key_col, p=p, salt=salt)
-    # S fits int64 for p >= 11 (max term 2^(R+1) = 2^(61-p), m terms
-    # -> <= 2^62); guard the general case anyway
-    if (r_bits + 1) + p > 62:
-        raise ValueError(f"p={p} overflows the int64 harmonic sum")
+    # S = Σ 2^(R+1-M_j) <= m·2^(R+1) = 2^p·2^(61-p) = 2^61 for EVERY
+    # allowed p — always inside int64, no guard needed
     # occupied-register partial sum: Σ 2^(R+1-M_j) — shiftleft needs a
     # literal count in pyspark, so route through the SQL form
     part = regs.agg(
@@ -238,8 +236,10 @@ def build_cms(df: DataFrame, *, key_col: str, depth: int = 4,
               weight_col: str | None = None,
               max_cells: int = 1 << 22) -> dict:
     """Deterministic Count-Min sketch of ``df[key_col]`` occurrences
-    (or of ``weight_col`` sums).  Returns ``{"depth", "width", "salt",
-    "total", "cells": np.ndarray<int64>[depth, width]}``.
+    (or of ``weight_col`` sums; NULL keys AND NULL weights are
+    excluded — "no key / no contribution", the hash-family contract).
+    Returns ``{"depth", "width", "salt", "total",
+    "cells": np.ndarray<int64>[depth, width]}``.
 
     Scale shape: each row explodes to ``depth`` (row, pos) cells and
     ONE count aggregation packs them — after map-side combine the
@@ -261,7 +261,13 @@ def build_cms(df: DataFrame, *, key_col: str, depth: int = 4,
     key = F.col(key_col).cast("string")
     wcol = (F.col(weight_col).cast("long") if weight_col
             else F.lit(1).cast("long"))
-    rows = (df.filter(key.isNotNull())
+    base = df.filter(key.isNotNull())
+    if weight_col:
+        # NULL weights are excluded like NULL keys (a NULL-weight row
+        # has no defined contribution); without this, a cell fed only
+        # NULL weights sums to NULL and the driver unpack crashes
+        base = base.filter(F.col(weight_col).isNotNull())
+    rows = (base
               .select(wcol.alias("n"),
                       F.explode(F.array(*[
                           F.struct(F.lit(i).alias("i"),

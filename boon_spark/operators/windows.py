@@ -31,7 +31,10 @@ def window_counts(df: DataFrame, *, ts_col: str = "ts",
     ``(window_start_ms [, group], n_events)`` — all exact integers."""
     w = gap_ms_of(window)
     ms = _epoch_ms(df, ts_col)
-    start = ((ms - (ms % F.lit(w)))).cast("long").alias("window_start_ms")
+    # pmod, not %: truncating modulo would misalign pre-1970 events
+    # (F.window floors; batch must floor identically)
+    start = ((ms - F.pmod(ms, F.lit(w)))).cast("long") \
+        .alias("window_start_ms")
     keys = [start] + ([F.col(group_col)] if group_col else [])
     return (df.filter(F.col(ts_col).isNotNull())
             .groupBy(*keys)
@@ -42,12 +45,14 @@ def window_counts_oracle_sql(*, events_sql: str, window,
                              ts_sql: str = "ts",
                              group_sql: str | None = None) -> str:
     """DuckDB reproduction — same integer floor-to-width arithmetic on
-    ``epoch_ms``."""
+    ``epoch_ms`` (the double-mod renders pmod: floor alignment even
+    for pre-1970 events)."""
     w = gap_ms_of(window)
     g = f", {group_sql}" if group_sql else ""
     return f"""
         SELECT CAST(epoch_ms({ts_sql})
-                    - (epoch_ms({ts_sql}) % {w}) AS BIGINT)
+                    - ((epoch_ms({ts_sql}) % {w} + {w}) % {w})
+                    AS BIGINT)
                  AS window_start_ms{g},
                CAST(count(*) AS BIGINT) AS n_events
         FROM ({events_sql})

@@ -113,6 +113,12 @@ def sessions_stream(stream_df: DataFrame, *, user_col: str = "user_id",
     in-batch silence or by the watermark passing ``last + gap``."""
     g = gap_ms_of(gap)
     _horizon_ms(watermark)  # validate the interval early, same message
+    # watermarks reject TIMESTAMP_NTZ — convert wall clock AS UTC, the
+    # same instant mapping batch _epoch_ms uses
+    from pyspark.sql.types import TimestampNTZType
+    if isinstance(stream_df.schema[ts_col].dataType, TimestampNTZType):
+        stream_df = stream_df.withColumn(
+            ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
     src = (stream_df
            .select(F.col(user_col).cast("string").alias("user_id"),
                    F.col(ts_col).alias("ts"),

@@ -30,6 +30,13 @@ def window_counts_stream(stream: DataFrame, *, ts_col: str = "ts",
     watermark passes each window's end."""
     gap_ms_of(window)  # validate/normalize early, same error message
     w_str = window if isinstance(window, str) else f"{window} milliseconds"
+    # the watermark machinery itself rejects TIMESTAMP_NTZ
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — convert wall clock AS UTC
+    # up front, the same instant mapping batch _epoch_ms uses
+    from pyspark.sql.types import TimestampNTZType
+    if isinstance(stream.schema[ts_col].dataType, TimestampNTZType):
+        stream = stream.withColumn(
+            ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
     src = (stream.filter(F.col(ts_col).isNotNull())
                  .withWatermark(ts_col, watermark))
     keys = [F.window(F.col(ts_col), w_str)]

@@ -98,10 +98,15 @@ def test_q64_runs_on_count_frames_not_pairs(spark):
     lines = plan.splitlines()
     arrow = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
     assert len(arrow) == 2, plan
-    # each kernel's direct child is the n-gram count aggregate — the
-    # UDF consumes (distinct-ngram, count) rows, never exploded pairs
+    # each kernel feeds off the n-gram count aggregate (or its
+    # persisted InMemoryTableScan, possibly behind a pushed join-key
+    # null filter) — the UDF consumes (distinct-ngram, count) rows;
+    # an exploded-pairs Generate below the kernel would be the bug
     for i in arrow:
-        assert "HashAggregate" in lines[i + 1], plan
+        window = "".join(lines[i + 1:i + 4])
+        assert ("HashAggregate" in window
+                or "InMemoryTableScan" in window), plan
+        assert "Generate" not in window, plan
 
 
 def test_lm_stream_matches_batch(spark, tmp_path):

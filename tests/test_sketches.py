@@ -67,8 +67,11 @@ def test_cms_overestimates_only_everywhere(keyed):
 
 
 def test_cms_weighted_build(spark):
+    # the NULL-weight row is excluded like a NULL key (regression: a
+    # cell fed only NULL weights used to crash the driver unpack)
     df = spark.createDataFrame(
-        [("a", 5), ("a", 3), ("b", 2)], "key string, w int")
+        [("a", 5), ("a", 3), ("b", 2), ("z", None)],
+        "key string, w int")
     cms = build_cms(df, key_col="key", depth=2, width=16, weight_col="w")
     assert cms["total"] == 10
     est = cms_estimate(df.select("key").distinct(), cms,

@@ -87,3 +87,41 @@ def test_group_topk(spark):
     assert out == [("a", 1, 3), ("a", 2, 1), ("b", 1, 7)]
     with pytest.raises(ValueError, match=r"k must be"):
         group_topk(agg, 0, group_col="g")
+
+
+def test_pre_epoch_events_floor_align(spark):
+    # pmod, not %: a truncating modulo would put a 1969 event in a
+    # window STARTING AFTER it (and diverge from native F.window)
+    df = _frame(spark, [(1, 1, "1969-12-31 23:30:00")])
+    r = window_counts(df, window="1 hour").first()
+    assert r.window_start_ms == -3_600_000 and r.n_events == 1
+
+
+def test_window_counts_stream_accepts_ntz(spark, tmp_path):
+    # events-table timestamps are TIMESTAMP_NTZ; the stream projection
+    # must localize window.start like batch _epoch_ms (regression:
+    # unix_millis rejects NTZ)
+    from boon_spark.streaming.windows_stream import window_counts_stream
+    src = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00")], "event_id bigint, ts string") \
+        .withColumn("ts", F.expr("to_timestamp_ntz(ts)"))
+    path = str(tmp_path / "ntz_in")
+    src.coalesce(1).write.parquet(path + "/p1")
+    spark.createDataFrame([(9, "2024-02-01 00:00:00")],
+                          "event_id bigint, ts string") \
+        .withColumn("ts", F.expr("to_timestamp_ntz(ts)")) \
+        .coalesce(1).write.parquet(path + "/p2")
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp_ntz")
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    out = window_counts_stream(stream, window="1 hour",
+                               watermark="1 minute")
+    q = (out.writeStream.format("memory").queryName("t_ntz")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r.window_start_ms, r.n_events)
+            for r in spark.sql("select * from t_ntz").collect()}
+    want = {(r.window_start_ms, r.n_events)
+            for r in window_counts(src, window="1 hour").collect()}
+    assert want <= rows and len(want) == 1
