@@ -208,7 +208,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float],
              "c4_clean", "seq_pack", "pii_mask", "boilerplate",
              "hash_sample", "token_kgram", "span_dedup", "chunk_tokens",
              "curation_pipeline", "bloom_member", "sessions",
-             "lm_score", "hll_distinct"]
+             "lm_score", "hll_distinct", "lm3_score", "pmi_topk"]
     out: dict[str, float] = {}
     cold: dict[str, float] = {}
     cache: dict[str, float] = {}
