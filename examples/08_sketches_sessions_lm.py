@@ -63,6 +63,13 @@ scored.orderBy("avg_nll_mq64", "doc_id").show(5)
 print("== top collocations by quantized PMI ==")
 pmi_collocations(tok, 10, min_count=3).show()
 
+# --- stupid-backoff trigram (Brants et al. 2007) -----------------------
+from boon_spark.operators.lm import fit_backoff_lm, score_backoff_lm
+
+tri_model = fit_backoff_lm(tok)
+print("== trigram stupid-backoff scores (lowest 5) ==")
+score_backoff_lm(tok, tri_model).orderBy("avg_nll_mq64", "doc_id").show(5)
+
 # --- streaming LM (batch mode — the scorer is mode-agnostic) ----------
 from boon_spark.streaming.lm_stream import collect_lm_model, lm_score_stream
 
