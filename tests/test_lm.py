@@ -223,3 +223,91 @@ def test_backoff_lm_hand_computed(spark):
     short = spark.createDataFrame([("s", [1, 2])],
                                   "doc_id string, tokens array<int>")
     assert score_backoff_lm(short, model).count() == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_corpus = st.lists(
+    st.lists(st.integers(min_value=0, max_value=6),
+             min_size=0, max_size=8),
+    min_size=1, max_size=8)
+
+
+def _py_bigram_scores(docs, bounds):
+    uni, bi = {}, {}
+    for toks in docs:
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    v = len(uni)
+    out = {}
+    for i, toks in enumerate(docs):
+        if len(toks) < 2:
+            continue
+        nll = 0
+        for a, b in zip(toks, toks[1:]):
+            qn = _q64(bounds, bi.get((a, b), 0) + 1)
+            qd = _q64(bounds, uni.get(a, 0) + v)
+            nll -= qn - qd
+        out[f"d{i}"] = (len(toks) - 1, nll, (nll * 1000) // (len(toks) - 1))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(_corpus)
+def test_bigram_lm_matches_python_reference(spark, docs):
+    df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(docs)],
+        "doc_id string, tokens array<int>")
+    model = fit_bigram_lm(df)
+    got = {r.doc_id: (r.n_bigrams, r.nll_q64, r.avg_nll_mq64)
+           for r in score_bigram_lm(df, model).collect()}
+    assert got == _py_bigram_scores(docs, model["bounds"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(_corpus, _corpus)
+def test_backoff_lm_matches_python_reference(spark, fit_docs, score_docs):
+    from boon_spark.operators.lm import fit_backoff_lm, score_backoff_lm
+    fit_df = spark.createDataFrame(
+        [(f"f{i}", t) for i, t in enumerate(fit_docs)],
+        "doc_id string, tokens array<int>")
+    model = fit_backoff_lm(fit_df)
+    # reference fits on fit_docs but scores score_docs (exercises all
+    # three backoff arms on genuinely unseen n-grams)
+    ref_model_docs = fit_docs
+    uni, bi, tri = {}, {}, {}
+    for toks in ref_model_docs:
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+    from boon_spark.operators.lm import BACKOFF_Q64 as A
+    n = sum(uni.values())
+    b_ = model["bounds"]
+    q = lambda x: _q64(b_, x)
+    want = {}
+    for i, toks in enumerate(score_docs):
+        if len(toks) < 3:
+            continue
+        nll = 0
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            if (a, b, c) in tri:
+                s = q(tri[(a, b, c)]) - q(bi[(a, b)])
+            elif (b, c) in bi:
+                s = A + q(bi[(b, c)]) - q(uni[b])
+            else:
+                s = 2 * A + (q(uni[c]) if c in uni else 0) - q(max(n, 1))
+            nll -= s
+        k = len(toks) - 2
+        want[f"s{i}"] = (k, nll, (nll * 1000) // k)
+    score_df = spark.createDataFrame(
+        [(f"s{i}", t) for i, t in enumerate(score_docs)],
+        "doc_id string, tokens array<int>")
+    got = {r.doc_id: (r.n_trigrams, r.nll_q64, r.avg_nll_mq64)
+           for r in score_backoff_lm(score_df, model).collect()}
+    assert got == want
