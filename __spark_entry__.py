@@ -29,8 +29,51 @@ from boon_spark.operators.uniqueness import check_unique
 VLOC = ["instance_location", "keyword_location"]
 
 
-def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+#: any input below this is "tiny" for the parallelism floor — a table
+#: this small can only have lost parallelism to file layout, never to
+#: genuine scale (at real scale inputs are thousands of splits and the
+#: floor never fires)
+_FLOOR_MAX_BYTES = 256 << 20
+
+
+def _read(spark, path, floor=True):
+    """Parquet read + scale-adaptive parallelism floor (optimization
+    guide §2.5, unsplittable input): the sf0.1 gate tables are single
+    row-group single-file parquet, so the scan is ONE task and every
+    row-local projection (shingle UDFs, regex chains, validation
+    codegen) runs on one core no matter how many the session has.
+    Repartition to the session's default parallelism ONLY when the
+    input is one file AND tiny (a cheap driver-side stat — no plan is
+    built); at real scale (many files / big input) this is a no-op, so
+    no corpus shuffle is ever added where the input already
+    parallelizes.  Every gate result is partitioning-independent by
+    design (deterministic hashing, total-order ranks), so results are
+    unchanged.
+
+    ``floor=False`` opts a query out: measured on the gate tables, the
+    floor pays off only when scan-side per-row compute dominates —
+    for shuffle-bound pipelines over the same tiny inputs the extra
+    exchange plus the wider tiny-task stages cost more than the scan
+    parallelism buys (see OPTIMIZATION_r07.md)."""
+    df = spark.read.parquet(path)
+    if not floor:
+        return df
+    import glob
+    try:
+        files = (glob.glob(os.path.join(path, "*.parquet"))
+                 if os.path.isdir(path) else [path])
+        n = spark.sparkContext.defaultParallelism
+        if (0 < len(files) < n
+                and sum(os.path.getsize(f)
+                        for f in files) < _FLOOR_MAX_BYTES):
+            df = df.repartition(n)
+    except OSError:
+        pass
+    return df
+
+
+def _docs(spark, sf_dir, floor=False):
+    return _read(spark, f"{sf_dir}/documents.parquet", floor=floor)
 
 
 def _violations(df, schema, row_id):
@@ -77,7 +120,7 @@ def q_length_text(spark, sf_dir):
 def q_multipleof_psize(spark, sf_dir):
     """multipleOf (SURVEY §2.5) on part.p_size."""
     return _violations(
-        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        _read(spark, f"{sf_dir}/part.parquet", floor=False),
         {"properties": {"p_size": {"multipleOf": 5}}},
         "p_partkey")
 
@@ -85,7 +128,7 @@ def q_multipleof_psize(spark, sf_dir):
 def q_items_bounds_embedding(spark, sf_dir):
     """items element-bounds (SURVEY §2.3): per-row verdict over
     embeddings.embedding ∈ [-0.5, 0.45]."""
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = _read(spark, f"{sf_dir}/embeddings.parquet", floor=False)
     eng = Engine.from_schema(
         {"properties": {"embedding": {
             "items": {"minimum": -0.5, "maximum": 0.45}}}},
@@ -95,7 +138,7 @@ def q_items_bounds_embedding(spark, sf_dir):
 
 def q_contains_embedding(spark, sf_dir):
     """contains/minContains (SURVEY §2.3): row has ≥1 element > 0.4."""
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = _read(spark, f"{sf_dir}/embeddings.parquet", floor=False)
     eng = Engine.from_schema(
         {"properties": {"embedding": {
             "contains": {"exclusiveMinimum": 0.4}, "minContains": 1}}},
@@ -176,7 +219,7 @@ def q_summary_documents(spark, sf_dir):
 
 def q_logic_combo(spark, sf_dir):
     """anyOf / not / oneOf / multipleOf over lineitem (SURVEY §2.1)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _read(spark, f"{sf_dir}/lineitem.parquet", floor=False)
     eng = Engine.from_schema({"properties": {
         "l_discount": {"anyOf": [{"maximum": 0.02}, {"minimum": 0.08}]},
         "l_tax": {"not": {"exclusiveMinimum": 0.07}},
@@ -192,7 +235,8 @@ def q_logic_combo(spark, sf_dir):
 def q_const_exclusive(spark, sf_dir):
     """const + exclusive bounds violations over region (SURVEY §2.1/2.5)."""
     return _violations(
-        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),  # 5 rows: a
+        # parallelism floor would only add a shuffle in front of nothing
         {"properties": {
             "r_name": {"const": "AFRICA"},
             "r_regionkey": {"exclusiveMinimum": 0, "exclusiveMaximum": 4},
@@ -205,7 +249,7 @@ def _corrupted_dates(spark, sf_dir):
     deterministically corrupted — ONE derivation shared by the
     format-assertion and format-annotation gates, whose whole point is
     to contrast verdicts over the SAME data."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _read(spark, f"{sf_dir}/orders.parquet", floor=False)
     d = F.date_format("o_orderdate", "yyyy-MM-dd")
     return o.select(
         "o_orderkey",
@@ -240,7 +284,7 @@ def q_format_annotation_mode(spark, sf_dir):
 def q_content_json_events(spark, sf_dir):
     """contentMediaType + contentSchema over events.props (SURVEY §2.4):
     per-keyword violation counts."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read(spark, f"{sf_dir}/events.parquet", floor=True)
     eng = Engine.from_schema({"properties": {"props": {
         "contentMediaType": "application/json",
         "contentSchema": {"properties": {
@@ -257,7 +301,7 @@ def q_content_json_events(spark, sf_dir):
 
 def q_unique_custkey(spark, sf_dir):
     """table-level uniqueItems: duplicated o_custkey values."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _read(spark, f"{sf_dir}/orders.parquet", floor=False)
     return (check_unique(orders, ["o_custkey"], row_id="o_custkey")
             .select("instance_location", "keyword_location", "dup_count"))
 
@@ -265,9 +309,10 @@ def q_unique_custkey(spark, sf_dir):
 def q_referential_custkey(spark, sf_dir):
     """referential broadcast anti-join: orders whose customer is outside a
     restricted dimension (c_custkey % 7 <> 0)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _read(spark, f"{sf_dir}/orders.parquet", floor=False)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
-        .filter(F.col("c_custkey") % 7 != 0)
+        .filter(F.col("c_custkey") % 7 != 0)  # broadcast dim side: a
+    # repartition would just add an exchange before the collect
     return (check_referential(orders, "o_custkey", cust,
                               dim_column="c_custkey", row_id="o_orderkey")
             .select("instance_location", "keyword_location"))
@@ -413,7 +458,7 @@ def q_quality_counts(spark, sf_dir):
 def q_lang_id_counts(spark, sf_dir):
     """language-ID heuristic (stopword/CJK evidence argmax) → counts."""
     from boon_spark.operators.text import language_id
-    return (_docs(spark, sf_dir)
+    return (_docs(spark, sf_dir, floor=True)
             .groupBy(language_id(F.col("text")).alias("lang_pred"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
 
@@ -421,7 +466,7 @@ def q_lang_id_counts(spark, sf_dir):
 def q_token_count_bpe(spark, sf_dir):
     """BPE-ish token counting (words + punct + subword correction)."""
     from boon_spark.operators.text import bpe_ish_token_count
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, floor=True).select(
         "doc_id", bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"))
 
 
@@ -432,7 +477,7 @@ def q_repetition_metrics(spark, sf_dir):
     of exact integers, so the DuckDB oracle reproduces them bit-for-bit.
     One Arrow-batched projection, zero shuffle."""
     from boon_spark.operators.repetition import ppm, repetition_metrics
-    m = repetition_metrics(_docs(spark, sf_dir))
+    m = repetition_metrics(_docs(spark, sf_dir, floor=True))
     return m.select(
         "doc_id",
         ppm(F.col("top_2gram_char_frac")).alias("top2_ppm"),
@@ -447,7 +492,7 @@ def q_gopher_flags(spark, sf_dir):
     rule set incl. line/paragraph metrics is unit-tested; this gate
     pins the metric values through seven threshold comparisons."""
     from boon_spark.operators.repetition import repetition_metrics
-    m = repetition_metrics(_docs(spark, sf_dir))
+    m = repetition_metrics(_docs(spark, sf_dir, floor=True))
     c = F.col
 
     def cnt(cond, name):
@@ -554,7 +599,8 @@ def q_curation_pipeline(spark, sf_dir):
     four stages chained, ONE assembled oracle; a cross-engine drift in
     any stage surfaces here even if its isolated gate still passes."""
     from boon_spark.operators.pipeline import curation_stats
-    return curation_stats(_docs(spark, sf_dir), thresholds=_CURATE_TH)
+    return curation_stats(_docs(spark, sf_dir, floor=True),
+                          thresholds=_CURATE_TH)
 
 
 def q_token_windows(spark, sf_dir):
@@ -562,7 +608,8 @@ def q_token_windows(spark, sf_dir):
     token arrays: byte-exact window CONTENT via md5 of the comma-joined
     tokens — pure row-local generate, no shuffle."""
     from boon_spark.operators.tokens import token_windows
-    return token_windows(_tok_frame(spark, sf_dir, "doc_id"), 32, 24)
+    return token_windows(_tok_frame(spark, sf_dir, "doc_id",
+                                    floor=True), 32, 24)
 
 
 def q_pii_mask(spark, sf_dir):
@@ -578,7 +625,7 @@ def q_pii_mask(spark, sf_dir):
         F.lit(".7 or 555-867-5309 ssn 123-45-6789 "
               "card 4111 1111 1111 1111"))
     cnts = pii_counts(t)
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, floor=True).select(
         "doc_id", F.md5(mask_pii_col(t)).alias("masked_md5"),
         *[v.alias(f"n_{k}") for k, v in cnts.items()])
 
@@ -636,11 +683,11 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(_docs(spark, sf_dir), 20)
 
 
-def _doc_lens(spark, sf_dir):
+def _doc_lens(spark, sf_dir, floor=False):
     """(doc_id, n_tok, source) — whitespace token counts, the shared
     length frame for the sequence-packing gates (same token definition
     as the token_count gate)."""
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, floor=floor).select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int")
         .alias("n_tok"),
@@ -691,13 +738,14 @@ _KGRAM_GEN = ("CASE WHEN doc_id % 97 = 0 THEN CAST(-1 AS BIGINT) "
 _KGRAM_GEN_SQL = "CASE WHEN doc_id % 97 = 0 THEN -1 ELSE doc_id // 5 END"
 
 
-def _tok_frame(spark, sf_dir, gen: str):
+def _tok_frame(spark, sf_dir, gen: str, floor=False):
     """(doc_id, n_tok, source, g, tokens) — deterministic md5-derived
     array<int> tokens over the shared length frame, so the token-array
     gates exercise real integer-array plumbing with a SQL oracle."""
     from boon_spark.operators.tokens import synthetic_tokens
     return synthetic_tokens(
-        _doc_lens(spark, sf_dir).withColumn("g", F.expr(gen)),
+        _doc_lens(spark, sf_dir, floor=floor)
+        .withColumn("g", F.expr(gen)),
         gen_col="g")
 
 
@@ -705,14 +753,16 @@ def q_token_topk(spark, sf_dir):
     """Corpus token-id histogram top-20 over array<int> tokens (explode
     + map-side-combined count + TakeOrderedAndProject)."""
     from boon_spark.operators.tokens import token_topk
-    return token_topk(_tok_frame(spark, sf_dir, "doc_id"), 20)
+    return token_topk(_tok_frame(spark, sf_dir, "doc_id",
+                                 floor=True), 20)
 
 
 def q_oov_stats(spark, sf_dir):
     """Out-of-vocab audit per source at vocab_size=900 over vocab-997
     synthetic tokens — row-local size(filter(...)), one group shuffle."""
     from boon_spark.operators.tokens import oov_stats
-    return oov_stats(_tok_frame(spark, sf_dir, "doc_id"), 900)
+    return oov_stats(_tok_frame(spark, sf_dir, "doc_id",
+                               floor=True), 900)
 
 
 def q_chunk_tokens(spark, sf_dir):
@@ -741,7 +791,7 @@ def q_span_dedup(spark, sf_dir):
     mask — the corpus never shuffles."""
     from boon_spark.operators.tokens import remove_hot_kgram_spans
     return remove_hot_kgram_spans(
-        _tok_frame(spark, sf_dir, _KGRAM_GEN), 5, min_df=6)
+        _tok_frame(spark, sf_dir, _KGRAM_GEN, floor=True), 5, min_df=6)
 
 
 def q_bloom_member(spark, sf_dir):
@@ -779,7 +829,7 @@ def q_lm_score(spark, sf_dir):
     no float ln ever crosses an engine (the BM25 lesson, taken one
     step further)."""
     from boon_spark.operators.lm import fit_bigram_lm, score_bigram_lm
-    tok = _tok_frame(spark, sf_dir, "doc_id")
+    tok = _tok_frame(spark, sf_dir, "doc_id", floor=True)
     model = fit_bigram_lm(tok)
     return score_bigram_lm(tok, model)
 
@@ -806,7 +856,7 @@ def q_event_windows(spark, sf_dir):
     Spark's built-in F.window so the streaming variant (native
     watermark + windowed agg) emits the same integers (pinned)."""
     from boon_spark.operators.windows import window_counts
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read(spark, f"{sf_dir}/events.parquet", floor=False)
     return window_counts(ev, window="6 hours", group_col="event_type")
 
 
@@ -815,7 +865,7 @@ def q_source_topk(spark, sf_dir):
     synthetic token corpus — (n desc, token asc) rank within each
     source."""
     from boon_spark.operators.cleaning import group_topk
-    tok = _tok_frame(spark, sf_dir, "doc_id")
+    tok = _tok_frame(spark, sf_dir, "doc_id", floor=True)
     agg = (tok.select("source", F.explode("tokens").alias("token"))
            .groupBy("source", "token")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -856,7 +906,7 @@ def q_lm3_score(spark, sf_dir):
     round(64·ln 0.4) = -59 — the whole score stays in exact q64
     integers."""
     from boon_spark.operators.lm import fit_backoff_lm, score_backoff_lm
-    tok = _tok_frame(spark, sf_dir, "doc_id")
+    tok = _tok_frame(spark, sf_dir, "doc_id", floor=True)
     return score_backoff_lm(tok, fit_backoff_lm(tok))
 
 
@@ -866,7 +916,8 @@ def q_pmi_topk(spark, sf_dir):
     ln-boundary table (no products, overflow-free at any corpus
     size), total order (pmi desc, w1, w2)."""
     from boon_spark.operators.lm import pmi_collocations
-    return pmi_collocations(_tok_frame(spark, sf_dir, "doc_id"), 20,
+    return pmi_collocations(_tok_frame(spark, sf_dir, "doc_id",
+                                       floor=True), 20,
                             min_count=3)
 
 
@@ -877,7 +928,7 @@ def q_sessions(spark, sf_dir):
     integer-exact epoch ms.  Boundaries reproduce bit-exactly in the
     oracle — same (ts, event_id) ordering, same integer gap test."""
     from boon_spark.operators.sessions import session_stats
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read(spark, f"{sf_dir}/events.parquet", floor=False)
     return session_stats(ev, gap="12 hours")
 
 
@@ -889,7 +940,7 @@ def q_hll_distinct(spark, sf_dir):
     oracle, estimation error included.  Spark's approx_count_distinct
     can't be verified this way (implementation-defined hashing)."""
     from boon_spark.operators.sketches import hll_report
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read(spark, f"{sf_dir}/events.parquet", floor=False)
     return hll_report(ev, key_col="event_id", p=8).select(
         "n_occupied", "n_zero", "harmonic_scaled", "est_raw")
 
@@ -920,7 +971,7 @@ def q_minhash_head(spark, sf_dir):
     hash over word-3-gram shingles) per document — proves the full
     shingle→hash→min pipeline matches the oracle bit-for-bit."""
     from boon_spark.operators.dedup import minhash_signature, word_shingles
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, floor=True).select(
         "doc_id",
         F.element_at(minhash_signature(
             word_shingles(F.col("text"), 3), 1), 1).alias("sig0"))
@@ -931,7 +982,7 @@ def q_simhash_docs(spark, sf_dir):
     checked bit-for-bit against a DuckDB reimplementation of the full
     shingle→md5→bit-vote pipeline."""
     from boon_spark.operators.dedup import simhash64
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, floor=True).select(
         "doc_id", simhash64(F.col("text")).alias("fp"))
 
 
@@ -943,7 +994,7 @@ def q_minhash_pairs(spark, sf_dir):
     from boon_spark.operators.dedup import minhash_lsh_pairs
     # max_bucket passed EXPLICITLY: the oracle's 'BETWEEN 2 AND 64'
     # must track this value, not a retunable operator default
-    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, bands=8,
+    return minhash_lsh_pairs(_docs(spark, sf_dir, floor=True), num_hashes=16, bands=8,
                              jaccard_threshold=0.5, hash_family="md5",
                              max_bucket=64) \
         .select("id_a", "id_b")
@@ -955,7 +1006,7 @@ def _dedup_cluster_labels(spark, sf_dir):
     cluster gates and the pair gate describe one pipeline."""
     from boon_spark.operators.clusters import connected_components
     from boon_spark.operators.dedup import minhash_lsh_pairs
-    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, bands=8,
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir, floor=True), num_hashes=16, bands=8,
                               jaccard_threshold=0.5, hash_family="md5",
                               max_bucket=64)
     return connected_components(pairs)
@@ -990,7 +1041,7 @@ def q_cluster_stats(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     """exact word-3-gram Jaccard pairs within (source, lang) blocks."""
     from boon_spark.operators.dedup import ngram_jaccard_pairs
-    docs = _docs(spark, sf_dir).withColumn(
+    docs = _docs(spark, sf_dir, floor=True).withColumn(
         "blk", F.concat_ws("|", "source", "lang"))
     return (ngram_jaccard_pairs(docs, group_col="blk", threshold=0.5)
             .select("id_a", "id_b"))
@@ -1002,7 +1053,7 @@ def q_embedding_near_dups(spark, sf_dir):
     verify (cos >= 2/5), so the DuckDB oracle reproduces it bit-for-bit
     (8 pairs at sf0.01 — the round-1 float gate returned 0 rows)."""
     from boon_spark.operators.dedup import embedding_near_dups_quantized
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     return embedding_near_dups_quantized(
         emb, dim=64, threshold_num=2, threshold_den=5, bits=4, seed=42) \
         .select("id_a", "id_b")
@@ -1017,7 +1068,7 @@ def q_contamination(spark, sf_dir):
     MinHash banding) is oracle-reproduced (4 genuine hits at sf0.01,
     containment 0.97-1.0)."""
     from boon_spark.operators.dedup import cross_table_contamination
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, floor=True)
     bench = docs.filter(F.col("source").isin("src0", "src1"))
     corpus = docs.filter(~F.col("source").isin("src0", "src1"))
     # max_df passed EXPLICITLY: the oracle's 'HAVING count(*) > 10000'
@@ -1035,7 +1086,7 @@ def q_lsh_topk(spark, sf_dir):
     rank key — bit-identical in the DuckDB oracle (float LSH risks
     sign/rank flips between engines)."""
     from boon_spark.operators.similarity import lsh_topk_quantized
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") < 5)
     return lsh_topk_quantized(emb, qs, k=5, dim=64).select(
         "query_id", "neighbor_id",
@@ -1055,7 +1106,7 @@ def q_ivf_topk(spark, sf_dir):
     REDUCED probing is left to unit tests
     (test_similarity_ids::test_ivf_topk_recall_and_determinism)."""
     from boon_spark.operators.similarity import ivf_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=16,
                     max_cell=None).select(
@@ -1069,7 +1120,7 @@ def q_lsh_q_stats(spark, sf_dir):
     lsh_topk_quantized joins on — same generated hyperplanes, same
     clean-row predicate, bit-exact in DuckDB."""
     from boon_spark.operators.similarity import lsh_quantized_bucket_stats
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     return lsh_quantized_bucket_stats(emb, dim=64, max_bucket=1024)
 
 
@@ -1091,7 +1142,8 @@ def q_bm25_topk(spark, sf_dir):
     Scale shape: row-local posting explode gated by a BROADCAST join on
     the query-term set — only matching postings shuffle."""
     from boon_spark.operators.search import bm25_topk
-    return bm25_topk(_docs(spark, sf_dir), _search_queries(spark, sf_dir),
+    return bm25_topk(_docs(spark, sf_dir, floor=True),
+                     _search_queries(spark, sf_dir),
                      k=5)
 
 
@@ -1099,7 +1151,7 @@ def q_bm25_df_stats(spark, sf_dir):
     """Audit companion for bm25_topk: per-term document frequency and
     quantized idf over the same matched-posting frame the score uses."""
     from boon_spark.operators.search import bm25_df_stats
-    return bm25_df_stats(_docs(spark, sf_dir),
+    return bm25_df_stats(_docs(spark, sf_dir, floor=True),
                          _search_queries(spark, sf_dir))
 
 
@@ -1111,7 +1163,7 @@ def q_multimodal_decode(spark, sf_dir):
     The oracle reproduces the byte arithmetic with hex(encode(text))."""
     from boon_spark.operators.multimodal import (decode_images,
                                                  deterministic_fake_decoder)
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs(spark, sf_dir, floor=True).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.encode("text", "UTF-8").alias("payload"))
     out = decode_images(docs, decoder=deterministic_fake_decoder)
@@ -1130,7 +1182,7 @@ def q_embedding_topk(spark, sf_dir):
     no shuffle of the big table until the per-partition top-k, then a
     tiny global top-k (window over ≤ k·P rows)."""
     from boon_spark.operators.similarity import cosine_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
     return (cosine_topk(emb, queries, k=3, id_col="vec_id",
                         vec_col="embedding")
