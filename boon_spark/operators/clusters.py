@@ -149,7 +149,14 @@ def connected_components(edges: DataFrame, src_col: str = "id_a",
     attached-attribute shape as ``token_kgram_candidates``'s
     ``_cached_kgrams``).
     """
-    ck = checkpoint or (lambda df: df.localCheckpoint(eager=True))
+    # LAZY localCheckpoint by default: the fingerprint aggregate right
+    # after it is the action that materializes the checkpoint, so each
+    # round runs ONE job (materialize + convergence evidence together)
+    # instead of two — at cluster scale that removes a full re-read of
+    # the cached edge blocks per round, at gate scale it halves the
+    # loop's fixed job overhead (guide §1.2: fewer passes).  A caller
+    # checkpoint callable is used as given (assumed eager/durable).
+    ck = checkpoint or (lambda df: df.localCheckpoint(eager=False))
 
     def fingerprint(e: DataFrame):
         row = e.agg(

@@ -105,7 +105,13 @@ def word_shingles(col: Column, n: int = 3) -> Column:
                 " ".join(w[i:i + n]) for i in range(len(w) - n + 1)))
         return norm.map(sh)
 
-    return _shingle(normalized_text(col))
+    # asNondeterministic: consumers filter on size(shingles) > 0, and
+    # the optimizer pushes that filter BELOW the projection by cloning
+    # the UDF — two ArrowEvalPython nodes, every row shingled twice
+    # (optimization guide §4.4; measured in the r7 plan audit).  The
+    # marker forbids the duplication; the function is semantically
+    # deterministic, so results are unchanged.
+    return _shingle.asNondeterministic()(normalized_text(col))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -178,6 +184,62 @@ def minhash_signature(shingles: Column, num_hashes: int = 16, *,
     return F.array(*sigs)
 
 
+def _shingles_and_minhash(col: Column, n: int, num_hashes: int) -> Column:
+    """Fused shingle + md5-minhash signature as ONE Arrow-batched pandas
+    UDF: ``struct<sh: array<string>, sig: array<long>>`` — bit-identical
+    to ``word_shingles`` + ``minhash_signature(hash_family='md5')``
+    (pinned in test_dedup), but one Python pass instead of a Python
+    shingle pass plus ``num_hashes`` INTERPRETED JVM ``transform``s
+    (HOFs knock the projection out of whole-stage codegen, and each
+    element pays an interpreted md5+hex+conv chain — guide §4.2: hand
+    whole batches to native code).  The md5 state of each shingle is
+    computed once and ``.copy()``-extended per salt, so the per-shingle
+    cost is one hash plus ``num_hashes`` cheap finalizations.
+
+    md5-family only: the xxhash64 production family stays JVM-side
+    (Python cannot reproduce Spark's xxhash64 seeding bit-for-bit).
+    NULL text yields a NULL struct (filtered by every consumer)."""
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+
+    salts = [f"#{h}".encode() for h in range(num_hashes)]
+    ret = StructType([StructField("sh", ArrayType(StringType())),
+                      StructField("sig", ArrayType(LongType()))])
+
+    @F.pandas_udf(ret)
+    def _sh_sig(norm: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        shs, sigs = [], []
+        for s in norm:
+            if s is None:
+                shs.append(None)
+                sigs.append(None)
+                continue
+            w = s.split(" ")
+            if len(w) <= n:
+                sh = [" ".join(w)]
+            else:
+                sh = list(dict.fromkeys(
+                    " ".join(w[i:i + n]) for i in range(len(w) - n + 1)))
+            shs.append(sh)
+            mins = [None] * num_hashes
+            for g in sh:
+                base = hashlib.md5(g.encode())
+                for j, salt in enumerate(salts):
+                    m = base.copy()
+                    m.update(salt)
+                    v = int.from_bytes(m.digest()[:8], "big") >> 4
+                    if mins[j] is None or v < mins[j]:
+                        mins[j] = v
+            sigs.append(mins)
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    # asNondeterministic: same §4.4 duplication guard as word_shingles
+    # — the consumer's size(sh) > 0 filter must not clone the UDF
+    return _sh_sig.asNondeterministic()(normalized_text(col))
+
+
 def _shingle_base(df: DataFrame, *, text_col: str, id_col: str,
                   shingle_n: int, passthrough: tuple = ()) -> DataFrame:
     """The ``(_id, _sh, *passthrough)`` shingle projection shared by
@@ -205,12 +267,26 @@ def _minhash_banded(df: DataFrame, *, text_col: str, id_col: str,
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    base = _shingle_base(df, text_col=text_col, id_col=id_col,
-                         shingle_n=shingle_n, passthrough=passthrough)
-    sig = base.select(
-        "_id", "_sh", *passthrough,
-        minhash_signature(F.col("_sh"), num_hashes,
-                          hash_family=hash_family).alias("_sig"))
+    if hash_family == "md5":
+        # fused Python pass (see _shingles_and_minhash): same shingles,
+        # same 60-bit minima, one Arrow boundary instead of Python
+        # shingles + num_hashes interpreted JVM HOF transforms
+        ss = _shingles_and_minhash(F.col(text_col), shingle_n,
+                                   num_hashes)
+        sig = (df.select(F.col(id_col).alias("_id"),
+                         *[F.col(c) for c in passthrough],
+                         ss.alias("_ss"))
+               .select("_id", F.col("_ss.sh").alias("_sh"),
+                       F.col("_ss.sig").alias("_sig"), *passthrough)
+               .filter(F.size("_sh") > 0))
+    else:
+        base = _shingle_base(df, text_col=text_col, id_col=id_col,
+                             shingle_n=shingle_n,
+                             passthrough=passthrough)
+        sig = base.select(
+            "_id", "_sh", *passthrough,
+            minhash_signature(F.col("_sh"), num_hashes,
+                              hash_family=hash_family).alias("_sig"))
 
     # band keys: hash of each signature slice → (band_id, key) rows.
     # key hashing follows hash_family so md5 runs are oracle-reproducible
@@ -247,6 +323,14 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     sig, banded = _minhash_banded(
         df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
         bands=bands, shingle_n=shingle_n, hash_family=hash_family)
+    # persist: sig feeds the banding AND both sides of the exact-Jaccard
+    # verify join — three consumers across broadcast boundaries, where
+    # NO ReusedExchange forms (the measured r5 law), so without persist
+    # the corpus is re-shingled/re-signed once per consumer (measured
+    # r7: 3 ArrowEvalPython passes per action, ~2/3 of the pair
+    # pipeline's cost).  Spill-safe; handle attached for early release.
+    from pyspark import StorageLevel
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
 
     # bucket join: candidates are pairs sharing any band bucket.  Cap
     # bucket size to bound the quadratic pair expansion per reducer
@@ -274,8 +358,10 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                              F.col("_sh").alias("sh_b")), on="id_b"))
     jac = (F.size(F.array_intersect("sh_a", "sh_b")) /
            F.size(F.array_union("sh_a", "sh_b")))
-    return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= jaccard_threshold))
+    out = (pairs.select("id_a", "id_b", jac.alias("jaccard"))
+           .filter(F.col("jaccard") >= jaccard_threshold))
+    out._cached_sig = sig
+    return out
 
 
 def minhash_lsh_bucket_stats(df: DataFrame, *, text_col: str = "text",
@@ -362,10 +448,19 @@ def cross_table_contamination(corpus: DataFrame, benchmark: DataFrame, *,
     fast = hash_family == "xxhash64"
 
     if metric == "containment":
+        from pyspark import StorageLevel
+        # persist both shingle bases: the corpus side is consumed by
+        # the hot-set guard collect, the candidate join, AND the exact
+        # verify (three actions/broadcast-boundary consumers — the r5
+        # no-ReusedExchange law means each would otherwise re-run the
+        # shingle UDF over the full corpus); the benchmark side by the
+        # token index, the size frame, and the verify.  Spill-safe.
         sh_c = _shingle_base(corpus, text_col=text_col, id_col=id_col,
-                             shingle_n=shingle_n)
+                             shingle_n=shingle_n) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         sh_b = _shingle_base(benchmark, text_col=text_col, id_col=id_col,
-                             shingle_n=shingle_n)
+                             shingle_n=shingle_n) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         hasher = _min_hasher(0, fast)
 
         def tokens(sh, out_id):
@@ -464,9 +559,13 @@ def cross_table_contamination(corpus: DataFrame, benchmark: DataFrame, *,
         overlap = inter / F.size("sh_b")
     else:
         overlap = inter / (F.size("sh_c") + F.size("sh_b") - inter)
-    return (pairs.select("corpus_id", "benchmark_id",
-                         overlap.alias("overlap"))
-            .filter(F.col("overlap") >= threshold))
+    out = (pairs.select("corpus_id", "benchmark_id",
+                        overlap.alias("overlap"))
+           .filter(F.col("overlap") >= threshold))
+    if metric == "containment":
+        # unpersist handles (the repo's cached_corpus idiom)
+        out._cached_shingles = (sig_c, sig_b)
+    return out
 
 
 def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",

@@ -408,3 +408,45 @@ def test_cross_table_contamination_max_hot_guard(spark):
     with pytest.raises(ValueError, match="max_hot"):
         cross_table_contamination(
             corpus, bench, threshold=0.5, max_df=2, max_hot=1).collect()
+
+
+def test_fused_shingle_minhash_matches_legacy(spark):
+    # r7 optimization: the md5-family banded pipeline computes shingles
+    # AND the minhash signature in ONE fused Arrow UDF
+    # (_shingles_and_minhash) instead of the Python shingler plus
+    # num_hashes interpreted JVM HOF transforms.  Pin bit-equality of
+    # both struct fields against the legacy composition on the same
+    # edge cases the shingler pin uses.
+    from boon_spark.operators.dedup import (_shingles_and_minhash,
+                                            minhash_signature,
+                                            word_shingles)
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "\t\n  mixed\twhitespace\n here  "),
+        (4, "one"),
+        (5, "one two"),
+        (6, "one two three"),
+        (7, "one two three four"),
+        (8, "UPPER Case Text Must Lower"),
+        (9, "a b a b a b a b"),
+        (10, "x " * 50 + "y"),
+    ]
+    df = spark.createDataFrame(rows, "i int, text string")
+    for n, nh in ((3, 16), (2, 4), (1, 1)):
+        fused = {r.i: (r.ss.sh, r.ss.sig) for r in df.select(
+            "i", _shingles_and_minhash(F.col("text"), n, nh)
+            .alias("ss")).collect()}
+        legacy = {r.i: (r.sh, r.sig) for r in df.select(
+            "i", word_shingles(F.col("text"), n).alias("sh"),
+            minhash_signature(word_shingles(F.col("text"), n), nh,
+                              hash_family="md5").alias("sig"))
+            .collect()}
+        for i, (sh, sig) in legacy.items():
+            gsh, gsig = fused[i]
+            assert gsh == sh, f"n={n} i={i}: shingles {gsh} != {sh}"
+            if sh is None:
+                assert gsig is None
+            else:
+                assert gsig == sig, f"n={n} i={i}: sig {gsig} != {sig}"
