@@ -409,11 +409,12 @@ def fit_backoff_lm(df: DataFrame, *, tokens_col: str = "tokens",
            .groupBy("w1", "w2", "w3")
            .agg(F.count(F.lit(1)).cast("long").alias("c123")))
     # same persist rationale as fit_bigram_lm: uni/bi are each consumed
-    # TWICE in scoring (as w2- and w3-keyed sides), tri once plus the
-    # oracle-replica runs; the driver total below materializes uni
+    # TWICE in scoring (as w2- and w3-keyed sides); tri has ONE
+    # consumer (the seen-trigram arm), so persisting it would only pay
+    # a materialization write for nothing (r7 — unpersist_model still
+    # accepts models with a persisted tri)
     uni = uni.persist()
     bi = bi.persist()
-    tri = tri.persist()
     n_tokens = uni.agg(F.sum("c")).first()[0] or 0
     return {"uni": uni, "bi": bi, "tri": tri,
             "n_tokens": int(n_tokens),
@@ -438,27 +439,42 @@ def score_backoff_lm(df: DataFrame, model: dict, *,
         raise ValueError(
             f"total token count {n_tok} exceeds the boundary table "
             f"(max {int(model['bounds'][-1])}) — raise n_steps")
-    tri_q = model["tri"].withColumn("qa", q64(F.col("c123"))) \
-        .select("w1", "w2", "w3", "qa")
-    bi12_q = model["bi"].withColumn("qb", q64(F.col("c12"))) \
-        .select("w1", "w2", "qb")
-    bi23_q = model["bi"].withColumn("qc", q64(F.col("c12"))) \
-        .select(F.col("w1").alias("w2"), F.col("w2").alias("w3"), "qc")
-    uni2_q = model["uni"].withColumn("qd", q64(F.col("c"))) \
-        .select(F.col("w").alias("w2"), "qd")
-    uni3_q = model["uni"].withColumn("qe", q64(F.col("c"))) \
-        .select(F.col("w").alias("w3"), "qe")
     trips = _triples(df, tokens_col, id_col)
     a = F.lit(BACKOFF_Q64)
-    s = (F.when(F.col("qa").isNotNull(), F.col("qa") - F.col("qb"))
-         .when(F.col("qc").isNotNull(), a + F.col("qc") - F.col("qd"))
+    # r7: fold each backoff arm onto its COUNT frame first, so the
+    # corpus-side triple stream pays THREE joins, not five (at corpus
+    # scale occurrences >> distinct n-grams, so count-frame joins are
+    # the cheap side).  Exact-integer equivalence with the five-join
+    # form: a seen trigram implies its (w1,w2) bigram is seen (c12 >=
+    # c123 > 0), so s1 = qa - qb is non-NULL exactly when qa is; a seen
+    # (w2,w3) bigram implies w2 is seen, so s2 = a + qc - qd likewise.
+    # The raw counts join FIRST and the q64 kernels apply in one
+    # projection per arm — adjacent pandas UDFs fuse into a single
+    # ArrowEvalPython node, so the plan runs 3 Python evals, not 5
+    # (still only ever over count frames, never corpus rows).
+    bi12 = model["bi"].select("w1", "w2", "c12")
+    bi23 = model["bi"].select(F.col("w1").alias("w2"),
+                              F.col("w2").alias("w3"),
+                              F.col("c12").alias("c23"))
+    uni2 = model["uni"].select(F.col("w").alias("w2"),
+                               F.col("c").alias("c2"))
+    uni3_q = model["uni"].select(F.col("w").alias("w3"),
+                                 q64(F.col("c")).alias("qe"))
+    tri_s = (model["tri"].join(bi12, ["w1", "w2"])
+             .select("w1", "w2", "w3",
+                     (q64(F.col("c123")) - q64(F.col("c12")))
+                     .alias("s1")))
+    pair_s = (bi23.join(uni2, ["w2"])
+              .select("w2", "w3",
+                      (a + q64(F.col("c23")) - q64(F.col("c2")))
+                      .alias("s2")))
+    s = (F.when(F.col("s1").isNotNull(), F.col("s1"))
+         .when(F.col("s2").isNotNull(), F.col("s2"))
          .otherwise(2 * a + F.coalesce(F.col("qe"), F.lit(0))
                     - F.lit(q_n)))
     scored = (trips
-              .join(tri_q, ["w1", "w2", "w3"], "left")
-              .join(bi12_q, ["w1", "w2"], "left")
-              .join(bi23_q, ["w2", "w3"], "left")
-              .join(uni2_q, ["w2"], "left")
+              .join(tri_s, ["w1", "w2", "w3"], "left")
+              .join(pair_s, ["w2", "w3"], "left")
               .join(uni3_q, ["w3"], "left")
               .select(id_col, s.alias("s")))
     return (scored.groupBy(id_col)

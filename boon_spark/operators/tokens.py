@@ -44,6 +44,7 @@ visible in the audit.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,14 +132,56 @@ def _kgram_hash_at(tokens: Column, p, k: int) -> Column:
         KGRAM_SALT)
 
 
-def _kgram_hashes(tokens: Column, k: int) -> Column:
-    """Distinct md5 k-gram hashes of an int array, row-local: hash of
-    the comma-joined k-window at each position."""
+def _kgram_hashes_expr(tokens: Column, k: int) -> Column:
+    """Distinct md5 k-gram hashes as pure Column expressions — the
+    reference implementation :func:`_kgram_hashes` is pinned against.
+    NOT the production path: the per-position transform nests a second
+    transform (slice cast) plus an interpreted md5+hex+conv chain —
+    HOFs run outside whole-stage codegen (the word_shingles lesson)."""
     n = F.size(tokens)
     return F.when(n >= k, F.array_distinct(
         F.transform(F.sequence(F.lit(0), n - k),
                     lambda p: _kgram_hash_at(tokens, p, k)))) \
         .otherwise(F.array().cast("array<long>"))
+
+
+def _kgram_hashes(tokens: Column, k: int) -> Column:
+    """Distinct md5 k-gram hashes of an int array, row-local: hash of
+    the comma-joined k-window at each position.
+
+    Arrow-batched pandas UDF (r7): bit-identical to
+    :func:`_kgram_hashes_expr` (pinned in test_tokens) but one
+    vectorized Python pass instead of a nested interpreted HOF per
+    position — the same measured exception to built-ins-first as
+    ``word_shingles``.  Marked nondeterministic so the optimizer can
+    neither clone it under an inferred generate filter nor duplicate
+    it below a pushed predicate (guide §4.4)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    salt = f"#{KGRAM_SALT}".encode()
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _kh(col: pd.Series) -> pd.Series:
+        import hashlib
+
+        def hs(toks):
+            if toks is None or len(toks) < k:
+                return []
+            out = {}
+            for p in range(len(toks) - k + 1):
+                # array_join skips NULL elements (no null_replacement),
+                # so a NULL token contributes nothing to the joined key
+                # (NULLs arrive as NaN through Arrow: t == t filters
+                # both None and NaN)
+                m = hashlib.md5(
+                    ",".join(str(int(t)) for t in toks[p:p + k]
+                             if t is not None and t == t).encode())
+                m.update(salt)
+                out[int.from_bytes(m.digest()[:8], "big") >> 4] = None
+            return list(out)
+        return col.map(hs)
+
+    return _kh.asNondeterministic()(tokens)
 
 
 def _kgram_exploded(df: DataFrame, k: int, tokens_col: str,
@@ -331,7 +374,13 @@ def token_kgram_candidates(df: DataFrame, k: int, *,
         raise ValueError(f"k must be >= 1, got {k}")
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
-    ex = _kgram_exploded(df, k, tokens_col, id_col)
+    from pyspark import StorageLevel
+    # persist the exploded (doc, hash) frame BEFORE the hot-set guard:
+    # the guard's collect is its own action, so without the persist the
+    # k-gram hashing ran twice (guard pass + cold materialization) —
+    # one computation now feeds both (r7)
+    ex = _kgram_exploded(df, k, tokens_col, id_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     hot_rows = (ex.groupBy("h")
                 .agg(F.count(F.lit(1)).alias("_df"))
                 .filter(F.col("_df") > max_bucket)
@@ -345,7 +394,6 @@ def token_kgram_candidates(df: DataFrame, k: int, *,
     if hot_rows:
         hot = df.sparkSession.createDataFrame(hot_rows, "h long")
         cold = ex.join(F.broadcast(hot), "h", "left_anti")
-    from pyspark import StorageLevel
     cold = cold.persist(StorageLevel.MEMORY_AND_DISK)
 
     sizes = (cold.groupBy("_id")

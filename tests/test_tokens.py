@@ -183,3 +183,32 @@ def test_remove_hot_kgram_spans_guards(spark):
     out = {r.doc_id: r.n_removed
            for r in remove_hot_kgram_spans(df, 3, min_df=5).collect()}
     assert out == {"a": 0, "b": 0}
+
+
+def test_kgram_hashes_matches_expression(spark):
+    # r7: the production k-gram hasher is an Arrow-batched pandas UDF;
+    # pin bit-equality (values AND first-occurrence order) against the
+    # expression reference on the edges: null array, shorter-than-k,
+    # exactly-k, duplicates, and a null element (array_join skips it)
+    from pyspark.sql import functions as F
+    from boon_spark.operators.tokens import (_kgram_hashes,
+                                             _kgram_hashes_expr)
+    rows = [
+        (0, None),
+        (1, []),
+        (2, [1]),
+        (3, [1, 2]),
+        (4, [1, 2, 3]),
+        (5, [1, 2, 3, 4, 5, 6]),
+        (6, [7, 7, 7, 7, 7, 7, 7]),   # duplicate k-grams
+        (7, [1, None, 3, 4, 5]),       # null element
+        (8, list(range(50))),
+    ]
+    df = spark.createDataFrame(rows, "i int, toks array<int>")
+    for k in (1, 2, 3, 5):
+        got = {r.i: r.h for r in df.select(
+            "i", _kgram_hashes(F.col("toks"), k).alias("h")).collect()}
+        want = {r.i: r.h for r in df.select(
+            "i", _kgram_hashes_expr(F.col("toks"), k).alias("h"))
+            .collect()}
+        assert got == want, f"k={k}: {got} != {want}"
