@@ -662,7 +662,10 @@ def simhash64(text: Column, shingle_n: int = 3) -> Column:
 
         return batch.map(fp)
 
-    return _simhash(text)
+    # asNondeterministic: simhash_near_dups filters the fingerprint for
+    # NULL — without the marker that filter is pushed below by cloning
+    # the UDF (guide §4.4), hashing every document twice
+    return _simhash.asNondeterministic()(text)
 
 
 def simhash_near_dups(df: DataFrame, *, text_col: str = "text",

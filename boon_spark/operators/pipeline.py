@@ -80,17 +80,27 @@ def curate(df: DataFrame, *, text_col: str = "text",
            id_col: str = "doc_id", strata_col: str = "source",
            sample_fraction: float = 0.5, sample_seed: int = 33,
            split_weights: dict | None = None, split_seed: int = 34,
-           thresholds: dict | None = None) -> DataFrame:
+           thresholds: dict | None = None,
+           len_col: str | None = None) -> DataFrame:
     """The curated, split corpus: ``df``'s rows that pass the reduced
     quality rules, survive exact dedup (min-id keeper), and fall in the
     deterministic sample — with a ``split`` label appended.  See the
-    module docstring for stage semantics and the scale shape."""
+    module docstring for stage semantics and the scale shape.
+
+    ``len_col``: optionally materialize the shared ``doc_len`` token
+    count under this name in the STAGE-1 projection — i.e. before the
+    dedup exchange, where the scan parallelism is still available —
+    so downstream audits never re-run the tokenizing regex on the
+    (AQE-coalesced, possibly single-task) post-window side (r7; guide
+    §2.3 project-early)."""
     th = dict(GOPHER_THRESHOLDS)
     th.update(thresholds or {})
     m = repetition_metrics(df, text_col=text_col, id_col=id_col,
                            keep_cols=(strata_col, text_col))
+    extra = ([doc_len(F.col(text_col)).alias(len_col)]
+             if len_col else [])
     kept = (m.filter(_keep_predicate(th))
-            .select(id_col, strata_col, text_col))
+            .select(id_col, strata_col, text_col, *extra))
     h = F.md5(normalized_text(F.col(text_col)))
     w = Window.partitionBy("_h")
     surv = (kept.withColumn("_h", h)
@@ -106,12 +116,11 @@ def curate(df: DataFrame, *, text_col: str = "text",
 def curation_stats(df: DataFrame, **kw) -> DataFrame:
     """Per-(split, source) audit of :func:`curate`: ``(split, source,
     n_docs, n_tokens)`` — the end-to-end composition gate's output."""
-    text_col = kw.get("text_col", "text")
     strata_col = kw.get("strata_col", "source")
-    out = curate(df, **kw)
+    out = curate(df, len_col="_dl", **kw)
     return (out.groupBy(F.col("split"), F.col(strata_col).alias("source"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                 F.coalesce(F.sum(doc_len(F.col(text_col))), F.lit(0))
+                 F.coalesce(F.sum("_dl"), F.lit(0))
                  .cast("long").alias("n_tokens")))
 
 

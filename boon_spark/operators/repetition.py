@@ -205,8 +205,15 @@ def repetition_metrics(df: DataFrame, *, text_col: str = "text",
         return pd.DataFrame(rows, columns=names, dtype=object)
 
     t = F.col(text_col)
+    # asNondeterministic: quality-filter consumers filter on metric
+    # columns, and the optimizer pushes that filter below this
+    # projection by CLONING the UDF — two ArrowEvalPython nodes, every
+    # document's metrics computed twice (guide §4.4; measured r7 in the
+    # curation pipeline: stage 1 1.66s -> single-eval cost).  The
+    # function is semantically deterministic; results are unchanged.
     return (df.select(F.col(id_col), *[F.col(c) for c in keep_cols],
-                      _metrics(t, normalized_text(t)).alias("_m"))
+                      _metrics.asNondeterministic()(
+                          t, normalized_text(t)).alias("_m"))
             .select(id_col, *keep_cols, "_m.*"))
 
 
