@@ -1053,7 +1053,7 @@ def q_embedding_near_dups(spark, sf_dir):
     verify (cos >= 2/5), so the DuckDB oracle reproduces it bit-for-bit
     (8 pairs at sf0.01 — the round-1 float gate returned 0 rows)."""
     from boon_spark.operators.dedup import embedding_near_dups_quantized
-    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet", floor=False)
     return embedding_near_dups_quantized(
         emb, dim=64, threshold_num=2, threshold_den=5, bits=4, seed=42) \
         .select("id_a", "id_b")
@@ -1086,7 +1086,7 @@ def q_lsh_topk(spark, sf_dir):
     rank key — bit-identical in the DuckDB oracle (float LSH risks
     sign/rank flips between engines)."""
     from boon_spark.operators.similarity import lsh_topk_quantized
-    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet", floor=False)
     qs = emb.filter(F.col("vec_id") < 5)
     return lsh_topk_quantized(emb, qs, k=5, dim=64).select(
         "query_id", "neighbor_id",
@@ -1106,7 +1106,7 @@ def q_ivf_topk(spark, sf_dir):
     REDUCED probing is left to unit tests
     (test_similarity_ids::test_ivf_topk_recall_and_determinism)."""
     from boon_spark.operators.similarity import ivf_topk
-    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet", floor=False)
     qs = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=16,
                     max_cell=None).select(
@@ -1120,7 +1120,7 @@ def q_lsh_q_stats(spark, sf_dir):
     lsh_topk_quantized joins on — same generated hyperplanes, same
     clean-row predicate, bit-exact in DuckDB."""
     from boon_spark.operators.similarity import lsh_quantized_bucket_stats
-    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet", floor=False)
     return lsh_quantized_bucket_stats(emb, dim=64, max_bucket=1024)
 
 
@@ -1182,7 +1182,7 @@ def q_embedding_topk(spark, sf_dir):
     no shuffle of the big table until the per-partition top-k, then a
     tiny global top-k (window over ≤ k·P rows)."""
     from boon_spark.operators.similarity import cosine_topk
-    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet", floor=False)
     queries = emb.filter(F.col("vec_id") < 5)
     return (cosine_topk(emb, queries, k=3, id_col="vec_id",
                         vec_col="embedding")

@@ -23,6 +23,7 @@ its bucket (plus multi-probe neighbors).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -341,6 +342,60 @@ def _quantized_clean_qv(vec_col: str, dim: int, q_bits: int,
     return clean, qv
 
 
+def _quantized_sig_frame(df: DataFrame, *, out_id: str | None,
+                         id_col: str, vec_col: str, dim: int,
+                         q_bits: int, coord_bound: float,
+                         planes: list[list[int]], bits: int) -> DataFrame:
+    """``(out_id?, _qv, _sig, _nrm)`` — the clean-filter + quantize +
+    integer-plane signature + squared-norm pipeline as ONE numpy Arrow
+    UDF (r7): bit-identical to ``_quantized_clean_qv`` +
+    ``_quantized_sig_of`` + ``_idot`` (pinned in test_similarity_ids)
+    — floor of a power-of-two multiply, int64 matmul against the same
+    integer planes, int64 norms — but a single vectorized pass instead
+    of ~bits·dim interpreted HOF nodes per row, and the signature/norm
+    are computed ONCE per row instead of re-deriving norms per joined
+    pair.  Unclean rows (ragged / NULL element / out-of-bound / zero
+    norm) yield NULL and are filtered; the UDF is nondeterministic-
+    marked so the filter cannot clone it (guide §4.4)."""
+    import numpy as np
+
+    pl = np.array(planes, dtype=np.int64)
+    scale = 1 << q_bits
+    bound = float(coord_bound)
+    pw = np.left_shift(np.int64(1), np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(
+        "struct<qv: array<bigint>, sig: bigint, nrm: bigint>")
+    def _ss(vec: pd.Series) -> pd.DataFrame:
+        qvs, sigs, nrms = [], [], []
+        for v in vec:
+            if v is None or len(v) != dim:
+                qvs.append(None); sigs.append(None); nrms.append(None)
+                continue
+            arr = np.asarray(v, dtype=np.float64)
+            if np.isnan(arr).any() or (np.abs(arr) > bound).any():
+                qvs.append(None); sigs.append(None); nrms.append(None)
+                continue
+            q = np.floor(arr * scale).astype(np.int64)
+            nrm = int((q * q).sum())
+            if nrm <= 0:
+                qvs.append(None); sigs.append(None); nrms.append(None)
+                continue
+            sig = int(pw[(pl @ q) >= 0].sum())
+            qvs.append(q); sigs.append(sig); nrms.append(nrm)
+        return pd.DataFrame({"qv": qvs, "sig": sigs, "nrm": nrms})
+
+    cols = ([F.col(id_col).alias(out_id)] if out_id else [])
+    return (df.select(*cols,
+                      _ss.asNondeterministic()(F.col(vec_col))
+                      .alias("_s"))
+            .filter(F.col("_s.sig").isNotNull())
+            .select(*([out_id] if out_id else []),
+                    F.col("_s.qv").alias("_qv"),
+                    F.col("_s.sig").alias("_sig"),
+                    F.col("_s.nrm").alias("_nrm")))
+
+
 def lsh_topk_quantized(corpus: DataFrame, queries: DataFrame, *, k: int,
                        dim: int, id_col: str = "vec_id",
                        vec_col: str = "embedding", bits: int = 6,
@@ -389,43 +444,50 @@ def lsh_topk_quantized(corpus: DataFrame, queries: DataFrame, *, k: int,
     planes = quantized_planes(dim, bits, seed)
     # ragged/null/out-of-bound vectors excluded identically in both
     # engines (see dedup.embedding_near_dups_quantized NULL-poisoning
-    # note; the coord_bound arm is the overflow contract above)
-    clean, qv = _quantized_clean_qv(vec_col, dim, q_bits, coord_bound)
-    idot = _idot
-
-    def sig_of(qcol: Column) -> Column:
-        return _quantized_sig_of(qcol, planes, bits)
-
-    c = (corpus.filter(clean)
-         .select(F.col(id_col).alias("neighbor_id"), qv.alias("_cq"))
-         .withColumn("_sig", sig_of(F.col("_cq")))
-         .filter(idot(F.col("_cq"), F.col("_cq")) > 0))
+    # note; the coord_bound arm is the overflow contract above).  The
+    # clean + quantize + signature + norm pipeline is ONE numpy Arrow
+    # pass per side (r7 — _quantized_sig_frame, pinned bit-identical to
+    # the expression form), and the norms ride the join instead of
+    # being re-derived per candidate pair.
+    c = (_quantized_sig_frame(
+            corpus, out_id="neighbor_id", id_col=id_col,
+            vec_col=vec_col, dim=dim, q_bits=q_bits,
+            coord_bound=coord_bound, planes=planes, bits=bits)
+         .withColumnRenamed("_qv", "_cq")
+         .withColumnRenamed("_nrm", "_nb"))
     if max_bucket is not None:
+        # persist: the signature pipeline feeds BOTH the bucket-cap
+        # count agg and the anti-join probe side, across a broadcast
+        # boundary where no ReusedExchange forms — without it the
+        # corpus is quantized and signed twice per action (r7)
+        from pyspark import StorageLevel
+        c = c.persist(StorageLevel.MEMORY_AND_DISK)
         over = (c.groupBy("_sig").agg(F.count(F.lit(1)).alias("_n"))
                 .filter(F.col("_n") > max_bucket).select("_sig"))
         c = c.join(F.broadcast(over), on="_sig", how="left_anti")
-    q = (queries.filter(clean)
-         .select(F.col(id_col).alias("query_id"), qv.alias("_qq"))
-         .withColumn("_sig0", sig_of(F.col("_qq")))
-         .filter(idot(F.col("_qq"), F.col("_qq")) > 0))
+    q = (_quantized_sig_frame(
+            queries, out_id="query_id", id_col=id_col, vec_col=vec_col,
+            dim=dim, q_bits=q_bits, coord_bound=coord_bound,
+            planes=planes, bits=bits)
+         .withColumnRenamed("_qv", "_qq")
+         .withColumnRenamed("_nrm", "_na"))
     if multiprobe:
-        probes = F.array(F.col("_sig0"), *[
-            F.col("_sig0").bitwiseXOR(F.lit(1 << b)) for b in range(bits)])
-        q = q.select("query_id", "_qq", F.explode(probes).alias("_sig"))
+        probes = F.array(F.col("_sig"), *[
+            F.col("_sig").bitwiseXOR(F.lit(1 << b)) for b in range(bits)])
+        q = q.select("query_id", "_qq", "_na",
+                     F.explode(probes).alias("_sig"))
     else:
-        q = q.withColumnRenamed("_sig0", "_sig")
+        q = q.select("query_id", "_qq", "_na", "_sig")
     joined = (c.join(F.broadcast(q), on="_sig")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .dropDuplicates(["query_id", "neighbor_id"]))
-    dot = idot(F.col("_cq"), F.col("_qq"))
-    na = idot(F.col("_qq"), F.col("_qq"))
-    nb = idot(F.col("_cq"), F.col("_cq"))
+    dot = _idot(F.col("_cq"), F.col("_qq"))
     scaled = F.expr(f"(_dot * _dot * {1 << rank_shift}) DIV (_na * _nb)")
     key = (F.when(F.col("_dot") > 0, scaled)
            .when(F.col("_dot") < 0, -scaled)
            .otherwise(F.lit(0)))
-    scored = (joined.select("query_id", "neighbor_id", dot.alias("_dot"),
-                            na.alias("_na"), nb.alias("_nb"))
+    scored = (joined.select("query_id", "neighbor_id", "_na", "_nb",
+                            dot.alias("_dot"))
               .withColumn("_key", key))
     w = Window.partitionBy("query_id").orderBy(
         F.col("_key").desc(), F.col("neighbor_id").asc())
@@ -554,12 +616,11 @@ def lsh_quantized_bucket_stats(corpus: DataFrame, *, dim: int,
     shuffle carries (signature, partial count), never embeddings."""
     from .dedup import quantized_planes
     planes = quantized_planes(dim, bits, seed)
-    clean, qv = _quantized_clean_qv(vec_col, dim, q_bits, coord_bound)
     cap = max_bucket if max_bucket is not None else (1 << 62)
-    c = (corpus.filter(clean)
-         .select(qv.alias("_cq"))
-         .withColumn("_sig", _quantized_sig_of(F.col("_cq"), planes, bits))
-         .filter(_idot(F.col("_cq"), F.col("_cq")) > 0))
+    c = _quantized_sig_frame(
+        corpus, out_id=None, id_col=id_col, vec_col=vec_col, dim=dim,
+        q_bits=q_bits, coord_bound=coord_bound, planes=planes,
+        bits=bits)
     sizes = c.groupBy("_sig").agg(F.count(F.lit(1)).alias("n"))
     return _cap_size_stats(sizes, cap, "bucket")
 

@@ -370,3 +370,42 @@ def test_ivf_topk_ragged_seed_does_not_poison_dim(spark):
     out = ivf_topk(corpus, q, k=3, n_centroids=64, n_probe=64).collect()
     assert len(out) == 6, "real corpus silently discarded"
     assert all(r.neighbor_id < 1000 for r in out)
+
+
+def test_quantized_sig_frame_matches_expression(spark):
+    # r7: the clean+quantize+signature+norm pipeline is one numpy Arrow
+    # UDF; pin bit-equality against the expression reference on the
+    # edges: clean rows, ragged, NULL element, out-of-bound coordinate,
+    # zero vector (norm filter), negative coords
+    from pyspark.sql import functions as F
+    from boon_spark.operators.dedup import quantized_planes
+    from boon_spark.operators.similarity import (_idot,
+                                                 _quantized_clean_qv,
+                                                 _quantized_sig_frame,
+                                                 _quantized_sig_of)
+    dim, bits, q_bits, cb, seed = 8, 4, 6, 1.0, 42
+    rows = [
+        (0, [0.1, -0.2, 0.3, 0.5, -0.9, 1.0, -1.0, 0.25]),
+        (1, [0.1] * 7),                     # ragged
+        (2, [0.1, None, 0.3, 0.5, -0.9, 1.0, -1.0, 0.25]),  # NULL elem
+        (3, [0.1, 1.5, 0.3, 0.5, -0.9, 1.0, -1.0, 0.25]),   # out of bound
+        (4, [0.0] * 8),                     # zero norm
+        (5, [-0.5, 0.5, -0.25, 0.125, 0.75, -0.75, 0.99, -0.99]),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    planes = quantized_planes(dim, bits, seed)
+    got = {r.vec_id: (list(r._qv), r._sig, r._nrm) for r in
+           _quantized_sig_frame(df, out_id="vec_id", id_col="vec_id",
+                                vec_col="embedding", dim=dim,
+                                q_bits=q_bits, coord_bound=cb,
+                                planes=planes, bits=bits).collect()}
+    clean, qv = _quantized_clean_qv("embedding", dim, q_bits, cb)
+    want = {r.vec_id: (list(r._qv), r._sig, r._nrm) for r in
+            (df.filter(clean)
+             .select("vec_id", qv.alias("_qv"))
+             .withColumn("_sig",
+                         _quantized_sig_of(F.col("_qv"), planes, bits))
+             .withColumn("_nrm", _idot(F.col("_qv"), F.col("_qv")))
+             .filter(F.col("_nrm") > 0)).collect()}
+    assert got == want, f"{got} != {want}"
