@@ -1193,56 +1193,12 @@ def q_embedding_topk(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "range_nchars": q_range_nchars,
-    "enum_lang": q_enum_lang,
-    "pattern_source": q_pattern_source,
-    "length_text": q_length_text,
-    "multipleof_psize": q_multipleof_psize,
-    "items_bounds_embedding": q_items_bounds_embedding,
-    "contains_embedding": q_contains_embedding,
-    "logic_ifthen": q_logic_ifthen,
-    "logic_combo": q_logic_combo,
-    "const_exclusive": q_const_exclusive,
-    "format_date": q_format_date,
-    "format_annotation_mode": q_format_annotation_mode,
-    "unevaluated_dynamic": q_unevaluated_dynamic,
-    "recursive_tree": q_recursive_tree,
-    "content_json_events": q_content_json_events,
-    "flag_documents": q_flag_documents,
-    "summary_documents": q_summary_documents,
-    "unique_custkey": q_unique_custkey,
-    "referential_custkey": q_referential_custkey,
-    "stats_by_source": q_stats_by_source,
-    "invariant_nchars": q_invariant_nchars,
-    "validate_table_docs": q_validate_table_docs,
-    "drift_nchars": q_drift_nchars,
-    "equality_docs": q_equality_docs,
-    "skew_stats": q_skew_stats,
-    "dedup_exact": q_dedup_exact,
-    "fingerprint": q_fingerprint,
-    "token_count": q_token_count,
-    "quality_counts": q_quality_counts,
-    "embedding_topk": q_embedding_topk,
-    "multimodal_decode": q_multimodal_decode,
-    "lang_id_counts": q_lang_id_counts,
-    "token_count_bpe": q_token_count_bpe,
-    "minhash_head": q_minhash_head,
-    "simhash_docs": q_simhash_docs,
-    "minhash_pairs": q_minhash_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_keep": q_dedup_keep,
-    "cluster_stats": q_cluster_stats,
-    "ngram_jaccard": q_ngram_jaccard,
-    "embedding_near_dups": q_embedding_near_dups,
-    "lsh_topk": q_lsh_topk,
-    "bm25_topk": q_bm25_topk,
-    "bm25_df_stats": q_bm25_df_stats,
-    "lsh_q_stats": q_lsh_q_stats,
-    "ivf_topk": q_ivf_topk,
-    "contamination": q_contamination,
-    "repetition_metrics": q_repetition_metrics,
-    "gopher_flags": q_gopher_flags,
-    "hash_sample": q_hash_sample,
+    # ordering = driver CORRECTNESS window rotation (r7, VERDICT r6
+    # #1): the driver verifies the FIRST 50 entries, so the 33 gates
+    # that have never had a driver row lead, followed by 17 sentinel
+    # gates spanning the SURVEY families; previously-verified gates
+    # close the dict.  Ordering only — every query and its oracle
+    # SQL are unchanged.
     "mix_stats": q_mix_stats,
     "curation_pipeline": q_curation_pipeline,
     "nchars_quantiles": q_nchars_quantiles,
@@ -1276,6 +1232,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm3_score": q_lm3_score,
     "fertility_stats": q_fertility,
     "compaction_plan": q_compaction,
+    "range_nchars": q_range_nchars,
+    "enum_lang": q_enum_lang,
+    "unevaluated_dynamic": q_unevaluated_dynamic,
+    "recursive_tree": q_recursive_tree,
+    "content_json_events": q_content_json_events,
+    "flag_documents": q_flag_documents,
+    "unique_custkey": q_unique_custkey,
+    "referential_custkey": q_referential_custkey,
+    "stats_by_source": q_stats_by_source,
+    "drift_nchars": q_drift_nchars,
+    "dedup_exact": q_dedup_exact,
+    "minhash_pairs": q_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "contamination": q_contamination,
+    "bm25_topk": q_bm25_topk,
+    "lsh_topk": q_lsh_topk,
+    "repetition_metrics": q_repetition_metrics,
+    "pattern_source": q_pattern_source,
+    "length_text": q_length_text,
+    "multipleof_psize": q_multipleof_psize,
+    "items_bounds_embedding": q_items_bounds_embedding,
+    "contains_embedding": q_contains_embedding,
+    "logic_ifthen": q_logic_ifthen,
+    "logic_combo": q_logic_combo,
+    "const_exclusive": q_const_exclusive,
+    "format_date": q_format_date,
+    "format_annotation_mode": q_format_annotation_mode,
+    "summary_documents": q_summary_documents,
+    "invariant_nchars": q_invariant_nchars,
+    "validate_table_docs": q_validate_table_docs,
+    "equality_docs": q_equality_docs,
+    "skew_stats": q_skew_stats,
+    "fingerprint": q_fingerprint,
+    "token_count": q_token_count,
+    "quality_counts": q_quality_counts,
+    "embedding_topk": q_embedding_topk,
+    "multimodal_decode": q_multimodal_decode,
+    "lang_id_counts": q_lang_id_counts,
+    "token_count_bpe": q_token_count_bpe,
+    "minhash_head": q_minhash_head,
+    "simhash_docs": q_simhash_docs,
+    "dedup_keep": q_dedup_keep,
+    "cluster_stats": q_cluster_stats,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dups": q_embedding_near_dups,
+    "bm25_df_stats": q_bm25_df_stats,
+    "lsh_q_stats": q_lsh_q_stats,
+    "ivf_topk": q_ivf_topk,
+    "gopher_flags": q_gopher_flags,
+    "hash_sample": q_hash_sample,
 }
 
 

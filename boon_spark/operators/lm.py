@@ -163,7 +163,13 @@ def score_bigram_lm(df: DataFrame, model: dict, *,
     uniq = model["uni"].withColumn("qd", q64(F.col("c1") + F.lit(v)))
     pairs = _pairs(df, tokens_col, id_col)
     # unseen w1: qd is NULL -> contribution is q64(0 + V), computed
-    # once driver-side with the same searchsorted definition
+    # once driver-side with the same searchsorted definition.  Loud
+    # over-range guard first (ADVICE r6: a silent clamp here diverged
+    # from lm_stream's raising q64 kernel on vocab > bounds[-1])
+    if v > int(model["bounds"][-1]):
+        raise ValueError(
+            f"vocabulary size {v} exceeds the boundary table "
+            f"(max {int(model['bounds'][-1])}) — raise n_steps")
     q_v = int(np.searchsorted(model["bounds"],
                               np.int64(v), side="right"))
     scored = (pairs
@@ -279,11 +285,13 @@ def pmi_collocations(df: DataFrame, k: int, *,
         bi.unpersist()
         return spark.createDataFrame(
             [], "rank long, w1 long, w2 long, c12 long, pmi_q64 long")
-    q_n = int(np.searchsorted(bounds, np.int64(n_pairs), side="right"))
     if int(n_pairs) > int(bounds[-1]):
+        bi.unpersist()  # release cached blocks before the loud raise
+        # (ADVICE r6: the zero-row path already does — symmetry)
         raise ValueError(
             f"total pair count {n_pairs} exceeds the boundary table "
             f"(max {int(bounds[-1])}) — raise n_steps")
+    q_n = int(np.searchsorted(bounds, np.int64(n_pairs), side="right"))
     c1 = bi.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     c2 = bi.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
     cand = (bi.filter(F.col("c12") >= F.lit(int(min_count)))

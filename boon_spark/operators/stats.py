@@ -223,7 +223,13 @@ def robust_outlier_summary(df: DataFrame, column: str) -> DataFrame:
     reproduces bit-exactly in any engine.  The robust center/spread
     pair is the outlier rule that survives the heavy tails a mean/std
     rule dies on at web scale."""
-    med = value_quantiles(df, column, [0.5]).first()["value"]
+    med_row = value_quantiles(df, column, [0.5]).first()
+    if med_row is None:  # ADVICE r6: empty/all-NULL column crashed with
+        # an opaque 'NoneType is not subscriptable' — raise loudly
+        raise ValueError(
+            f"robust_outlier_summary: column {column!r} has no non-NULL "
+            f"values — median/MAD are undefined")
+    med = med_row["value"]
     dev = df.filter(F.col(column).isNotNull()).select(
         F.abs(F.col(column) - F.lit(med)).alias("_d"))
     mad = value_quantiles(dev, "_d", [0.5]).first()["value"]
