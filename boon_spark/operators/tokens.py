@@ -68,7 +68,13 @@ def synthetic_tokens(df: DataFrame, *, len_col: str = "n_tok",
     vocab`` — a pure function of (``gen_col``, position), so rows
     sharing a generator value share a token PREFIX (their lengths may
     differ), which gives k-gram overlap structure to test against.
-    NULL/negative lengths yield an empty array."""
+    NULL/negative lengths yield an empty array.
+
+    Stays the expression form deliberately (r7): an Arrow-UDF variant
+    was built, pinned bit-identical, and MEASURED SLOWER (the array
+    round-trip through Python outweighs the interpreted-HOF md5 cost
+    at every partitioning tried) — so the fused path was reverted.
+    """
     n = F.coalesce(F.col(len_col).cast("int"), F.lit(0))
     g = F.col(gen_col).cast("string")
     tok = lambda p: (_hash_shingle(

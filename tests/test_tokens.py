@@ -212,3 +212,4 @@ def test_kgram_hashes_matches_expression(spark):
             "i", _kgram_hashes_expr(F.col("toks"), k).alias("h"))
             .collect()}
         assert got == want, f"k={k}: {got} != {want}"
+
