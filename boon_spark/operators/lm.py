@@ -52,6 +52,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._ckpt import pin, release
+
 __all__ = ["ln64_bounds", "fit_bigram_lm", "score_bigram_lm",
            "score_bigram_lm_oracle_sql", "pmi_collocations",
            "pmi_collocations_oracle_sql", "fit_backoff_lm",
@@ -110,11 +112,14 @@ def fit_bigram_lm(df: DataFrame, *, tokens_col: str = "tokens",
     bi = (_pairs(df, tokens_col, id_col)
           .groupBy("w1", "w2")
           .agg(F.count(F.lit(1)).cast("long").alias("c12")))
-    # persist: the count frames are consumed by the driver count here
-    # AND as broadcast-join build sides in scoring — and NO
-    # ReusedExchange forms across a broadcast boundary (the measured
-    # bm25 law), so without persist each corpus explode+shuffle would
-    # run once per consumer.  unpersist_model() releases the blocks.
+    # persist (NOT the r7 lazy checkpoint): the count frames are
+    # consumed by the driver count here AND as broadcast-join build
+    # sides in scoring, and NO ReusedExchange forms across a broadcast
+    # boundary (the measured bm25 law).  A localCheckpoint was measured
+    # WORSE here — the LogicalRDD loses size statistics, flipping the
+    # corpus-side score joins from broadcast to sort-merge (lm_score
+    # 2.3s -> 4.5s) — while persist keeps accurate in-memory stats.
+    # unpersist_model() releases the blocks.
     uni = uni.persist()
     bi = bi.persist()
     vocab = uni.count()
@@ -123,11 +128,11 @@ def fit_bigram_lm(df: DataFrame, *, tokens_col: str = "tokens",
 
 
 def unpersist_model(model: dict) -> None:
-    """Release the persisted count frames of a fitted LM model
+    """Release the pinned count frames of a fitted LM model
     (fit_bigram_lm / fit_backoff_lm)."""
     for k in ("uni", "bi", "tri"):
         if k in model:
-            model[k].unpersist()
+            release(model[k])
 
 
 def _q64_udf(spark, bounds: np.ndarray):
@@ -276,17 +281,17 @@ def pmi_collocations(df: DataFrame, k: int, *,
     spark = df.sparkSession
     bounds = ln64_bounds(n_steps)
     q64 = _q64_udf(spark, bounds)
-    bi = (_pairs(df, tokens_col, id_col)
-          .groupBy("w1", "w2")
-          .agg(F.count(F.lit(1)).cast("long").alias("c12"))
-          .persist())  # consumed by the total, two marginals, and cand
+    bi = pin(_pairs(df, tokens_col, id_col)
+             .groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).cast("long").alias("c12")))
+    # pinned (r7): consumed by the total, two marginals, and cand
     n_pairs = bi.agg(F.sum("c12")).first()[0]
     if n_pairs is None or n_pairs == 0:
-        bi.unpersist()
+        release(bi)
         return spark.createDataFrame(
             [], "rank long, w1 long, w2 long, c12 long, pmi_q64 long")
     if int(n_pairs) > int(bounds[-1]):
-        bi.unpersist()  # release cached blocks before the loud raise
+        release(bi)  # release cached blocks before the loud raise
         # (ADVICE r6: the zero-row path already does — symmetry)
         raise ValueError(
             f"total pair count {n_pairs} exceeds the boundary table "
@@ -416,11 +421,10 @@ def fit_backoff_lm(df: DataFrame, *, tokens_col: str = "tokens",
     tri = (_triples(df, tokens_col, id_col)
            .groupBy("w1", "w2", "w3")
            .agg(F.count(F.lit(1)).cast("long").alias("c123")))
-    # same persist rationale as fit_bigram_lm: uni/bi are each consumed
-    # TWICE in scoring (as w2- and w3-keyed sides); tri has ONE
-    # consumer (the seen-trigram arm), so persisting it would only pay
-    # a materialization write for nothing (r7 — unpersist_model still
-    # accepts models with a persisted tri)
+    # same persist-not-checkpoint rationale as fit_bigram_lm (the
+    # broadcast-stats measurement); tri has ONE consumer (the
+    # seen-trigram arm), so pinning it would only pay a
+    # materialization write for nothing (r7)
     uni = uni.persist()
     bi = bi.persist()
     n_tokens = uni.agg(F.sum("c")).first()[0] or 0

@@ -384,7 +384,9 @@ def token_kgram_candidates(df: DataFrame, k: int, *,
     # persist the exploded (doc, hash) frame BEFORE the hot-set guard:
     # the guard's collect is its own action, so without the persist the
     # k-gram hashing ran twice (guard pass + cold materialization) —
-    # one computation now feeds both (r7)
+    # one computation now feeds both (r7; a localCheckpoint pin was
+    # measured 2x worse here — the pair self-join wants the persisted
+    # plan's statistics)
     ex = _kgram_exploded(df, k, tokens_col, id_col) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     hot_rows = (ex.groupBy("h")

@@ -98,14 +98,16 @@ def test_q64_runs_on_count_frames_not_pairs(spark):
     lines = plan.splitlines()
     arrow = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
     assert len(arrow) == 2, plan
-    # each kernel feeds off the n-gram count aggregate (or its
-    # persisted InMemoryTableScan, possibly behind a pushed join-key
+    # each kernel feeds off the n-gram count aggregate (or its pinned
+    # materialization — InMemoryTableScan for persist, ExistingRDD for
+    # the r7 lazy localCheckpoint — possibly behind a pushed join-key
     # null filter) — the UDF consumes (distinct-ngram, count) rows;
     # an exploded-pairs Generate below the kernel would be the bug
     for i in arrow:
         window = "".join(lines[i + 1:i + 4])
         assert ("HashAggregate" in window
-                or "InMemoryTableScan" in window), plan
+                or "InMemoryTableScan" in window
+                or "ExistingRDD" in window), plan
         assert "Generate" not in window, plan
 
 
