@@ -756,31 +756,64 @@ def embedding_near_dups_quantized(df: DataFrame, *,
     ``dot>0 AND den²·dot² ≥ num²·‖a‖²·‖b‖²`` — cosine ≥ num/den without
     ever dividing or square-rooting.  Bounds: |x|≤1, dim≤128, q_bits≤10
     keep ``den²·dot²`` under 2^63 for den ≤ 5."""
+    import numpy as np
+
     planes = quantized_planes(dim, bits, seed, q_bits)
     scale = 1 << q_bits
-    qv = F.transform(F.col(vec_col),
-                     lambda x: F.floor(x * F.lit(scale)).cast("long"))
     # ragged/null-poisoned vectors must be EXCLUDED identically in both
     # engines: Spark's zip_with pads short arrays with NULL and the
     # integer dot then NULL-poisons (pair silently dropped), while
     # DuckDB's list_sum SKIPS NULLs (partial dot that can pass) — the
-    # guard keeps the bit-identical contract on malformed rows
+    # guard keeps the bit-identical contract on malformed rows.  It
+    # stays an EXPRESSION filter (before the fused UDF) because Arrow
+    # hands array<double> NULL elements to Python as NaN — only the JVM
+    # side can still tell a NULL element from a genuine NaN.
     clean = (F.size(F.col(vec_col)) == dim) & \
         (F.size(F.filter(F.col(vec_col), lambda x: x.isNull())) == 0)
-    base = df.filter(clean).select(F.col(id_col).alias("_id"),
-                                   qv.alias("_qv"))
 
-    def proj(b: int) -> Column:
-        pl = F.array(*[F.lit(p).cast("long") for p in planes[b]])
-        return F.aggregate(
-            F.zip_with(F.col("_qv"), pl, lambda x, y: x * y),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # quantize + signature + squared norm in ONE numpy pass per row
+    # (the lsh_topk_quantized / _quantized_sig_frame shape, pinned
+    # bit-identical to the expression form by
+    # test_near_dups_fused_matches_expression): int64 matmul against
+    # the same integer planes replaces ~bits·dim interpreted HOF nodes,
+    # and the norms ride the candidate join instead of being re-derived
+    # per pair.  Bounds per the docstring keep every product exact in
+    # int64.  Genuine NaN/Inf coordinates raise loudly — the expression
+    # form's ANSI long cast aborts the job on those same rows.
+    pl = np.array(planes, dtype=np.int64)
+    pw = np.left_shift(np.int64(1), np.arange(bits, dtype=np.int64))
 
-    sig = None
-    for b in range(bits):
-        term = F.when(proj(b) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    base = base.select("_id", "_qv", sig.cast("long").alias("_sig"))
+    @F.pandas_udf("struct<qv: array<bigint>, sig: bigint, nrm: bigint>")
+    def _qsn(vec: pd.Series) -> pd.DataFrame:
+        qvs, sigs, nrms = [], [], []
+        for v in vec:
+            arr = np.asarray(v, dtype=np.float64) * scale
+            if (not np.isfinite(arr).all()
+                    or (np.abs(arr) >= 2.0 ** 63).any()):
+                raise ValueError(
+                    "embedding_near_dups_quantized: non-finite or "
+                    "int64-overflowing coordinate after quantization — "
+                    "the ANSI long cast fails these rows loudly, and so "
+                    "does the fused path")
+            q = np.floor(arr).astype(np.int64)
+            qvs.append(q)
+            sigs.append(int(pw[(pl @ q) >= 0].sum()))
+            nrms.append(int((q * q).sum()))
+        return pd.DataFrame({"qv": qvs, "sig": sigs, "nrm": nrms})
+
+    base = (df.filter(clean)
+            .select(F.col(id_col).alias("_id"),
+                    _qsn.asNondeterministic()(F.col(vec_col)).alias("_s"))
+            .select("_id", F.col("_s.qv").alias("_qv"),
+                    F.col("_s.sig").alias("_sig"),
+                    F.col("_s.nrm").alias("_nrm")))
+    # persist: the signed frame feeds the bucket-size agg AND both join
+    # sides, across broadcast boundaries where no ReusedExchange forms
+    # (r5 law) — without it the corpus is quantized and signed three
+    # times per action.  Handle attached as result._cached_sig (the
+    # cached_corpus idiom) so callers can release it after their action.
+    from pyspark import StorageLevel
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     sizes = (base.groupBy("_sig")
              .agg(F.count(F.lit(1)).alias("_bn"))
@@ -788,9 +821,11 @@ def embedding_near_dups_quantized(df: DataFrame, *,
              .drop("_bn"))
     capped = base.join(sizes, on="_sig")
     a = capped.select(F.col("_id").alias("id_a"),
-                      F.col("_qv").alias("qa"), "_sig")
+                      F.col("_qv").alias("qa"),
+                      F.col("_nrm").alias("_na"), "_sig")
     b_ = capped.select(F.col("_id").alias("id_b"),
-                       F.col("_qv").alias("qb"), "_sig")
+                       F.col("_qv").alias("qb"),
+                       F.col("_nrm").alias("_nb"), "_sig")
     joined = a.join(b_, on="_sig").filter(F.col("id_a") < F.col("id_b"))
 
     def idot(x: Column, y: Column) -> Column:
@@ -798,17 +833,16 @@ def embedding_near_dups_quantized(df: DataFrame, *,
                            F.lit(0).cast("long"), lambda acc, u: acc + u)
 
     dot = idot(F.col("qa"), F.col("qb"))
-    na = idot(F.col("qa"), F.col("qa"))
-    nb = idot(F.col("qb"), F.col("qb"))
     num2 = threshold_num * threshold_num
     den2 = threshold_den * threshold_den
-    return (joined
-            .select("id_a", "id_b", dot.alias("_dot"),
-                    na.alias("_na"), nb.alias("_nb"))
-            .filter((F.col("_dot") > 0) &
-                    (F.lit(den2) * F.col("_dot") * F.col("_dot") >=
-                     F.lit(num2) * F.col("_na") * F.col("_nb")))
-            .select("id_a", "id_b"))
+    out = (joined
+           .select("id_a", "id_b", dot.alias("_dot"), "_na", "_nb")
+           .filter((F.col("_dot") > 0) &
+                   (F.lit(den2) * F.col("_dot") * F.col("_dot") >=
+                    F.lit(num2) * F.col("_na") * F.col("_nb")))
+           .select("id_a", "id_b"))
+    out._cached_sig = base
+    return out
 
 
 def embedding_near_dups_oracle_sql(*, dim: int, threshold_num: int = 2,

@@ -450,3 +450,91 @@ def test_fused_shingle_minhash_matches_legacy(spark):
                 assert gsig is None
             else:
                 assert gsig == sig, f"n={n} i={i}: sig {gsig} != {sig}"
+
+
+def test_near_dups_fused_matches_expression(spark):
+    # r7 follow-up: quantize+signature+norm in embedding_near_dups_quantized
+    # is one numpy Arrow pass; pin the emitted PAIRS bit-identical to the
+    # pre-fusion expression reference (per-bit HOF projections + per-pair
+    # norm re-derivation) on clean/ragged/NULL-element/near-boundary rows
+    # and a >2-member bucket
+    from pyspark.sql import functions as F
+    from boon_spark.operators.dedup import (embedding_near_dups_quantized,
+                                            quantized_planes)
+    dim, bits, q_bits, seed = 8, 3, 10, 7
+    rows = [
+        (1, [0.5, 0.5, 0.0, 0.1, -0.3, 0.2, 0.9, -0.1]),
+        (2, [0.5, 0.45, 0.05, 0.1, -0.3, 0.2, 0.9, -0.1]),   # near 1
+        (3, [0.5, 0.44, 0.06, 0.1, -0.3, 0.2, 0.9, -0.1]),   # near 1,2
+        (4, [-0.5, 0.5, 0.3, -0.2, 0.8, -0.7, 0.1, 0.6]),
+        (5, [0.1, -0.4, 0.5, -0.5, -0.2, 0.3, -0.6, 0.7]),
+        (6, [0.0] * 8),                                      # zero vector
+        (7, [0.5, 0.45]),                                    # ragged
+        (8, [0.5, None, 0.05, 0.1, -0.3, 0.2, 0.9, -0.1]),   # NULL elem
+        (9, None),                                           # NULL row
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in embedding_near_dups_quantized(
+        df, dim=dim, threshold_num=9, threshold_den=10, bits=bits,
+        seed=seed, q_bits=q_bits).collect()}
+
+    # expression reference == the pre-r7 implementation, verbatim shape
+    planes = quantized_planes(dim, bits, seed, q_bits)
+    scale = 1 << q_bits
+    qv = F.transform(F.col("embedding"),
+                     lambda x: F.floor(x * F.lit(scale)).cast("long"))
+    clean = (F.size(F.col("embedding")) == dim) & \
+        (F.size(F.filter(F.col("embedding"), lambda x: x.isNull())) == 0)
+    base = df.filter(clean).select(F.col("vec_id").alias("_id"),
+                                   qv.alias("_qv"))
+
+    def proj(b):
+        pl = F.array(*[F.lit(p).cast("long") for p in planes[b]])
+        return F.aggregate(F.zip_with(F.col("_qv"), pl, lambda x, y: x * y),
+                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    sig = None
+    for b in range(bits):
+        term = F.when(proj(b) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    base = base.select("_id", "_qv", sig.cast("long").alias("_sig"))
+    sizes = (base.groupBy("_sig").agg(F.count(F.lit(1)).alias("_bn"))
+             .filter(F.col("_bn").between(2, 64)).drop("_bn"))
+    capped = base.join(sizes, on="_sig")
+    a = capped.select(F.col("_id").alias("id_a"),
+                      F.col("_qv").alias("qa"), "_sig")
+    b_ = capped.select(F.col("_id").alias("id_b"),
+                       F.col("_qv").alias("qb"), "_sig")
+    joined = a.join(b_, on="_sig").filter(F.col("id_a") < F.col("id_b"))
+
+    def idot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda u, v: u * v),
+                           F.lit(0).cast("long"), lambda acc, u: acc + u)
+
+    want = {(r.id_a, r.id_b) for r in
+            (joined.select("id_a", "id_b", idot(F.col("qa"), F.col("qb"))
+                           .alias("_dot"),
+                           idot(F.col("qa"), F.col("qa")).alias("_na"),
+                           idot(F.col("qb"), F.col("qb")).alias("_nb"))
+             .filter((F.col("_dot") > 0) &
+                     (F.lit(100) * F.col("_dot") * F.col("_dot") >=
+                      F.lit(81) * F.col("_na") * F.col("_nb")))
+             .select("id_a", "id_b")).collect()}
+    assert got == want and got, f"{got} != {want}"
+
+
+def test_near_dups_fused_raises_on_nan(spark):
+    # a genuine NaN coordinate (not a NULL element) aborts the expression
+    # form's ANSI long cast; the fused path must fail the same rows
+    # loudly instead of silently wrapping to INT64_MIN
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from boon_spark.operators.dedup import embedding_near_dups_quantized
+    df = spark.createDataFrame(
+        [(1, [float("nan"), 0.1, 0.2, 0.3]), (2, [0.1, 0.1, 0.2, 0.3]),
+         (3, [0.1, 0.11, 0.2, 0.3])],
+        "vec_id int, embedding array<double>")
+    with pytest.raises((PythonException, Py4JJavaError)):
+        embedding_near_dups_quantized(df, dim=4, bits=2).collect()
